@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship query smoke check on sf0.001.
+- ``queries()`` — every implemented operator/query from SURVEY.md §2,
+  each ``(spark, sf_dir) -> DataFrame``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names);
+  omitted only for ops whose hashing/bit surgery is not expressible in
+  portable SQL (q26 simhash, q30 LSH top-k) — those get rows-only checks
+  and are exact-value unit-tested instead (tests/).
 """
 
 from __future__ import annotations
@@ -13,26 +15,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from scraper_db_refine_merge_spark.plans.catalog import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: region revenue over the 5-way star join
+    (lineitem ⨝ orders ⨝ broadcast dims → exact-decimal revenue rollup)."""
+    return QUERIES["q04_region_revenue"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

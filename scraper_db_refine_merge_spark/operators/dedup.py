@@ -1,0 +1,294 @@
+"""Deduplication operators: exact, business-key latest-wins, n-gram Jaccard,
+MinHash+LSH, and SimHash (SURVEY J3/J4/J5/W3 generalized to corpus-scale
+near-dup detection for training-data pipelines).
+
+All of these are pure DataFrame compositions — no Python UDFs — so they stay
+inside whole-stage codegen and scale by shuffle on narrow keys:
+
+- exact dedup shuffles once on a 128-bit content hash;
+- Jaccard/MinHash shuffle on *shingle* / *band-signature* keys, never
+  all-pairs: candidate generation is an equi-join, which is the only way
+  pairwise similarity survives 10^9 documents;
+- hot shingles (stop-shingles) are optionally dropped via a frequency cap —
+  the standard skew guard, since a shingle shared by 1M docs creates a
+  10^12-pair join explosion.
+
+Hash functions are md5-based so results are deterministic and reproducible
+across engines (the DuckDB oracle mirrors them byte-for-byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# Exact dedup
+
+
+def normalized_text(c: Column) -> Column:
+    """Whitespace-collapse + trim + lower — the reference's cleaning step
+    (scrapers_v2/data_quality/cleaning.py:5-19) applied before hashing."""
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact duplicate groups.
+
+    Returns one row per distinct content hash: ``(content_hash, dup_count,
+    canonical_id)`` where canonical is the smallest id (reference picks a
+    canonical doc per dup group, schema_adapter_enhanced.py:540-544).
+    """
+    return (
+        df.select(F.col(id_col).alias("__id"), F.md5(normalized_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("dup_count"), F.min("__id").alias("canonical_id"))
+    )
+
+
+def latest_wins(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """Keep the newest row per business key (SURVEY W3/J4: upsert latest-wins,
+    reference database/data_migration.py:133-139). ``order_cols`` must
+    include a unique tie-break for determinism."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ----------------------------------------------------------------------
+# Shingling
+
+
+def word_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Distinct word k-shingles per document: ``(doc, shingle)``.
+
+    Built with sequence+transform+explode (all codegen'd). ``max_shingle_freq``
+    drops shingles appearing in more than that many docs — the skew guard for
+    corpus-scale joins.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    # sequence(0, n) descends when n < 0, so short docs need an explicit empty
+    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    out = (
+        df.select(F.col(id_col).alias("doc"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        freq = out.groupBy("shingle").agg(F.count("*").alias("__f"))
+        out = (
+            out.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle", "inner")
+            .select("doc", "shingle")
+        )
+    return out
+
+
+def _pair_jaccard(shingle_df: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs Jaccard over a (doc, shingle) set via shingle equi-join."""
+    sizes = shingle_df.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "intersection", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (doc pairs with similarity ≥ threshold)."""
+    return _pair_jaccard(word_shingles(df, id_col, text_col, k, max_shingle_freq), threshold)
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+
+MINHASH_NUM_HASHES = 8
+MINHASH_BAND_SIZE = 2
+
+
+def minhash_signatures(shingle_df: DataFrame, num_hashes: int = MINHASH_NUM_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: h_j = min over shingles of md5(j || ':' || s).
+
+    One aggregation, no row multiplication: the j-th hash is a separate agg
+    column. md5's lexicographic min is a valid permutation-min and is
+    reproducible in any engine with md5.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return shingle_df.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    band_size: int = MINHASH_BAND_SIZE,
+) -> DataFrame:
+    """Banding: docs sharing any full band of the signature become candidates.
+
+    Implemented as explode-to-(band, band_sig) + self equi-join on the band
+    signature — linear shuffle, no all-pairs comparison.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"h{b * band_size + i}") for i in range(band_size)]).alias(
+                    "band_sig"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select("doc", F.explode(bands).alias("b")).select(
+        "doc", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    band_size: int = MINHASH_BAND_SIZE,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """MinHash/LSH near-dup pipeline: shingle → signature → band-join →
+    verify candidates with true Jaccard ≥ threshold."""
+    sh = word_shingles(df, id_col, text_col, k, max_shingle_freq)
+    sh.cache()
+    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, band_size)
+    verified = _pair_jaccard(sh, threshold).join(cand, ["a_id", "b_id"], "left_semi")
+    return verified
+
+
+# ----------------------------------------------------------------------
+# SimHash
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash fingerprint over word tokens.
+
+    Token hash = first 15 hex chars of md5 (60 bits). Each bit contributes
+    +count / -count to its lane; fingerprint bit = sign of the lane sum.
+    Pure expressions: explode tokens → per-bit lane sums in one aggregation →
+    reassemble with bit arithmetic. Returns ``(doc, simhash)`` with simhash
+    as a non-negative 60-bit long.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("th", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"))
+    )
+    lane_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"lane{j}")
+        for j in range(bits)
+    ]
+    lanes = toks.groupBy("doc").agg(*lane_aggs)
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"lane{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return lanes.select("doc", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation by banding the fingerprint into 4 chunks (pigeonhole:
+    distance ≤ 3 ⇒ at least one of 4 chunks identical), then exact Hamming
+    verify via bit_count(xor). Equi-join on chunks — no all-pairs scan.
+    """
+    sh = simhash(df, id_col, text_col, bits)
+    chunk = bits // 4
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), i * chunk)
+                .bitwiseAND(F.lit((1 << chunk) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sh.select("doc", "simhash", F.explode(chunks).alias("c")).select(
+        "doc", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk_val").alias("chunk_val")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("a_id"),
+            F.col("b.doc").alias("b_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

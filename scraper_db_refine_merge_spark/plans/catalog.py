@@ -1,0 +1,12 @@
+"""Merged query catalog: every `queries()` entry and its DuckDB oracle."""
+
+from __future__ import annotations
+
+from . import relational, textqueries, vectors
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+for mod in (relational, textqueries, vectors):
+    QUERIES.update(mod.QUERIES)
+    ORACLES.update(mod.ORACLES)

@@ -1,0 +1,282 @@
+"""Text search / text analysis / dedup queries over the ``documents`` table.
+
+Oracle mirroring notes: every hash is md5 (identical hex in both engines),
+Jaccard/ratios divide identical integers (IEEE double division — exact
+parity), and tokenization collapses whitespace the same way on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    language_guess,
+    punct_ratio,
+    quality_band,
+    search_blob,
+    stopword_count,
+    text_quality_score,
+    text_search_relevance,
+    token_count,
+)
+from ..operators import dedup as dd
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB mirror of dedup.normalized_text / word_shingles (k=5).
+_SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_SHINGLES = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    shidx AS (
+        SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM shidx
+    )
+"""
+_SQL_PAIR_JACCARD = """
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+        SELECT i.a_id, i.b_id, i.intersection,
+               ROUND(CAST(i.intersection AS DOUBLE)
+                     / CAST(sa.n + sb.n - i.intersection AS DOUBLE), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# q21 — text search with relevance ranking. SURVEY T1/T2
+# (reference api_server.py:314-350 $text search endpoint).
+_Q21_TERMS = ["spark", "join"]
+
+
+def _sql_term_count(term: str) -> str:
+    return f"CAST((length(blob) - length(replace(blob, '{term}', ''))) / {len(term)} AS BIGINT)"
+
+
+@_register(
+    "q21_text_search",
+    f"""
+    WITH blobbed AS (SELECT doc_id, lang, lower(text) AS blob FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {_sql_term_count('spark')} + {_sql_term_count('join')} AS relevance,
+               {_sql_term_count('spark')} AS c0, {_sql_term_count('join')} AS c1
+        FROM blobbed
+    )
+    SELECT doc_id, lang, relevance
+    FROM scored WHERE c0 > 0 AND c1 > 0
+    ORDER BY relevance DESC, doc_id LIMIT 20
+    """,
+)
+def q21_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    blob = search_blob(F.col("text"))
+    matches, relevance = text_search_relevance(blob, _Q21_TERMS)
+    return (
+        d.select("doc_id", "lang", matches.alias("m"), relevance.alias("relevance"))
+        .filter(F.col("m"))
+        .drop("m")
+        .orderBy(F.col("relevance").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — per-document text analysis: token counts, ratios, quality score,
+# band, heuristic language. SURVEY D1/D6 banded scoring generalized to text.
+_Q22_STOP_SQL = "('the','a','an','and','or','of','to','in')"
+_SQL_Q22_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@_register(
+    "q22_doc_text_stats",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               {_SQL_Q22_TOKS} AS toks,
+               len({_SQL_Q22_TOKS}) AS n_tokens,
+               len(list_filter({_SQL_Q22_TOKS}, t -> t IN {_Q22_STOP_SQL})) AS n_stopwords,
+               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                   / greatest(length(text), 1) AS praw,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_tokens, n_stopwords,
+               ROUND(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+               ROUND(praw, 4) AS p_ratio,
+               ROUND(
+                   (CASE WHEN n_chars >= 200 THEN 1.0 WHEN n_chars >= 50 THEN 0.7
+                         WHEN n_chars >= 10 THEN 0.4 ELSE 0.0 END) * 0.4
+                 + (CASE WHEN n_tokens >= 30 THEN 1.0 WHEN n_tokens >= 10 THEN 0.7
+                         WHEN n_tokens >= 3 THEN 0.4 ELSE 0.0 END) * 0.3
+                 + (CASE WHEN CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) > 0
+                         THEN 1.0 ELSE 0.0 END) * 0.15
+                 + (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.15, 4) AS quality,
+               len(list_filter(toks, t -> t IN ('the','and','of','to','a'))) AS h_en,
+               len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS h_es,
+               len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS h_de,
+               len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS h_fr
+        FROM base
+    )
+    SELECT doc_id, lang, n_tokens, n_stopwords, stop_ratio, p_ratio, quality,
+           CASE WHEN quality >= 0.9 THEN 'excellent' WHEN quality >= 0.8 THEN 'good'
+                WHEN quality >= 0.7 THEN 'fair' ELSE 'poor' END AS band,
+           -- argmax by (hits, lang): ties go to the lexicographically larger code,
+           -- mirroring Spark's struct array_max
+           CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                ELSE 'de' END AS guessed_lang
+    FROM scored
+    """,
+)
+def q22_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = text_quality_score(t)
+    return d.select(
+        "doc_id",
+        "lang",
+        token_count(t).alias("n_tokens"),
+        stopword_count(t).alias("n_stopwords"),
+        F.round(stopword_count(t) / F.greatest(token_count(t), F.lit(1)), 4).alias("stop_ratio"),
+        F.round(punct_ratio(t), 4).alias("p_ratio"),
+        q.alias("quality"),
+        quality_band(q).alias("band"),
+        language_guess(t).alias("guessed_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — exact dedup by content hash. SURVEY J3 + training-data exact dedup.
+@_register(
+    "q23_exact_dedup",
+    f"""
+    SELECT md5({_SQL_NORM}) AS content_hash,
+           COUNT(*) AS dup_count,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY content_hash
+    """,
+)
+def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q24 — n-gram Jaccard near-dup pairs. Training-data near-dedup baseline.
+@_register(
+    "q24_ngram_jaccard_pairs",
+    f"""
+    WITH {_SQL_SHINGLES}, {_SQL_PAIR_JACCARD}
+    SELECT a_id, b_id, intersection, jaccard FROM jac WHERE jaccard >= 0.2
+    """,
+)
+def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2)
+
+
+# --------------------------------------------------------------------------
+# q25 — MinHash + LSH near-dup pairs (banded signatures, verified candidates).
+_MH_COLS = ",\n               ".join(
+    f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(dd.MINHASH_NUM_HASHES)
+)
+_MH_BANDS = ", ".join(
+    f"(SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS band_sig FROM mh)"
+    for b in range(dd.MINHASH_NUM_HASHES // dd.MINHASH_BAND_SIZE)
+)
+_MH_BAND_UNION = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS band_sig FROM mh"
+    for b in range(dd.MINHASH_NUM_HASHES // dd.MINHASH_BAND_SIZE)
+)
+
+
+@_register(
+    "q25_minhash_lsh_pairs",
+    f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_MH_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    {_SQL_PAIR_JACCARD.lstrip()}
+    SELECT j.a_id, j.b_id, j.intersection, j.jaccard
+    FROM jac j JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
+    WHERE j.jaccard >= 0.2
+    """,
+)
+def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(d, "doc_id", "text", k=5, threshold=0.2)
+
+
+# --------------------------------------------------------------------------
+# q26 — SimHash fingerprints (no SQL oracle: 64-bit hex→int bit surgery is not
+# expressible in portable SQL; driver records rows-only check; exact-value
+# determinism is covered by unit tests instead).
+@_register("q26_simhash_fingerprints")
+def q26_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash(d, "doc_id", "text").select(
+        F.col("doc").alias("doc_id"), "simhash"
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — document fingerprints: exact content hash + min-shingle rolling hash.
+@_register(
+    "q27_doc_fingerprints",
+    f"""
+    WITH {_SQL_SHINGLES},
+    minfp AS (SELECT doc_id, MIN(md5(shingle)) AS shingle_fingerprint FROM sh GROUP BY doc_id)
+    SELECT d.doc_id,
+           md5({_SQL_NORM}) AS content_hash,
+           m.shingle_fingerprint
+    FROM documents d LEFT JOIN minfp m ON d.doc_id = m.doc_id
+    """,
+)
+def q27_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import content_fingerprint, min_shingle_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        content_fingerprint(F.col("text")).alias("content_hash"),
+        min_shingle_fingerprint(F.col("text"), k=5).alias("shingle_fingerprint"),
+    )
