@@ -109,7 +109,9 @@ def score_venue_info(venue: Column) -> Column:
         & (F.size(coords_arr) > 0)
     )
     coords_len2 = F.size(coords_arr) == 2
-    lon, lat = coords_arr[0], coords_arr[1]
+    # F.get is OOB-null-safe; plain [i] indexing throws under ANSI mode even
+    # behind a guard (codegen subexpression elimination evaluates it eagerly)
+    lon, lat = F.get(coords_arr, 0), F.get(coords_arr, 1)
     in_ibiza = F.coalesce(
         (lon >= 1.2) & (lon <= 1.6) & (lat >= 38.8) & (lat <= 39.1), F.lit(False)
     )
@@ -245,7 +247,7 @@ def score_ticketing_info(t: Column) -> Column:
     valid_tiers_arr = F.filter(tiers, tier_valid)
     n_valid = F.size(valid_tiers_arr)
     cheapest = F.array_min(F.transform(valid_tiers_arr, lambda x: x["tier_price"]))
-    currency_found = F.element_at(valid_tiers_arr, 1)["currency"]
+    currency_found = F.try_element_at(valid_tiers_arr, F.lit(1))["currency"]
 
     age = t["age_restriction"]
     has_age = F.coalesce(
