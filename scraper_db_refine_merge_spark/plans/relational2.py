@@ -1,0 +1,327 @@
+"""Second wave of oracle-checked queries: lag/sessionization, rollup,
+set operations, smoothed-ratio ranking (O4), TTL freshness (S14), JSON field
+profiling (A11), and refine-function demos (F9/F13/F20) with SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.strings import extract_price, normalize_url, url_hash
+from ..sources.tables import load_table
+from ._util import money_sum
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q31 — price extraction (F9) applied to synthesized price texts.
+# Demonstrates the refine scalar on oracle-checkable data.
+@_register(
+    "q31_price_extraction",
+    r"""
+    WITH priced AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 4 = 0 THEN 'From €' || CAST(p_retailprice AS VARCHAR)
+                    WHEN p_partkey % 4 = 1 THEN '$' || CAST(p_retailprice AS VARCHAR)
+                    WHEN p_partkey % 4 = 2 THEN CAST(p_retailprice AS VARCHAR) || ' GBP'
+                    ELSE 'free entry' END AS price_text
+        FROM part
+    ),
+    extracted AS (
+        SELECT p_partkey, price_text,
+               CASE WHEN lower(price_text) LIKE '%free%' OR lower(price_text) LIKE '%gratis%'
+                    THEN 0.0
+                    ELSE CAST(replace(regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 2),
+                         ',', '.') AS DOUBLE) END AS amount,
+               CASE WHEN lower(price_text) LIKE '%free%' OR lower(price_text) LIKE '%gratis%'
+                    THEN 'EUR'
+                    WHEN regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 1) = '€'
+                         OR regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 3)
+                            IN ('€','eur')
+                    THEN 'EUR'
+                    WHEN regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 1) = '$'
+                         OR regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 3)
+                            IN ('$','usd')
+                    THEN 'USD'
+                    WHEN regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 1) = '£'
+                         OR regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 3)
+                            IN ('£','gbp')
+                    THEN 'GBP'
+                    WHEN length(regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 3)) = 3
+                    THEN upper(regexp_extract(lower(trim(price_text)),
+                         '(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?', 3))
+                    ELSE 'EUR' END AS currency
+        FROM priced
+    )
+    SELECT currency, COUNT(*) AS n,
+           CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM extracted
+    GROUP BY currency
+    """,
+)
+def q31_price_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    price_text = (
+        F.when(F.col("p_partkey") % 4 == 0, F.concat(F.lit("From €"), F.col("p_retailprice").cast("string")))
+        .when(F.col("p_partkey") % 4 == 1, F.concat(F.lit("$"), F.col("p_retailprice").cast("string")))
+        .when(F.col("p_partkey") % 4 == 2, F.concat(F.col("p_retailprice").cast("string"), F.lit(" GBP")))
+        .otherwise(F.lit("free entry"))
+    )
+    ex = extract_price(price_text)
+    return (
+        p.select(ex["amount"].alias("amount"), ex["currency"].alias("currency"))
+        .groupBy("currency")
+        .agg(F.count("*").alias("n"), money_sum("amount").alias("total_amount"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q32 — URL normalize + md5 hash (F13/F20) over synthesized URLs.
+@_register(
+    "q32_url_normalize_hash",
+    """
+    WITH urls AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN 'www.example.com/customer/' || CAST(c_custkey AS VARCHAR)
+                    WHEN c_custkey % 3 = 1
+                    THEN 'https://shop.example.org/u/' || CAST(c_custkey AS VARCHAR)
+                    ELSE 'not a url' END AS raw_url
+        FROM customer
+    ),
+    normed AS (
+        SELECT c_custkey,
+               CASE WHEN regexp_matches(raw_url, '(?i)^https?://') THEN raw_url
+                    WHEN raw_url IS NULL OR raw_url = '' THEN NULL
+                    WHEN regexp_matches('https://' || raw_url, '(?i)^https?://[^\\s/]+\\.[^\\s/]+')
+                         THEN 'https://' || raw_url
+                    ELSE NULL END AS url
+        FROM urls
+    )
+    SELECT COUNT(url) AS valid_urls,
+           COUNT(*) - COUNT(url) AS invalid_urls,
+           MIN(md5(url)) AS min_hash
+    FROM normed
+    """,
+)
+def q32_url_normalize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    raw_url = (
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.lit("www.example.com/customer/"), F.col("c_custkey").cast("string")))
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.lit("https://shop.example.org/u/"), F.col("c_custkey").cast("string")))
+        .otherwise(F.lit("not a url"))
+    )
+    url = normalize_url(raw_url)
+    return c.select(url.alias("url")).agg(
+        F.count("url").alias("valid_urls"),
+        (F.count("*") - F.count("url")).alias("invalid_urls"),
+        F.min(url_hash(F.col("url"))).alias("min_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — sessionization via lag window: new session when gap > 30 min.
+# Generalized W-coverage (sliding-analysis the engine adds beyond parity).
+@_register(
+    "q33_user_sessions",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS session_count,
+           COUNT(*) AS event_count
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def q33_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("session_count"),
+            F.count("*").alias("event_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q34 — rollup (multi-granularity aggregate, SURVEY §2.4 note).
+@_register(
+    "q34_rollup_day_type",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY ROLLUP (day, event_type)
+    """,
+)
+def q34_rollup_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .rollup(F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — set operations: intersect / except on user sets (U2/U3 complete).
+@_register(
+    "q35_set_operations",
+    """
+    WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    errorers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+    both_ AS (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errorers),
+    only_buy AS (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errorers)
+    SELECT (SELECT COUNT(*) FROM buyers) AS buyers,
+           (SELECT COUNT(*) FROM both_) AS buyers_with_errors,
+           (SELECT COUNT(*) FROM only_buy) AS buyers_without_errors
+    """,
+)
+def q35_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errorers = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = buyers.intersect(errorers)
+    only_buy = buyers.exceptAll(errorers)
+    return spark.createDataFrame(
+        [(buyers.count(), both.count(), only_buy.count())],
+        "buyers bigint, buyers_with_errors bigint, buyers_without_errors bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — smoothed-ratio ranking (O4: learned-selector ordering,
+# ventura_crawler.py:325-343: success/(success+failure+1) Laplace-ish).
+@_register(
+    "q36_smoothed_success_ranking",
+    """
+    WITH counts AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS successes,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failures
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, successes, failures,
+           ROUND(CAST(successes AS DOUBLE) / (successes + failures + 1), 6) AS smoothed_rate
+    FROM counts
+    ORDER BY smoothed_rate DESC, successes DESC, user_id
+    LIMIT 10
+    """,
+)
+def q36_smoothed_success_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("successes"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("failures"),
+    )
+    rate = F.round(
+        F.col("successes").cast("double") / (F.col("successes") + F.col("failures") + 1), 6
+    )
+    return (
+        counts.withColumn("smoothed_rate", rate)
+        .orderBy(F.col("smoothed_rate").desc(), F.col("successes").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — TTL-freshness predicate (S14: cached-if-fresh, ventura_crawler.py:260-287).
+@_register(
+    "q37_freshness_cache",
+    """
+    SELECT event_type,
+           COUNT(*) AS total,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+               AS fresh_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q37_freshness_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-29").cast("timestamp")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("fresh_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — JSON field-presence profile (A11: schema-drift report over the
+# free-form props blob; health_report "field_distribution").
+@_register(
+    "q38_json_field_profile",
+    """
+    SELECT k AS field_name, COUNT(*) AS docs_with_field
+    FROM (SELECT unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def q38_json_field_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.explode(F.json_object_keys("props")).alias("field_name"))
+        .groupBy("field_name")
+        .agg(F.count("*").alias("docs_with_field"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — run-level metrics (A12: success_rate %, avg latency proxy,
+# ScrapingMetrics ventura_crawler.py:90-117) over the events stream.
+@_register(
+    "q39_run_metrics",
+    """
+    SELECT ROUND(CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 100, 4) AS success_rate_pct,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4)
+               AS avg_value,
+           COUNT(*) AS requests
+    FROM events
+    """,
+)
+def q39_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ok = F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+    return e.agg(
+        F.round(ok.cast("double") / F.count("*") * 100, 4).alias("success_rate_pct"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4
+        ).alias("avg_value"),
+        F.count("*").alias("requests"),
+    )
