@@ -260,6 +260,51 @@ def q36_smoothed_success_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q40 — canonicalization groups (J5): elect one canonical row per candidate
+# key, list the merged members (deduplication.merged_from_ids analog).
+@_register(
+    "q40_canonical_groups",
+    """
+    WITH keyed AS (
+        SELECT *, user_id || '|' || event_type || '|' || strftime(ts, '%Y-%m-%d') AS ck
+        FROM events
+    ),
+    ranked AS (
+        SELECT ck, event_id,
+               ROW_NUMBER() OVER (PARTITION BY ck ORDER BY value DESC, event_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY ck) AS n_members
+        FROM keyed
+    )
+    SELECT ck AS candidate_key, event_id AS canonical_event_id, n_members
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def q40_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ck = F.concat_ws(
+        "|",
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    keyed = e.withColumn("candidate_key", ck)
+    elect = Window.partitionBy("candidate_key").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    members = Window.partitionBy("candidate_key")
+    return (
+        keyed.withColumn("rn", F.row_number().over(elect))
+        .withColumn("n_members", F.count("*").over(members))
+        .filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "candidate_key",
+            F.col("event_id").alias("canonical_event_id"),
+            "n_members",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q37 — TTL-freshness predicate (S14: cached-if-fresh, ventura_crawler.py:260-287).
 @_register(
     "q37_freshness_cache",
