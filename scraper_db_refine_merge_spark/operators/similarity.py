@@ -85,11 +85,13 @@ def _plane_component(plane: int, dim_col: Column) -> Column:
     return (h.cast("double") / F.lit(float(2**32))) * 2.0 - 1.0
 
 
-def hyperplane_bucket(vec_col: Column, num_planes: int = 8) -> Column:
+def hyperplane_bucket(vec_col: Column, num_planes: int = 8, table: int = 0) -> Column:
     """LSH bucket signature: one sign bit per hyperplane, concatenated.
 
     sign_p = sign( Σ_d vec[d] * plane_p[d] ) computed with aggregate over
     posexploded-free expressions (zip_with against an index sequence).
+    ``table`` offsets the plane seeds so independent hash tables can be
+    built for OR-amplification.
     """
     dims = F.sequence(F.lit(0), F.size(vec_col) - 1)
 
@@ -97,7 +99,7 @@ def hyperplane_bucket(vec_col: Column, num_planes: int = 8) -> Column:
         return lambda x, d: x * _plane_component(p, d)
 
     bits = []
-    for p in range(num_planes):
+    for p in range(table * num_planes, (table + 1) * num_planes):
         proj = F.aggregate(
             F.zip_with(_to_double(vec_col), dims, _projector(p)),
             F.lit(0.0),
@@ -151,33 +153,182 @@ def lsh_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-label centroid vectors: exact DECIMAL per-dimension means (order-
+    independent across partial aggregations — see plans/_util.py), rounded,
+    re-assembled into an ``array<double>`` ordered by dimension.
+
+    Output: (label, centroid array). Centroid count == label cardinality, so
+    the result is broadcast-sized by construction at any corpus scale.
+    """
+    long = df.select(label_col, F.posexplode(vec_col).alias("pos0", "val"))
+    cent_long = long.groupBy(label_col, (F.col("pos0") + 1).alias("pos")).agg(
+        F.round(
+            F.sum(F.col("val").cast("double").cast("decimal(18,12)")).cast("double")
+            / F.count("*"),
+            scale,
+        ).alias("cval")
+    )
+    return cent_long.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
+        ).alias("centroid")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_scale: int = 5,
+) -> DataFrame:
+    """Coarse quantization: assign each vector to its nearest centroid cell
+    (max cosine, ties to the lowest cell id).
+
+    The centroid table is broadcast, so assignment is a map-side pass over
+    the corpus — no shuffle of the vectors themselves; the window that picks
+    the argmax partitions by vector id over only ``n_cells`` rows each.
+    """
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", F.round(cosine(F.col("__vec"), F.col("centroid")), round_scale)
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("__sim").desc(), F.col(label_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__vid").alias(id_col),
+            F.col("__vec").alias(vec_col),
+            F.col(label_col).alias("cell"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+    round_scale: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into centroid
+    cells, probe only the ``nprobe`` cells nearest each query.
+
+    Fully deterministic (exact-decimal centroids + rounded similarities +
+    total-order tie-breaks), unlike random-projection LSH — so it carries a
+    SQL oracle. At scale the assigned corpus is written bucketed by ``cell``;
+    the probe join is then partition-local and touches nprobe/n_cells of the
+    data — the IVF pruning that makes ANN sublinear.
+    """
+    from pyspark.sql import Window
+
+    cent = label_centroids(corpus, vec_col, label_col)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col, label_col, round_scale)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    pw = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col(label_col).asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__sim", F.round(cosine(F.col("__qvec"), F.col("centroid")), round_scale))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", F.col(label_col).alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_scale).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("__rn").alias("rank"))
+    )
+
+
+def brute_force_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_scale: int = 5,
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a < b) pairs with cosine ≥
+    threshold. O(N²) — the correctness baseline the LSH/IVF variants are
+    judged against; use ``cosine_near_dup_pairs`` (bucketed) at corpus scale.
+    """
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__a_vec"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__b_vec"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("__a_vec"), F.col("__b_vec")), round_scale).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
     num_planes: int = 6,
+    num_tables: int = 4,
     round_scale: int = 5,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing + verify.
+    """Embedding-cosine near-duplicate pairs via multi-table LSH + verify.
 
-    Pairs landing in the same bucket are scored exactly; only pairs with
-    cosine ≥ threshold survive. Bucket join keeps this linear-ish in corpus
-    size (all-pairs only within buckets).
+    OR-amplification: each vector hashes into ``num_tables`` independent
+    sign-bucket tables; a pair is a candidate if it collides in ANY table
+    (recall 1-(1-p^planes)^tables vs p^planes for one table). Candidates are
+    deduped on ids BEFORE vectors are re-attached, so each pair is scored
+    exactly once and the wide embedding arrays never ride through the
+    candidate shuffle — at corpus scale the joins stay id-keyed.
     """
-    b = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_bucket(F.col(vec_col), num_planes).alias("bucket"),
+    sigs = F.array(
+        *[
+            F.concat(F.lit(f"{t}|"), hyperplane_bucket(F.col(vec_col), num_planes, table=t))
+            for t in range(num_tables)
+        ]
     )
+    b = df.select(F.col(id_col).alias("vid"), F.explode(sigs).alias("bucket"))
     a = b.alias("a")
     c = b.alias("c")
-    return (
+    cand = (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vid") < F.col("c.vid")))
+        .select(F.col("a.vid").alias("a_id"), F.col("c.vid").alias("b_id"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__a_vec"))
+    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__b_vec"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
         .select(
-            F.col("a.vid").alias("a_id"),
-            F.col("c.vid").alias("b_id"),
-            F.round(cosine(F.col("a.vec"), F.col("c.vec")), round_scale).alias("cosine_sim"),
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("__a_vec"), F.col("__b_vec")), round_scale).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

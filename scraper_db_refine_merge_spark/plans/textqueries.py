@@ -280,3 +280,55 @@ def q27_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_fingerprint(F.col("text")).alias("content_hash"),
         min_shingle_fingerprint(F.col("text"), k=5).alias("shingle_fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# q41 — corpus language profile: labeled lang × n-gram-heuristic guess
+# confusion counts with per-language shares. The corpus-level rollup of the
+# per-doc lang-ID in q22 (training-data pipeline: language filtering stats).
+@_register(
+    "q41_language_profile",
+    f"""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter({_SQL_Q22_TOKS}, t -> t IN ('the','and','of','to','a'))) AS h_en,
+               len(list_filter({_SQL_Q22_TOKS}, t -> t IN ('el','la','de','que','y'))) AS h_es,
+               len(list_filter({_SQL_Q22_TOKS}, t -> t IN ('der','die','und','das','ist'))) AS h_de,
+               len(list_filter({_SQL_Q22_TOKS}, t -> t IN ('le','la','et','les','des'))) AS h_fr
+        FROM documents
+    ),
+    guessed AS (
+        SELECT lang AS actual_lang,
+               -- argmax by (hits, lang): ties go to the lexicographically
+               -- larger code, mirroring Spark's struct array_max
+               CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                    WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+                    WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+                    WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+                    ELSE 'de' END AS guessed_lang
+        FROM scored
+    )
+    SELECT actual_lang, guessed_lang, COUNT(*) AS n_docs,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY actual_lang) AS DOUBLE), 4)
+               AS share_of_lang
+    FROM guessed
+    GROUP BY actual_lang, guessed_lang
+    """,
+)
+def q41_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            F.col("lang").alias("actual_lang"),
+            language_guess(F.col("text")).alias("guessed_lang"),
+        )
+        .groupBy("actual_lang", "guessed_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy("actual_lang")
+    return g.withColumn(
+        "share_of_lang",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 4),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk, lsh_topk
+from ..operators.similarity import brute_force_near_dup_pairs, cosine_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 
 QUERIES: dict = {}
@@ -109,3 +109,87 @@ def q30_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return lsh_topk(e, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# q42 — embedding-cosine near-dup pairs, exact all-pairs baseline.
+# Training-data dedup family: the embedding-space analog of q24/q25; the
+# LSH-bucketed variant (cosine_near_dup_pairs) is the 100 TB path and is
+# unit-tested against this result.
+@_register(
+    "q42_embedding_near_dup",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS qv, b.embedding AS cv
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT a_id, b_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM pairs
+    )
+    SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= 0.4
+    """,
+)
+def q42_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_force_near_dup_pairs(e, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# q43 — IVF-style approximate top-k: per-label centroids as the coarse
+# quantizer, nprobe=2 cells probed per query. Deterministic end-to-end
+# (exact-decimal centroids, rounded sims, total-order tie-breaks), so unlike
+# q30 it carries a full SQL oracle.
+@_register(
+    "q43_ivf_topk",
+    f"""
+    WITH cent_long AS (
+        SELECT label, pos,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS cval
+        FROM (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS val
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(cval ORDER BY pos) AS cv FROM cent_long GROUP BY label),
+    vc AS (
+        SELECT vec_id, qv, label,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS sim
+        FROM (SELECT e.vec_id, e.embedding AS qv, c.label, c.cv
+              FROM embeddings e CROSS JOIN cent c)
+    ),
+    cells AS (
+        SELECT vec_id, qv AS v, label AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+            FROM vc
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, qv, cell FROM (
+            SELECT vec_id, qv, label AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+            FROM vc WHERE vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM (SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+              FROM probes p JOIN cells a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(e, queries, k=5, nprobe=2)
