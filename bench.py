@@ -36,8 +36,25 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     spark = get_spark("bench")
-    # warm up the JVM / parquet footer caches with a trivial action
+    # Warm-up: one trivial count per input table so per-query timings measure
+    # the query plan, not first-touch costs (parquet footer reads, HDFS client
+    # init, codegen JIT) that all land on whichever query runs first.
+    from scraper_db_refine_merge_spark.sources.tables import load_table
+
     spark.range(1).count()
+    for table in ("lineitem", "orders", "customer", "nation", "region", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, table).count()
+    # Compile warm-up: run every bench query once at the smallest SF. The
+    # plan structure (and thus the whole-stage-codegen generated classes) is
+    # identical across SFs, so this amortizes one-time JIT/compile cost the
+    # way a long-lived production session does; the timed runs below then
+    # measure execution, not javac.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in BENCH_QUERIES:
+        try:
+            QUERIES[name](spark, warm_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -83,7 +83,11 @@ def word_shingles(
         F.array().cast("array<int>")
     )
     shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    out = tokenized.select("doc", F.explode(shingles).alias("shingle")).distinct()
+    # Duplicate shingles can only occur WITHIN a document, so per-row
+    # array_distinct before the explode yields globally-distinct (doc,
+    # shingle) rows with zero shuffle — the whole operator stays a narrow
+    # map, and consumers can recompute it cheaper than caching it.
+    out = tokenized.select("doc", F.explode(F.array_distinct(shingles)).alias("shingle"))
     if max_shingle_freq is not None:
         freq = out.groupBy("shingle").agg(F.count("*").alias("__f"))
         out = (
@@ -145,13 +149,15 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = MINHASH_NUM_HASH
 
     One aggregation, no row multiplication: the j-th hash is a separate agg
     column. md5's lexicographic min is a valid permutation-min and is
-    reproducible in any engine with md5.
+    reproducible in any engine with md5. ``n_shingles`` (the per-doc set
+    size) rides along in the same aggregation so Jaccard verification needs
+    no second pass over the shingle set.
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    return shingle_df.groupBy("doc").agg(*aggs)
+    return shingle_df.groupBy("doc").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
 def lsh_candidate_pairs(
@@ -202,6 +208,7 @@ def minhash_dedup_pairs(
     num_hashes: int = MINHASH_NUM_HASHES,
     band_size: int = MINHASH_BAND_SIZE,
     max_shingle_freq: int | None = None,
+    persist_shingles=None,
 ) -> DataFrame:
     """MinHash/LSH near-dup pipeline: shingle → signature → band-join →
     verify candidates with true Jaccard ≥ threshold.
@@ -209,11 +216,22 @@ def minhash_dedup_pairs(
     Verification is candidate-restricted: the shingle set is semi-joined to
     candidate docs before the pair join, so Jaccard cost scales with the
     candidate count, not the corpus — the property that keeps this linear-ish
-    at 10^9 docs (all-pairs verify would be quadratic)."""
-    sh = word_shingles(df, id_col, text_col, k, max_shingle_freq).cache()
-    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, band_size).cache()
+    at 10^9 docs (all-pairs verify would be quadratic).
 
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    ``persist_shingles``: the shingle set feeds four consumers (signatures,
+    sizes, both sides of the intersection join). Default None recomputes the
+    narrow scan→explode pipeline per consumer — measurably faster than
+    cache-materialization at bench scale (no extra jobs, stays in codegen).
+    On a multi-TB corpus pass ``StorageLevel.DISK_ONLY`` instead: four scans
+    of the raw table would dominate, and memory-cached deserialized rows of
+    a corpus-sized shingle set would not fit."""
+    sh = word_shingles(df, id_col, text_col, k, max_shingle_freq)
+    if persist_shingles is not None:
+        sh = sh.persist(persist_shingles)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes, band_size)
+
+    sizes = sig.select("doc", "n_shingles")
     sh_a = sh.select(F.col("doc").alias("a_id"), "shingle")
     sh_b = sh.select(F.col("doc").alias("b_id"), "shingle")
     inter = (
