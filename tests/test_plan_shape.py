@@ -1,0 +1,54 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around (broadcasts, pushdown, pruning, shuffle counts) asserted on
+the actual executed plans, so a future edit that silently degrades a plan —
+a lost broadcast, a filter that stops pushing, an extra shuffle — fails CI
+rather than only showing up at cluster scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from scraper_db_refine_merge_spark.operators import dedup as dd
+from scraper_db_refine_merge_spark.plans.catalog import QUERIES
+from scraper_db_refine_merge_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_partial_agg_single_shuffle_pruned_scan(spark, sf_dir):
+    p = _plan(QUERIES["q01_pricing_summary"](spark, sf_dir))
+    # map-side partial aggregation + one shuffle to the final aggregate
+    assert p.count("HashAggregate") == 2
+    assert p.count("Exchange") == 1
+    # column pruning reached the scan: 6 needed columns, not all 16
+    scan = next(ln for ln in p.splitlines() if "FileScan" in ln)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert len(cols.split(",")) == 6, cols
+    assert "l_comment" not in cols
+
+
+def test_q04_star_join_all_broadcast(spark, sf_dir):
+    p = _plan(QUERIES["q04_region_revenue"](spark, sf_dir))
+    # every dimension edge broadcasts; nothing falls back to sort-merge
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("BroadcastHashJoin") >= 4
+    # the only hash-partition shuffle is the final group-by
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_q20_filters_push_to_parquet(spark, sf_dir):
+    p = _plan(QUERIES["q20_api_events_listing"](spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[[^\]]*", p).group(0)
+    assert "GreaterThanOrEqual(value,50.0)" in pushed
+    assert "In(event_type" in pushed
+    # KNOWN GAP (testdata quirk): the ts predicate wraps the raw nano-long in
+    # timestamp_micros(), which is not a pushable expression. On production
+    # TIMESTAMP(MICROS) parquet the same query pushes the ts bound too.
+
+
+def test_word_shingles_is_shuffle_free(spark, sf_dir):
+    sh = dd.word_shingles(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    assert _plan(sh).count("Exchange") == 0
