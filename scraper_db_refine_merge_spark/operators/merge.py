@@ -104,6 +104,71 @@ def merge_upsert(
     return stats
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    order_cols: list[Column] | None = None,
+) -> list[str]:
+    """Partition-pruned upsert into a hive-partitioned Parquet table.
+
+    The whole-table ``merge_upsert`` rewrite is O(table) per batch — wrong
+    cost model at 100 TB. This variant implements what Delta MERGE's file
+    pruning does over plain parquet: only partitions that the batch actually
+    touches are read, merged, and swapped; every other partition is never
+    opened. Merge cost scales with the batch's data locality (a day's
+    re-scrape rewrites that day), not with table size.
+
+    Requirements: target written with ``partitionBy(partition_col)``; the
+    partition column must be a stable string/date key. Swap atomicity is
+    per-partition directory (documented relaxation vs the whole-table swap;
+    Delta gets cross-partition atomicity from its log — over raw parquet
+    that would require a manifest layer).
+
+    Returns the list of partition values rewritten.
+    """
+    order_cols = order_cols or [F.col(key_cols[0])]
+    deduped = latest_per_key(updates, key_cols, order_cols)
+
+    # The batch's touched partitions: small by construction (a batch has
+    # temporal/source locality), so collect() is a driver-sized list.
+    touched = [
+        r[0] for r in deduped.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return []
+
+    exists = os.path.exists(target_path)
+    if exists:
+        target = spark.read.option("basePath", target_path).parquet(target_path)
+        # partition pruning: only touched partition directories are scanned
+        affected = target.filter(F.col(partition_col).isin(touched))
+        kept = affected.join(deduped.select(*key_cols), key_cols, "left_anti")
+        merged = kept.unionByName(deduped.select(*kept.columns))
+    else:
+        merged = deduped
+
+    staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+
+    os.makedirs(target_path, exist_ok=True)
+    for value in touched:
+        part_dir = f"{partition_col}={value}"
+        src = os.path.join(staging, part_dir)
+        dst = os.path.join(target_path, part_dir)
+        if not os.path.exists(src):
+            continue
+        backup = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
+        if os.path.exists(dst):
+            os.rename(dst, backup)
+        os.rename(src, dst)
+        shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return sorted(str(v) for v in touched)
+
+
 def insert_if_absent(
     spark: SparkSession, target_path: str, new_rows: DataFrame, key_cols: list[str]
 ) -> int:
