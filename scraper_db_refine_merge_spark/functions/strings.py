@@ -14,16 +14,23 @@ from pyspark.sql import functions as F
 # F11 — whitespace normalization
 
 
+def _strip_ws(c: Column) -> Column:
+    # SQL TRIM removes only ' '; the reference's str.strip() removes all
+    # whitespace (a lone '\t' must normalize to NULL, not ' ' — caught by the
+    # hypothesis differential test), so strip with a \s regex instead.
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def normalize_whitespace(c: Column) -> Column:
     """strip + collapse all whitespace runs to ' ', empty → NULL
     (scrapers_v2/data_quality/cleaning.py:5-19)."""
-    return F.nullif(F.regexp_replace(F.trim(c), r"\s+", " "), F.lit(""))
+    return F.nullif(F.regexp_replace(_strip_ws(c), r"\s+", " "), F.lit(""))
 
 
 def normalize_text_v2(c: Column) -> Column:
     """strip + collapse only 2+ whitespace (single newlines survive), empty →
     NULL (scrapers_v2/schema_adapter.py:21-26)."""
-    return F.nullif(F.regexp_replace(F.trim(c), r"\s{2,}", " "), F.lit(""))
+    return F.nullif(F.regexp_replace(_strip_ws(c), r"\s{2,}", " "), F.lit(""))
 
 
 # ----------------------------------------------------------------------

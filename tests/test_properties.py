@@ -1,0 +1,192 @@
+"""Property-based differential tests (hypothesis) for the refine scalar
+functions.
+
+Each property draws a BATCH of inputs and runs ONE Spark job over the batch
+(a per-example Spark job would be ~1s each); the Spark expression result is
+compared element-wise against a plain-Python mirror of the reference
+semantics. This is the randomized layer the reference lacks (SURVEY §5.8) on
+top of the ported exact-value tests.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+from datetime import datetime, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from scraper_db_refine_merge_spark.functions.dates import parse_club_date, parse_multi_format
+from scraper_db_refine_merge_spark.functions.strings import (
+    VALID_CURRENCIES,
+    extract_price,
+    html_unescape,
+    normalize_currency_code,
+    normalize_whitespace,
+)
+
+SETTINGS = settings(max_examples=5, deadline=None)
+
+
+def _run(spark, values, expr_fn, in_type="string"):
+    df = spark.createDataFrame([(v,) for v in values], f"v {in_type}")
+    return [r["o"] for r in df.select(expr_fn(F.col("v")).alias("o")).collect()]
+
+
+# ----------------------------------------------------------------------
+# normalize_whitespace ≡ reference cleaning.py:5-19
+
+
+def _py_norm_ws(s):
+    if s is None:
+        return None
+    out = re.sub(r"\s+", " ", s.strip())
+    return out or None
+
+
+# Python's \s / str.strip() treat \x1c-\x1f (and some exotic controls) as
+# whitespace; Java's do not. The reference only ever sees scraped web text,
+# so the property is stated over printable text + common whitespace.
+_ws_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", blacklist_categories=("Cc", "Cs", "Zl", "Zp", "Zs")
+    )
+    | st.sampled_from(list(" \t\n\r")),
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(st.lists(_ws_text | st.none(), min_size=1, max_size=60))
+def test_normalize_whitespace_differential(spark, values):
+    got = _run(spark, values, normalize_whitespace)
+    expected = [_py_norm_ws(v) for v in values]
+    assert got == expected
+    # idempotence
+    again = _run(spark, got, normalize_whitespace)
+    assert again == got
+
+
+# ----------------------------------------------------------------------
+# extract_price ≡ reference schema_adapter.py:71-105 branch order
+
+_PY_PRICE_RE = re.compile(r"(?:from\s*)?([€$£])?\s*(\d+(?:[.,]\d{1,2})?)\s*([€$£]|[A-Za-z]{3})?")
+
+_SYM = {"€": "EUR", "$": "USD", "£": "GBP"}
+
+
+def _py_extract_price(s):
+    if s is None:
+        return (None, None)
+    t = s.strip().lower()
+    if "free" in t or "gratis" in t:
+        return (0.0, "EUR")
+    m = _PY_PRICE_RE.search(t)
+    if not m or not m.group(2):
+        return (None, None)
+    amount = float(m.group(2).replace(",", "."))
+    sym_b, sym_a = m.group(1), m.group(3)
+    if sym_b == "€" or sym_a == "€" or (sym_a and sym_a.lower() == "eur"):
+        cur = "EUR"
+    elif sym_b == "$" or sym_a == "$" or (sym_a and sym_a.lower() == "usd"):
+        cur = "USD"
+    elif sym_b == "£" or sym_a == "£" or (sym_a and sym_a.lower() == "gbp"):
+        cur = "GBP"
+    elif sym_a and len(sym_a) == 3:
+        cur = sym_a.upper()
+    else:
+        cur = "EUR"
+    return (amount, cur)
+
+
+_price_strings = st.builds(
+    lambda pre, sym, whole, frac, sep, post: f"{pre}{sym}{whole}{sep}{frac} {post}".strip(),
+    pre=st.sampled_from(["", "from ", "From  ", "tickets ", "entry: "]),
+    sym=st.sampled_from(["", "€", "$", "£", "€ ", "$ "]),
+    whole=st.integers(min_value=0, max_value=9999).map(str),
+    frac=st.sampled_from(["", "0", "50", "99", "5"]),
+    sep=st.sampled_from([".", ","]),
+    post=st.sampled_from(["", "EUR", "usd", "GBP", "CHF", "per person", "free", "gratis"]),
+)
+
+
+@SETTINGS
+@given(st.lists(_price_strings | st.text(max_size=20) | st.none(), min_size=1, max_size=60))
+def test_extract_price_differential(spark, values):
+    # regexp_extract semantics: match anywhere (search), group positions fixed
+    got = _run(
+        spark,
+        values,
+        lambda c: extract_price(c),
+    )
+    for v, row in zip(values, got):
+        exp_amount, exp_cur = _py_extract_price(v)
+        assert row["amount"] == exp_amount, (v, row, exp_amount)
+        assert row["currency"] == exp_cur, (v, row, exp_cur)
+
+
+# ----------------------------------------------------------------------
+# currency whitelist: closed output domain
+
+
+@SETTINGS
+@given(st.lists(st.text(max_size=6), min_size=1, max_size=60))
+def test_normalize_currency_closed_domain(spark, values):
+    got = _run(spark, values, normalize_currency_code)
+    assert all(c in VALID_CURRENCIES for c in got)
+    # valid codes (any case) pass through uppercased
+    got2 = _run(spark, [c.lower() for c in VALID_CURRENCIES], normalize_currency_code)
+    assert got2 == list(VALID_CURRENCIES)
+
+
+# ----------------------------------------------------------------------
+# html_unescape (native table) ≡ html.unescape on the common-entity space
+
+_entity_text = st.lists(
+    st.sampled_from(
+        ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "plain", "a&b", " ", "x"]
+    ),
+    max_size=8,
+).map("".join)
+
+
+@SETTINGS
+@given(st.lists(_entity_text, min_size=1, max_size=60))
+def test_html_unescape_differential(spark, values):
+    got = _run(spark, values, html_unescape)
+    expected = [html_mod.unescape(v).replace("\xa0", " ") for v in values]
+    assert got == expected
+
+
+# ----------------------------------------------------------------------
+# date format chain: every supported rendering round-trips to the instant
+
+_dts = st.datetimes(
+    min_value=datetime(1990, 1, 1), max_value=datetime(2049, 12, 31)
+).map(lambda d: d.replace(microsecond=0))
+
+
+@SETTINGS
+@given(st.lists(_dts, min_size=1, max_size=40))
+def test_multi_format_roundtrip(spark, dts):
+    renderings = []
+    expected = []
+    for d in dts:
+        iso_z = d.strftime("%Y-%m-%dT%H:%M:%SZ")
+        plain = d.strftime("%Y-%m-%d %H:%M:%S")
+        dmy = d.strftime("%d/%m/%Y %H:%M")
+        renderings += [iso_z, plain, dmy]
+        expected += [d, d, d.replace(second=0)]
+    got = _run(spark, renderings, parse_multi_format)
+    assert [g.replace(tzinfo=None) if g else None for g in got] == expected
+
+
+@SETTINGS
+@given(st.lists(st.dates(min_value=datetime(1990, 1, 1).date(), max_value=datetime(2049, 12, 31).date()), min_size=1, max_size=40))
+def test_club_date_roundtrip(spark, dates):
+    renderings = [f"Friday {d.strftime('%d %B %Y')}" for d in dates]
+    got = _run(spark, renderings, parse_club_date)
+    assert [g.date() if g else None for g in got] == list(dates)
+    assert all(g.hour == 23 and g.minute == 0 for g in got if g)
