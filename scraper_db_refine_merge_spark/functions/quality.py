@@ -4,6 +4,11 @@ Re-implements the reference's QualityScorer (database/quality_scorer.py:15-452)
 branch-for-branch as JVM-side expressions — no UDFs — so scoring 10^9 events
 is a single codegen'd projection.
 
+§2 coverage in this module: A10 (weighted overall average), A13 (array_min
+over available tiers), F6 (date sanity windows), F18 (title heuristics),
+F21 (rounding), R1 (per-element acts scoring via HOFs), R2 (tier validity
+proportion + cheapest + currency), R3 (validation-flag flattening).
+
 Bit-parity notes:
 - additions accumulate in the same order as the reference's ``score += ...``
   statements, so float results are identical;

@@ -83,7 +83,8 @@ def search_events(
     limit: int = 20,
 ) -> DataFrame:
     """GET /api/events/search (api_server.py:314-350): token-AND text search
-    with deterministic TF relevance over the precomputed search_blob (T1/T2).
+    with deterministic TF relevance over the precomputed search_blob (T1/T2;
+    O3 sort-by-computed-relevance).
 
     Documented divergence: Mongo's $text score (stemming, idf) is not
     bit-replicated; parity target is same result set, deterministic rank.
@@ -127,7 +128,8 @@ def get_venues(events: DataFrame, now: datetime | None = None) -> DataFrame:
 
 
 def get_top_venues(events: DataFrame, k: int = 10) -> DataFrame:
-    """Top-k venues by quality then count (api_server.py:465-483, A8/W4)."""
+    """Top-k venues by quality then count (api_server.py:465-483, A8/W4/O2
+    multi-key sort; P3 rename of the group key to venueName)."""
     return (
         events.filter(F.col("venue.name").isNotNull())
         .groupBy(F.col("venue.name").alias("venueName"))
@@ -215,3 +217,60 @@ def sitemap_urls(events: DataFrame, limit: int | None = None) -> DataFrame:
         F.col("url").isNotNull()
     ).distinct().orderBy("url")
     return out.limit(limit) if limit else out
+
+
+def find_events_by_venue(events: DataFrame, venue_name: str, limit: int = 10) -> DataFrame:
+    """find_events_by_venue (mongo_queries.py:15-26): P4 exact nested-field
+    equality + P6 future filter + O1 date sort."""
+    return _summary(
+        events.filter(F.col("venue.name") == venue_name)
+        .orderBy(F.col("start_ts").asc(), F.col("event_id").asc())
+        .limit(limit)
+    )
+
+
+def find_events_by_artist(events: DataFrame, artist: str, limit: int = 50) -> DataFrame:
+    """find_events_by_artist (mongo_queries.py:28-30): P5 — Mongo's
+    ``{"acts.act_name": artist}`` matches if ANY array element matches;
+    ``exists`` is the Spark HOF with identical semantics (no explode, no
+    row multiplication, stays in codegen)."""
+    return _summary(
+        events.filter(F.exists(F.col("acts"), lambda a: a["act_name"] == F.lit(artist)))
+        .orderBy(F.col("start_ts").asc(), F.col("event_id").asc())
+        .limit(limit)
+    )
+
+
+def find_events_by_promoter(events: DataFrame, promoter: str, limit: int = 50) -> DataFrame:
+    """find_events_by_promoter (mongo_queries.py:32-34): P5 into the doubly
+    nested ``venue.stages[].host.host_name`` path; P9 guards the null array."""
+    stages = F.col("venue.stages")
+    hit = F.when(stages.isNull(), F.lit(False)).otherwise(
+        F.exists(stages, lambda s: s["host"]["host_name"] == F.lit(promoter))
+    )
+    return _summary(
+        events.filter(hit)
+        .orderBy(F.col("start_ts").asc(), F.col("event_id").asc())
+        .limit(limit)
+    )
+
+
+def event_cards(events: DataFrame, limit: int = 100) -> DataFrame:
+    """Card projection with derived counts and previews: R5 — ``size`` count
+    derivations (mono_ticketmaster.py:382-383 artistCount/imageCount); R6 —
+    first-3 artist preview (query_examples.py:87-89 ``slice``)."""
+    acts = F.col("acts")
+    n_acts = F.when(acts.isNull(), 0).otherwise(F.size(acts))
+    return (
+        events.select(
+            "event_id",
+            "title",
+            F.col("venue.name").alias("venue_name"),
+            F.col("datetime.start_date").alias("start_date"),
+            n_acts.cast("int").alias("artist_count"),
+            F.slice(acts["act_name"], 1, 3).alias("artist_preview"),
+            F.size(F.col("content.keywords")).alias("keyword_count"),
+        )
+        .orderBy(F.col("start_date").asc(), F.col("event_id").asc())
+        .limit(limit)
+    )

@@ -14,7 +14,8 @@ from ..functions.quality import quality_level
 
 
 def date_distribution(events: DataFrame) -> DataFrame:
-    """A2 — events per day (mongo_queries.py:55-66, event_stats_report.py:40-61)."""
+    """A2/F4 — events per day (mongo_queries.py:55-66, event_stats_report.py:40-61):
+    $toDate/$dateToString become to_timestamp/date_format."""
     return (
         events.filter(F.col("start_ts").isNotNull())
         .groupBy(F.date_format("start_ts", "yyyy-MM-dd").alias("date"))
@@ -133,3 +134,29 @@ def field_presence_profile(events: DataFrame) -> DataFrame:
     return wide.selectExpr(
         "total", f"stack({len(checks)}, {stack_expr}) as (field_name, docs_with_field)"
     ).select("field_name", "docs_with_field", "total")
+
+
+def field_type_profile(events: DataFrame, fields: list[str]) -> DataFrame:
+    """P11 — type-introspection projection (event_stats_report.py:30-37:
+    ``{"$type": "$datetime.start_date"}``): per-field runtime type counts.
+    Spark analog: ``typeof`` per value, plus schema-declared type."""
+    rows = None
+    for f in fields:
+        one = events.select(
+            F.lit(f).alias("field"),
+            F.typeof(F.col(f)).alias("runtime_type"),
+        ).groupBy("field", "runtime_type").agg(F.count("*").alias("n"))
+        rows = one if rows is None else rows.unionByName(one)
+    return rows.orderBy("field", "runtime_type")
+
+
+def first_stage_hosts(events: DataFrame) -> DataFrame:
+    """W2 — the event's promoter = host of stages[0]
+    (generate_events_markdown.py:72-79): positional first-element access via
+    ``element_at``, no explode."""
+    host = F.element_at(F.col("venue.stages"), 1)["host"]["host_name"]
+    return events.select(
+        "event_id",
+        F.col("title"),
+        host.alias("promoter"),
+    )

@@ -5,7 +5,8 @@ Re-expresses the reference's ``map_to_unified_schema`` orchestration
 
 1. clean + normalize scalars (F11/F13/F15),
 2. deterministic ids (J1, bit-identical uuid5 trick),
-3. nested structure assembly (acts/stages with positional headliner, W1),
+3. nested structure assembly (acts/stages with positional headliner,
+   W1/R4; open maps R7),
 4. field normalization (genres F16, timezone F17, price F9),
 5. quality scoring (D1/D2) + validation flags,
 6. scraping metadata + system defaults.

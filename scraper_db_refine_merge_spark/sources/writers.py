@@ -21,7 +21,7 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def _stringify_complex(df: DataFrame) -> DataFrame:
-    """Complex values → JSON strings in cells (scrapers_v2/utils.py:268-283)."""
+    """F22 — complex values → JSON strings in cells (scrapers_v2/utils.py:268-283)."""
     out = df
     for f in df.schema.fields:
         if isinstance(f.dataType, (StructType, ArrayType, MapType)):
@@ -40,8 +40,8 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def export_for_app(
     events: DataFrame, min_quality: float = 0.7, limit: int = 100
 ) -> DataFrame:
-    """S12 — filtered projection export (query_examples.py:269-300): quality +
-    future filter, drop bulky/internal sections, sort, cap."""
+    """S12/P2 — filtered projection export (query_examples.py:269-300): quality +
+    future filter, drop bulky/internal sections (P2 exclude-projection), sort, cap."""
     slim = (
         events.filter(F.col("data_quality.overall_score") >= min_quality)
         .drop("data_quality", "deduplication")

@@ -11,7 +11,8 @@ Streaming generalizes it:
 - ST2: freshness predicate / TTL (ventura_crawler.py:260-287) as both a
   batch predicate and a watermark config.
 - ST3: staleness detection (DF001/DF002) producing a refresh queue.
-- ST5: per-batch metrics rows appended to a metrics table.
+- ST5/S15: per-batch metrics rows appended to a metrics table
+  (the append-mode metrics sink of ventura_crawler.py:289-300).
 
 At scale the landing dir becomes cloud storage / Kafka; ``maxFilesPerTrigger``
 bounds batch size so MERGE rewrites stay amortized.

@@ -178,3 +178,39 @@ def test_writers(spark, corpus, tmp_path):
 
     md = render_markdown(summary.limit(3).collect(), "Test Report")
     assert md.startswith("# Test Report") and "## 1." in md
+
+
+def test_find_events_by_artist_and_promoter(corpus):
+    # P5: any-element array match on acts; refined corpus gives headliners
+    # names like "Artist 1"
+    hits = api.find_events_by_artist(corpus, "Artist 1").collect()
+    assert len(hits) == 1 and "Party Night 1" in hits[0]["title"]
+    assert api.find_events_by_artist(corpus, "No Such Artist").count() == 0
+    # exact venue equality (P4) vs the regex endpoint
+    exact = api.find_events_by_venue(corpus, "Amnesia", limit=50).collect()
+    assert exact and all(r["venue_name"] == "Amnesia" for r in exact)
+    # promoter path is null-safe over missing stages
+    assert api.find_events_by_promoter(corpus, "Anyone").count() == 0
+
+
+def test_field_type_profile_and_first_hosts(corpus):
+    prof = {
+        (r["field"], r["runtime_type"]): r["n"]
+        for r in reports.field_type_profile(
+            corpus, ["title", "data_quality.overall_score"]
+        ).collect()
+    }
+    assert prof[("title", "string")] == 40
+    assert prof[("data_quality.overall_score", "double")] == 40
+    hosts = reports.first_stage_hosts(corpus).collect()
+    assert len(hosts) == 40  # null promoter when stages are absent, row kept
+
+
+def test_event_cards_counts_and_previews(corpus):
+    rows = api.event_cards(corpus, limit=100).collect()
+    assert len(rows) == 40
+    with_lineup = [r for r in rows if r["artist_count"] > 0]
+    assert with_lineup, "expected some events with lineups"
+    for r in with_lineup:
+        assert len(r["artist_preview"]) == min(r["artist_count"], 3)
+        assert r["artist_preview"][0].startswith(("Artist", "Support"))
