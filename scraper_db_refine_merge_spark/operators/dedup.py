@@ -304,21 +304,28 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation by banding the fingerprint into 4 chunks (pigeonhole:
-    distance ≤ 3 ⇒ at least one of 4 chunks identical), then exact Hamming
-    verify via bit_count(xor). Equi-join on chunks — no all-pairs scan.
+    Candidate generation by banding the fingerprint into ``max_hamming + 1``
+    chunks (pigeonhole: d differing bits cannot touch all d+1 chunks, so
+    distance ≤ max_hamming guarantees at least one identical chunk), then
+    exact Hamming verify via bit_count(xor). Equi-join on chunks — no
+    all-pairs scan. Smaller chunks (higher max_hamming) admit more false
+    candidates; the verify step keeps the result exact either way.
     """
     sh = simhash(df, id_col, text_col, bits)
-    chunk = bits // 4
+    n_chunks = max_hamming + 1
+    base, extra = divmod(bits, n_chunks)
+    # chunk i covers [offset, offset + width): first `extra` chunks one wider
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), i * chunk)
-                .bitwiseAND(F.lit((1 << chunk) - 1))
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
                 .alias("chunk_val"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
     exploded = sh.select("doc", "simhash", F.explode(chunks).alias("c")).select(

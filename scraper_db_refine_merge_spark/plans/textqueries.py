@@ -332,3 +332,14 @@ def q41_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_of_lang",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 4),
     )
+
+
+# --------------------------------------------------------------------------
+# q46 — SimHash near-dup pairs: pigeonhole-banded candidates (dist ≤ 3 ⇒ one
+# of 4 fingerprint chunks identical), exact Hamming verify via bit_count(xor).
+# No SQL oracle (64-bit lane arithmetic is not portable SQL); unit-tested
+# against a direct per-pair Hamming computation instead.
+@_register("q46_simhash_near_pairs")
+def q46_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(d, "doc_id", "text", max_hamming=6)

@@ -78,3 +78,29 @@ def test_cosine_near_dup_subset_of_brute_force(spark, sf_dir):
         assert exact[pair] == sim  # subset with identical values
     recall = len(approx) / len(exact)
     assert recall >= 0.3, f"bucketed near-dup recall collapsed: {recall}"
+
+
+def test_simhash_near_pairs_exact_hamming(spark, sf_dir):
+    from scraper_db_refine_merge_spark.operators.dedup import simhash, simhash_near_pairs
+
+    fps = {r["doc"]: r["simhash"] for r in simhash(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).collect()}
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_near_pairs(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
+        ).collect()
+    }
+    # every reported pair's hamming matches a direct recompute, and the
+    # banding is COMPLETE at the requested radius: 7 chunks over 60 bits ⇒
+    # any pair at distance ≤ 6 must share a chunk (pigeonhole), so every
+    # such pair is present
+    for (a, b), h in got.items():
+        assert bin(fps[a] ^ fps[b]).count("1") == h
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= 6:
+                assert (a, b) in got or (b, a) in got, (a, b, d)
