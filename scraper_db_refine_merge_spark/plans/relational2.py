@@ -218,9 +218,13 @@ def q35_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     errorers = e.filter(F.col("event_type") == "error").select("user_id").distinct()
     both = buyers.intersect(errorers)
     only_buy = buyers.exceptAll(errorers)
-    return spark.createDataFrame(
-        [(buyers.count(), both.count(), only_buy.count())],
-        "buyers bigint, buyers_with_errors bigint, buyers_without_errors bigint",
+    # single plan / single action: three 1-row aggregates cross-joined, so
+    # the events scan and the distinct exchanges are shared within one job
+    # instead of three driver-side .count() round trips
+    return (
+        buyers.agg(F.count("*").alias("buyers"))
+        .crossJoin(both.agg(F.count("*").alias("buyers_with_errors")))
+        .crossJoin(only_buy.agg(F.count("*").alias("buyers_without_errors")))
     )
 
 

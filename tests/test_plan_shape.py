@@ -52,3 +52,24 @@ def test_q20_filters_push_to_parquet(spark, sf_dir):
 def test_word_shingles_is_shuffle_free(spark, sf_dir):
     sh = dd.word_shingles(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     assert _plan(sh).count("Exchange") == 0
+
+
+def test_partitioned_events_prune_partitions(spark, sf_dir, tmp_path):
+    """The production layout claim: events partitioned by event date give
+    partition pruning for start-date range predicates (the reference's
+    datetime.start_date index, SURVEY §4)."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "events_part")
+    e = load_table(spark, sf_dir, "events")
+    e.withColumn("event_date", F.to_date("ts")).write.partitionBy("event_date").parquet(target)
+
+    part = spark.read.parquet(target).filter(
+        (F.col("event_date") >= "2024-01-10") & (F.col("event_date") < "2024-01-12")
+    )
+    p = _plan(part)
+    pf = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "event_date" in pf.split("PartitionFilters")[1][:200]
+    # pruned scan reads only the two matching date partitions
+    n_total_parts = spark.read.parquet(target).select("event_date").distinct().count()
+    assert part.select("event_date").distinct().count() <= 2 < n_total_parts
