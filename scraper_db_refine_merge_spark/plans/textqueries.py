@@ -247,10 +247,41 @@ def q25_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q26 — SimHash fingerprints (no SQL oracle: 64-bit hex→int bit surgery is not
-# expressible in portable SQL; driver records rows-only check; exact-value
-# determinism is covered by unit tests instead).
-@_register("q26_simhash_fingerprints")
+# q26 — SimHash fingerprints. Full oracle: DuckDB's '0x…'::UBIGINT cast
+# reproduces Spark's conv(hex,16,10) (verified identical), so the whole
+# 60-lane bit pipeline is mirrored — token hash → ±cnt lane sums → sign
+# bits reassembled with shifts.
+_SIMHASH_LANES_SQL = ",\n               ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS lane{j}"
+    for j in range(dd.SIMHASH_BITS)
+)
+_SIMHASH_FP_SQL = " + ".join(
+    f"(CASE WHEN lane{j} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+    for j in range(dd.SIMHASH_BITS)
+)
+_SIMHASH_CTE = f"""
+    toks AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    th AS (
+        SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::UBIGINT::BIGINT AS h, cnt
+        FROM toks
+    ),
+    lanes AS (
+        SELECT doc_id,
+               {_SIMHASH_LANES_SQL}
+        FROM th GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, ({_SIMHASH_FP_SQL})::BIGINT AS simhash FROM lanes)
+"""
+
+
+@_register(
+    "q26_simhash_fingerprints",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM fp",
+)
 def q26_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash(d, "doc_id", "text").select(
@@ -335,11 +366,22 @@ def q41_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q46 — SimHash near-dup pairs: pigeonhole-banded candidates (dist ≤ 3 ⇒ one
-# of 4 fingerprint chunks identical), exact Hamming verify via bit_count(xor).
-# No SQL oracle (64-bit lane arithmetic is not portable SQL); unit-tested
-# against a direct per-pair Hamming computation instead.
-@_register("q46_simhash_near_pairs")
+# q46 — SimHash near-dup pairs: pigeonhole-banded candidates (max_hamming+1
+# chunks ⇒ distance ≤ max_hamming guarantees a chunk collision), exact
+# Hamming verify via bit_count(xor). The oracle states the SEMANTICS (all
+# pairs with distance ≤ 6, direct N² scan) — banding completeness at the
+# radius means the candidate-restricted Spark plan must produce exactly the
+# same set.
+@_register(
+    "q46_simhash_near_pairs",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
 def q46_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_near_pairs(d, "doc_id", "text", max_hamming=6)

@@ -101,10 +101,50 @@ def q29_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q30 — LSH-bucketed approximate top-k (the scale path; no SQL oracle —
-# bucket signatures come from md5-derived hyperplanes, portable-SQL-hostile;
-# correctness is unit-tested against the brute-force baseline instead).
-@_register("q30_lsh_topk")
+# q30 — LSH-bucketed approximate top-k. Full oracle: the md5-derived
+# hyperplanes are reproducible in DuckDB ('0x…'::UBIGINT ≡ Spark conv), so
+# the bucket signatures — sign bits of sequential projections — mirror
+# exactly, as do the candidate join and ranked verify.
+
+
+def _sql_plane(p: int) -> str:
+    """plane_p[d] in [-1,1): md5("{p}:{d}") top-8-hex / 2^32 * 2 - 1 (d = i-1)."""
+    h = f"('0x' || substring(md5('{p}:' || CAST(i - 1 AS VARCHAR)), 1, 8))::UBIGINT"
+    return f"({h} / 4294967296.0 * 2.0 - 1.0)"
+
+
+_SQL_BUCKET = " || ".join(
+    "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+    f"i -> CAST(embedding[i] AS DOUBLE) * {_sql_plane(p)})) >= 0 "
+    "THEN '1' ELSE '0' END)"
+    for p in range(8)
+)
+
+
+@_register(
+    "q30_lsh_topk",
+    f"""
+    WITH cb AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, {_SQL_BUCKET} AS bucket
+        FROM embeddings
+    ),
+    qb AS (
+        SELECT vec_id AS query_id, embedding AS qv, {_SQL_BUCKET} AS bucket
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM qb JOIN cb ON cb.bucket = qb.bucket AND neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
 def q30_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
