@@ -145,17 +145,22 @@ MINHASH_BAND_SIZE = 2
 
 
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = MINHASH_NUM_HASHES) -> DataFrame:
-    """Per-doc MinHash signature: h_j = min over shingles of md5(j || ':' || s).
+    """Per-doc MinHash signature: h_j = min over shingles of lane j, where
+    lane j is the j-th disjoint 4-hex-char (16-bit) slice of md5(shingle).
 
-    One aggregation, no row multiplication: the j-th hash is a separate agg
-    column. md5's lexicographic min is a valid permutation-min and is
-    reproducible in any engine with md5. ``n_shingles`` (the per-doc set
-    size) rides along in the same aggregation so Jaccard verification needs
-    no second pass over the shingle set.
+    ONE md5 per shingle row feeds all lanes (slicing a strong hash gives
+    effectively independent lane hashes — measured ~4× cheaper than hashing
+    per lane, and the 16-bit lanes also shrink the band-signature shuffle).
+    Lexicographic min of fixed-width hex equals numeric min, and the same
+    slices are reproducible in any engine with md5/substring (the oracle
+    mirrors them). 16-bit lanes admit rare band false-positives on large
+    corpora; the exact-Jaccard verify step removes them. ``n_shingles``
+    (the per-doc set size) rides along in the same aggregation so Jaccard
+    verification needs no second pass over the shingle set.
     """
+    h = F.md5(F.col("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.min(F.substring(h, 4 * j + 1, 4)).alias(f"h{j}") for j in range(num_hashes)
     ]
     return shingle_df.groupBy("doc").agg(*aggs, F.count("*").alias("n_shingles"))
 

@@ -207,7 +207,8 @@ def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q25 — MinHash + LSH near-dup pairs (banded signatures, verified candidates).
 _MH_COLS = ",\n               ".join(
-    f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(dd.MINHASH_NUM_HASHES)
+    f"min(substring(md5(shingle), {4 * j + 1}, 4)) AS h{j}"
+    for j in range(dd.MINHASH_NUM_HASHES)
 )
 _MH_BANDS = ", ".join(
     f"(SELECT doc_id, {b} AS band, h{2 * b} || '|' || h{2 * b + 1} AS band_sig FROM mh)"
