@@ -1,0 +1,136 @@
+"""Training-data pipeline sampling/splitting queries (q47-q49).
+
+The dataset-construction ops every large-scale training pipeline needs on
+top of dedup/similarity: deterministic splits, per-group quotas (data
+mixing), and benchmark decontamination. All are hash-based — NEVER
+``rand()`` — so task retries, re-runs, and different partitionings produce
+identical datasets, and the DuckDB oracle can state the same math
+('0x…'::UBIGINT ≡ Spark conv(hex,16,10), verified elsewhere).
+
+Scale shape: q47/q48 are one narrow projection plus (for q48) one window
+over the group key; q49 is a broadcast anti-join on a 128-bit content hash
+— the blocklist side (benchmark suite fingerprints) is tiny by nature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import normalized_text
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def hash_unit(c) -> F.Column:
+    """Deterministic uniform-ish u ∈ [0,1) from the top 8 hex chars of
+    md5(key) — the portable replacement for rand(seed)."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+_SQL_HASH_UNIT = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0)"
+)
+
+
+# --------------------------------------------------------------------------
+# q47 — deterministic train/val/test split (80/10/10 by id hash).
+@_register(
+    "q47_train_val_test_split",
+    f"""
+    WITH u AS (SELECT doc_id, lang, {_SQL_HASH_UNIT} AS unit FROM documents)
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+    FROM (
+        SELECT doc_id, lang,
+               CASE WHEN unit < 0.8 THEN 'train'
+                    WHEN unit < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
+    )
+    GROUP BY split
+    """,
+)
+def q47_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_unit(F.col("doc_id"))
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("lang").alias("n_langs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — per-language quota sampling (data mixing): keep ≤ 30 docs per lang,
+# chosen by deterministic hash priority (stable across runs/partitionings).
+@_register(
+    "q48_per_lang_quota",
+    """
+    SELECT doc_id, lang, rn AS priority_rank
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 30
+    """,
+)
+def q48_per_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("priority_rank", F.row_number().over(w))
+        .filter(F.col("priority_rank") <= 30)
+        .select("doc_id", "lang", "priority_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — benchmark decontamination: drop corpus docs whose normalized content
+# hash appears in the "benchmark" set (simulated here as docs with id < 25).
+# The anti-join catches verbatim benchmark leakage including re-ids.
+_SQL_NORM49 = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+@_register(
+    "q49_decontaminate",
+    f"""
+    WITH block AS (SELECT DISTINCT {_SQL_NORM49} AS h FROM documents WHERE doc_id < 25)
+    SELECT lang, COUNT(*) AS n_clean
+    FROM documents
+    WHERE {_SQL_NORM49} NOT IN (SELECT h FROM block)
+    GROUP BY lang
+    """,
+)
+def q49_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(normalized_text(F.col("text")))
+    corpus = d.select("doc_id", "lang", h.alias("h"))
+    block = corpus.filter(F.col("doc_id") < 25).select("h").distinct()
+    return (
+        corpus.join(F.broadcast(block), "h", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_clean"))
+    )
