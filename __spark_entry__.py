@@ -3,10 +3,10 @@
 - ``entry(spark)`` — flagship query smoke check on sf0.001.
 - ``queries()`` — every implemented operator/query from SURVEY.md §2,
   each ``(spark, sf_dir) -> DataFrame``.
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names);
-  omitted only for ops whose hashing/bit surgery is not expressible in
-  portable SQL (q26 simhash, q30 LSH top-k) — those get rows-only checks
-  and are exact-value unit-tested instead (tests/).
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query (same column names).
+  ALL registered queries carry an oracle — including the md5-derived
+  SimHash/LSH pipelines, mirrored via DuckDB's '0x…'::UBIGINT hex cast
+  (≡ Spark conv(hex,16,10)).
 """
 
 from __future__ import annotations

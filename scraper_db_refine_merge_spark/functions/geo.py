@@ -57,6 +57,11 @@ def nearest_within_km(df, lon: Column, lat: Column, center_lon: float, center_la
         lon.between(center_lon - deg, center_lon + deg)
         & lat.between(center_lat - deg, center_lat + deg)
     )
-    return boxed.filter(
-        haversine_km(lon, lat, F.lit(center_lon), F.lit(center_lat)) <= km
+    return (
+        boxed.withColumn(
+            "distance_km",
+            F.round(haversine_km(lon, lat, F.lit(center_lon), F.lit(center_lat)), 3),
+        )
+        .filter(F.col("distance_km") <= km)
+        .orderBy("distance_km")
     )
