@@ -122,3 +122,85 @@ def sqlite_to_raw_rows(df: DataFrame) -> DataFrame:
         e["genres"].alias("genres"),
         e["description"].alias("description"),
     )
+
+
+def write_sqlite_upsert(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    key_col: str,
+    batch_size: int = 500,
+    busy_timeout_ms: int = 30_000,
+    max_retries: int = 3,
+) -> None:
+    """S13 — operational-store sink: ``INSERT OR REPLACE`` keyed upsert
+    (ventura_crawler.py:242-258), written per-partition from executors with
+    SQLite's single-writer lock handled by busy_timeout + exponential-backoff
+    retries (the reference's lock-retry discipline, ventura_crawler.py:162-185).
+
+    Scale note: SQLite is the reference-parity OPERATIONAL scratch store —
+    inherently single-node. The 100 TB path for keyed sinks is the parquet/
+    Delta MERGE (operators/merge.py) or a server-side JDBC sink; this writer
+    exists for bronze-cache parity, not throughput.
+    """
+    cols = df.columns
+    if key_col not in cols:
+        raise ValueError(f"key column {key_col!r} not in DataFrame columns {cols}")
+    placeholders = ", ".join("?" for _ in cols)
+    col_list = ", ".join(cols)
+    sql = f"INSERT OR REPLACE INTO {table} ({col_list}) VALUES ({placeholders})"
+
+    def _write_partition(rows) -> None:
+        import sqlite3
+        import time as _time
+
+        buf = []
+        conn = sqlite3.connect(db_path, timeout=busy_timeout_ms / 1000)
+        conn.execute(f"PRAGMA busy_timeout = {busy_timeout_ms}")
+        try:
+            def _flush():
+                if not buf:
+                    return
+                for attempt in range(max_retries):
+                    try:
+                        with conn:  # one transaction per batch
+                            conn.executemany(sql, buf)
+                        buf.clear()
+                        return
+                    except sqlite3.OperationalError:
+                        if attempt == max_retries - 1:
+                            raise
+                        _time.sleep(0.1 * 2**attempt)
+
+            for row in rows:
+                buf.append(tuple(row[c] for c in cols))
+                if len(buf) >= batch_size:
+                    _flush()
+            _flush()
+        finally:
+            conn.close()
+
+    df.foreachPartition(_write_partition)
+
+
+def ensure_scraped_events_table(db_path: str, table: str = "scraped_events") -> None:
+    """Create the reference's bronze table shape (ventura_crawler.py:187-240)."""
+    import sqlite3
+
+    conn = sqlite3.connect(db_path)
+    with conn:
+        conn.execute(
+            f"""CREATE TABLE IF NOT EXISTS {table} (
+                url_hash TEXT PRIMARY KEY,
+                url TEXT UNIQUE,
+                title TEXT,
+                event_data TEXT,
+                extraction_method TEXT,
+                last_scraped_utc TEXT,
+                success INTEGER,
+                error_message TEXT,
+                response_time_ms REAL,
+                status_code INTEGER
+            )"""
+        )
+    conn.close()

@@ -131,3 +131,36 @@ def test_sqlite_bronze_to_refine(spark, sqlite_db):
     assert row["venue"]["name"] == "Amnesia"
     assert row["ticketing"]["tiers"][0]["tier_price"] == 40.0
     assert row["acts"][0]["act_name"] == "DB DJ"
+
+
+def test_sqlite_upsert_sink_roundtrip(spark, tmp_path):
+    """S13: INSERT OR REPLACE keyed by url_hash — second write replaces."""
+    from scraper_db_refine_merge_spark.sources.sqlite import (
+        ensure_scraped_events_table,
+        read_sqlite_local,
+        write_sqlite_upsert,
+    )
+
+    db = str(tmp_path / "ops.db")
+    ensure_scraped_events_table(db)
+    schema = (
+        "url_hash string, url string, title string, event_data string, "
+        "extraction_method string, last_scraped_utc string, success int, "
+        "error_message string, response_time_ms double, status_code int"
+    )
+    v1 = spark.createDataFrame(
+        [
+            ("h1", "u1", "Party v1", "{}", "jsonld", "2025-01-01T00:00:00", 1, None, 120.0, 200),
+            ("h2", "u2", "Other", "{}", "meta", "2025-01-01T00:00:00", 1, None, 90.0, 200),
+        ],
+        schema,
+    )
+    write_sqlite_upsert(v1, db, "scraped_events", key_col="url_hash")
+    v2 = spark.createDataFrame(
+        [("h1", "u1", "Party v2", "{}", "jsonld", "2025-01-02T00:00:00", 1, None, 100.0, 200)],
+        schema,
+    )
+    write_sqlite_upsert(v2, db, "scraped_events", key_col="url_hash")
+
+    back = {r["url_hash"]: r["title"] for r in read_sqlite_local(spark, db, "scraped_events").collect()}
+    assert back == {"h1": "Party v2", "h2": "Other"}
