@@ -19,9 +19,11 @@ from scraper_db_refine_merge_spark.plans.catalog import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: region revenue over the 5-way star join
-    (lineitem ⨝ orders ⨝ broadcast dims → exact-decimal revenue rollup)."""
-    return QUERIES["q04_region_revenue"](spark, "/root/testdata/sf0.001")
+    """Flagship query (SURVEY §7 Phase 1): the reference's GET /api/events
+    shape — pushed-down filters, projection, date sort, page cap — over the
+    events table (q20). The star-join showcase remains available as
+    queries()["q04_region_revenue"]."""
+    return QUERIES["q20_api_events_listing"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
