@@ -73,3 +73,37 @@ def test_partitioned_events_prune_partitions(spark, sf_dir, tmp_path):
     # pruned scan reads only the two matching date partitions
     n_total_parts = spark.read.parquet(target).select("event_date").distinct().count()
     assert part.select("event_date").distinct().count() <= 2 < n_total_parts
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing demo (SURVEY §4: bucketBy(event_id) ≈ the reference's
+    unique event_id index): two tables bucketed on the join key sort-merge
+    join with ZERO exchanges — the co-located join that makes repeated
+    MERGE/canonicalization key-joins shuffle-free at any scale."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    for name in ("bk_events_a", "bk_events_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            e.write.bucketBy(8, "event_id")
+            .sortBy("event_id")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    # disable broadcast so the join exercises the bucketed sort-merge path
+    # (at real scale neither side would be broadcastable anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("bk_events_a")
+        b = spark.table("bk_events_b").select("event_id", F.col("value").alias("value_b"))
+        joined = a.join(b, "event_id")
+        p = _plan(joined)
+        assert "SortMergeJoin" in p
+        assert p.count("Exchange") == 0, p
+        assert joined.count() == e.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bk_events_a", "bk_events_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
