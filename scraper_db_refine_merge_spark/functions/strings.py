@@ -190,3 +190,16 @@ def confidence_score(n_errors: Column, n_warnings: Column, n_info: Column) -> Co
     return (
         F.pow(F.lit(0.7), n_errors) * F.pow(F.lit(0.9), n_warnings) * F.pow(F.lit(0.95), n_info)
     )
+
+
+def classify_event_type(title: Column, venue: Column) -> Column:
+    """F19 — keyword event-type classifier
+    (schema_adapter_enhanced.py:570-583): festival/day_party/concert by
+    title/venue keywords, default club_night."""
+    lt, lv = F.lower(title), F.lower(venue)
+    return (
+        F.when(lt.rlike("festival|fest"), "festival")
+        .when(lv.rlike("beach|pool|outdoor"), "day_party")
+        .when(lt.rlike("live|concert|band"), "concert")
+        .otherwise("club_night")
+    )

@@ -1,4 +1,4 @@
-"""Training-data pipeline sampling/splitting queries (q47-q49).
+"""Training-data pipeline sampling/splitting + refine-core queries (q47-q50).
 
 The dataset-construction ops every large-scale training pipeline needs on
 top of dedup/similarity: deterministic splits, per-group quotas (data
@@ -133,4 +133,78 @@ def q49_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(block), "h", "left_anti")
         .groupBy("lang")
         .agg(F.count("*").alias("n_clean"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q50 — refine-core under the oracle gate: the SAME engine functions the
+# refine() pipeline uses (whitespace normalize F11, event-type classify F19,
+# sha256 composite id J2) applied to raw-shaped rows derived from documents,
+# mirrored in SQL. uuid5 ids (sha1-based) stay golden-tested — DuckDB ships
+# no sha1.
+@_register(
+    "q50_refine_core",
+    r"""
+    WITH raw AS (
+        SELECT doc_id,
+               '  Event ' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 4 = 0 THEN '   Festival '
+                    WHEN doc_id % 4 = 1 THEN ' Live  '
+                    ELSE ' ' END AS title,
+               CASE WHEN doc_id % 3 = 0 THEN ' Beach  Club '
+                    WHEN doc_id % 3 = 1 THEN 'Main Room'
+                    ELSE source END AS venue,
+               '2025-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS date_str
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT doc_id, date_str,
+               nullif(regexp_replace(regexp_replace(title, '^\s+|\s+$', '', 'g'),
+                                     '\s+', ' ', 'g'), '') AS title,
+               nullif(regexp_replace(regexp_replace(venue, '^\s+|\s+$', '', 'g'),
+                                     '\s+', ' ', 'g'), '') AS venue
+        FROM raw
+    )
+    SELECT doc_id, title, venue,
+           CASE WHEN lower(title) SIMILAR TO '.*(festival|fest).*' THEN 'festival'
+                WHEN lower(venue) SIMILAR TO '.*(beach|pool|outdoor).*' THEN 'day_party'
+                WHEN lower(title) SIMILAR TO '.*(live|concert|band).*' THEN 'concert'
+                ELSE 'club_night' END AS event_type,
+           sha256(concat_ws('|',
+               CASE WHEN title IS NULL THEN 'none' ELSE lower(trim(title)) END,
+               CASE WHEN date_str IS NULL THEN 'none' ELSE lower(trim(date_str)) END,
+               CASE WHEN venue IS NULL THEN 'none' ELSE lower(trim(venue)) END,
+               'stream.example.com')) AS event_id
+    FROM cleaned
+    """,
+)
+def q50_refine_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ids import composite_event_id
+    from ..functions.strings import classify_event_type, normalize_whitespace
+
+    d = load_table(spark, sf_dir, "documents")
+    mod4, mod3 = F.col("doc_id") % 4, F.col("doc_id") % 3
+    raw_title = F.concat(
+        F.lit("  Event "),
+        F.col("doc_id").cast("string"),
+        F.when(mod4 == 0, "   Festival ").when(mod4 == 1, " Live  ").otherwise(" "),
+    )
+    raw_venue = (
+        F.when(mod3 == 0, " Beach  Club ").when(mod3 == 1, "Main Room").otherwise(F.col("source"))
+    )
+    date_str = F.concat(
+        F.lit("2025-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    )
+    title = normalize_whitespace(raw_title)
+    venue = normalize_whitespace(raw_venue)
+    return d.select(
+        "doc_id",
+        title.alias("title"),
+        venue.alias("venue"),
+        classify_event_type(title, venue).alias("event_type"),
+        composite_event_id(title, date_str, venue, F.lit("stream.example.com")).alias("event_id"),
     )

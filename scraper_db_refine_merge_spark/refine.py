@@ -31,7 +31,12 @@ from .functions.dates import parse_club_date, strip_day_name, to_utc_iso
 from .functions.ids import generate_unique_id
 from .functions.normalize import normalize_genres, normalize_venue_name, timezone_from_location
 from .functions.quality import data_quality_struct
-from .functions.strings import extract_price, normalize_text_v2, normalize_url
+from .functions.strings import (
+    classify_event_type,
+    extract_price,
+    normalize_text_v2,
+    normalize_url,
+)
 from .functions.text import search_blob
 
 RAW_COLUMNS = ("title", "url", "venue", "date_text", "lineup", "price_text", "genres", "description")
@@ -160,13 +165,7 @@ def refine(
     )
 
     # F19 — event-type classifier (schema_adapter_enhanced.py:570-583)
-    lt, lv = F.lower(title), F.lower(venue_name)
-    event_type = (
-        F.when(lt.rlike("festival|fest"), "festival")
-        .when(lv.rlike("beach|pool|outdoor"), "day_party")
-        .when(lt.rlike("live|concert|band"), "concert")
-        .otherwise("club_night")
-    )
+    event_type = classify_event_type(title, venue_name)
 
     # F16 — genres; F9 — price
     genres_norm = normalize_genres(F.coalesce(F.col("genres"), F.array().cast("array<string>")))
