@@ -264,6 +264,44 @@ def ivf_topk(
     )
 
 
+def kmeans_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_scale: int = 5,
+) -> DataFrame:
+    """Deterministic k-means coarse quantizer (the learned-centroid IVF).
+
+    Everything is derandomized so two engines (and two runs) agree exactly:
+    - init: the k vectors with the smallest (md5(id), id) — a hash-priority
+      sample; ``orderBy().limit(k)`` plans as a distributed top-k
+      (TakeOrderedAndProject), never a global sort;
+    - assignment: max rounded cosine, ties to the lowest cell;
+    - update: exact-DECIMAL per-dimension means (order-independent),
+      rounded — identical partial-aggregation results at any parallelism.
+
+    Returns final (id, vec, cell) assignments. Fixed ``iters`` rather than
+    convergence-test keeps the plan static and the oracle mirrorable.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    seeds = df.select(key.alias("__h"), F.col(id_col).alias("__sid"), F.col(vec_col)).orderBy(
+        "__h", "__sid"
+    ).limit(k)
+    cents = seeds.withColumn(
+        "cell", F.row_number().over(Window.orderBy("__h", "__sid")) - 1
+    ).select("cell", F.col(vec_col).alias("centroid"))
+
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, id_col, vec_col, "cell", round_scale)
+        cents = label_centroids(assigned, vec_col, "cell")
+
+    return ivf_assign(df, cents, id_col, vec_col, "cell", round_scale)
+
+
 def brute_force_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

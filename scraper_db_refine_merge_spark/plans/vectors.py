@@ -233,3 +233,82 @@ def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return ivf_topk(e, queries, k=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# q51 — deterministic k-means coarse quantizer (learned-centroid IVF):
+# hash-priority seeds → 2 rounds of (assign by rounded cosine, exact-decimal
+# mean update) → final cell profile. The oracle replays the identical
+# iterations (generated CTE per round).
+
+_KM_K, _KM_ITERS = 8, 2
+
+
+def _sql_assign(cent_cte: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT vec_id, qv, cell FROM (
+            SELECT vec_id, qv, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+            FROM (
+                SELECT e.vec_id, e.embedding AS qv, c.cell, c.cv,
+                       ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS sim
+                FROM embeddings e CROSS JOIN {cent_cte} c
+            )
+        ) WHERE rn = 1
+    )"""
+
+
+def _sql_update(assign_cte: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT cell, list(cval ORDER BY pos) AS cv FROM (
+            SELECT cell, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS cval
+            FROM (
+                SELECT cell,
+                       unnest(range(1, len(qv) + 1)) AS pos,
+                       unnest(list_transform(qv, x -> CAST(x AS DOUBLE))) AS val
+                FROM {assign_cte}
+            )
+            GROUP BY cell, pos
+        ) GROUP BY cell
+    )"""
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"""
+    seeds AS (
+        SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_KM_K}
+    )""",
+        "cent0 AS (SELECT cell, embedding AS cv FROM seeds)",
+    ]
+    for i in range(_KM_ITERS):
+        parts.append(_sql_assign(f"cent{i}", f"assign{i}"))
+        parts.append(_sql_update(f"assign{i}", f"cent{i + 1}"))
+    parts.append(_sql_assign(f"cent{_KM_ITERS}", "final"))
+    ctes = ",".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT cell, COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+    FROM final GROUP BY cell
+    """
+
+
+@_register("q51_kmeans_cells", _kmeans_oracle())
+def q51_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(e, k=_KM_K, iters=_KM_ITERS)
+    return cells.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+    )
