@@ -190,3 +190,44 @@ def test_club_date_roundtrip(spark, dates):
     got = _run(spark, renderings, parse_club_date)
     assert [g.date() if g else None for g in got] == list(dates)
     assert all(g.hour == 23 and g.minute == 0 for g in got if g)
+
+
+# ----------------------------------------------------------------------
+# fuzzy date chain ≡ dateutil on the chain's declared formats (the
+# compatibility oracle of SURVEY §7 hard-part 1); tz localization included
+
+from scraper_db_refine_merge_spark.functions.dates import (  # noqa: E402
+    parse_fuzzy_to_utc_iso,
+)
+
+
+def _py_fuzzy(s, default_tz="Europe/Madrid"):
+    from datetime import timezone as _tz
+    from zoneinfo import ZoneInfo
+
+    from dateutil import parser as dateutil_parser
+
+    dt = dateutil_parser.parse(s.strip())
+    if dt.tzinfo is None or dt.tzinfo.utcoffset(dt) is None:
+        dt = dt.replace(tzinfo=ZoneInfo(default_tz))
+    return dt.astimezone(_tz.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+@SETTINGS
+@given(st.lists(_dts, min_size=1, max_size=30))
+def test_fuzzy_chain_matches_dateutil_on_declared_formats(spark, dts):
+    # dateutil is ambiguous for dd/MM vs MM/dd — restrict to renderings
+    # where the chain's reading and dateutil's agree by construction
+    renderings, expected = [], []
+    for d in dts:
+        iso_offset = d.strftime("%Y-%m-%dT%H:%M:%S+02:00")
+        plain = d.strftime("%Y-%m-%d %H:%M:%S")
+        iso_z = d.strftime("%Y-%m-%dT%H:%M:%SZ")
+        renderings += [iso_offset, plain, iso_z]
+        expected += [_py_fuzzy(iso_offset), _py_fuzzy(plain), _py_fuzzy(iso_z)]
+    got = _run(
+        spark,
+        renderings,
+        lambda c: parse_fuzzy_to_utc_iso(c, default_tz="Europe/Madrid"),
+    )
+    assert got == expected
