@@ -70,3 +70,42 @@ def test_stateful_sessionization_across_batches(spark, tmp_path):
     assert row["total_value"] == 12.5
     assert str(row["session_start"]) == "2024-01-01 10:00:00"
     assert str(row["session_end"]) == "2024-01-01 10:01:00"
+
+
+def test_stream_ingest_partitioned_merge(spark, tmp_path):
+    """Partition-pruned streaming MERGE: cross-batch re-scrape updates in
+    place, table lands hive-partitioned by event_date."""
+    import json as _json
+    import os as _os
+
+    from scraper_db_refine_merge_spark.streaming.pipeline import stream_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = {
+        "title": "Party A", "url": "u", "venue": "amnesia", "date_text": "5 May 2025",
+        "lineup": [], "price_text": "10€", "genres": [], "description": "v1",
+        "scraped_at": "2025-05-01T00:00:00Z",
+    }
+    (landing / "a.json").write_text(_json.dumps(base) + "\n")
+    rescrape = dict(base, description="v2", scraped_at="2025-05-02T00:00:00Z")
+    other = dict(base, title="Party B", date_text="6 May 2025")
+    (landing / "b.json").write_text(_json.dumps(rescrape) + "\n" + _json.dumps(other) + "\n")
+    _os.utime(landing / "a.json", (1_700_000_000, 1_700_000_000))
+    _os.utime(landing / "b.json", (1_700_000_100, 1_700_000_100))
+
+    target = str(tmp_path / "events")
+    q = stream_ingest(
+        spark, str(landing), target, str(tmp_path / "ck"),
+        metrics_path=str(tmp_path / "m"), max_files_per_trigger=1,
+        partition_by_event_date=True,
+    )
+    q.awaitTermination(120)
+
+    t = spark.read.parquet(target)
+    rows = {r["title"]: r for r in t.collect()}
+    assert set(rows) == {"Party A", "Party B"}
+    assert rows["Party A"]["content"]["full_description"] == "v2"  # latest won
+    # hive layout: one directory per event date
+    parts = sorted(d for d in _os.listdir(target) if d.startswith("event_date="))
+    assert parts == ["event_date=2025-05-05", "event_date=2025-05-06"]

@@ -41,7 +41,9 @@ def gen_files(landing: str, n_files: int, rows: int) -> int:
                     "title": f"Event {key} Night",
                     "url": f"www.example.com/events/{key}",
                     "venue": ["amnesia", "hi ibiza", "dc-10", "pacha"][key % 4],
-                    "date_text": f"{key % 28 + 1} May 2025",
+                    # temporal locality: dates follow the key's HOME file
+                    # (re-scrapes keep their original date → same event_id)
+                    "date_text": f"{((key // rows) * 4 + key % 4) % 28 + 1} May 2025",
                     "lineup": [{"name": f"Artist {key % 97}", "role": "headliner"}],
                     "price_text": f"from €{10 + key % 80}",
                     "genres": ["techno" if key % 2 else "tech house"],
@@ -67,13 +69,13 @@ def main() -> None:
     spark = get_spark("stream-bench")
     spark.range(1).count()
 
+    # whole-table MERGE path (rich stats)
     t0 = time.perf_counter()
     q = stream_ingest(
         spark, landing, target, ckpt, metrics_path=metrics, max_files_per_trigger=2
     )
     q.awaitTermination()
     dt = time.perf_counter() - t0
-
     final_rows = spark.read.parquet(target).count()
     m = spark.read.parquet(metrics)
     agg = m.groupBy().sum("incoming", "updated", "inserted").first()
@@ -83,11 +85,44 @@ def main() -> None:
                 "metric": "stream_ingest_rows_per_sec",
                 "value": round(total / dt, 1),
                 "unit": "rows/sec",
+                "mode": "whole_table_merge",
                 "total_rows": total,
                 "wall_sec": round(dt, 2),
                 "micro_batches": m.count(),
                 "merged_updates": agg[1],
                 "merged_inserts": agg[2],
+                "final_table_rows": final_rows,
+            }
+        )
+    )
+
+    # partition-pruned MERGE path (production shape)
+    t0 = time.perf_counter()
+    q = stream_ingest(
+        spark,
+        landing,
+        target + "_part",
+        ckpt + "_part",
+        metrics_path=metrics + "_part",
+        max_files_per_trigger=2,
+        partition_by_event_date=True,
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    final_rows = spark.read.parquet(target + "_part").count()
+    mp = spark.read.parquet(metrics + "_part")
+    parts = mp.groupBy().sum("partitions_rewritten").first()[0]
+    print(
+        json.dumps(
+            {
+                "metric": "stream_ingest_rows_per_sec",
+                "value": round(total / dt, 1),
+                "unit": "rows/sec",
+                "mode": "partition_pruned_merge",
+                "total_rows": total,
+                "wall_sec": round(dt, 2),
+                "micro_batches": mp.count(),
+                "partitions_rewritten_total": parts,
                 "final_table_rows": final_rows,
             }
         )
