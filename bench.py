@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "q23_exact_dedup",
     "q25_minhash_lsh_pairs",
     "q28_cosine_topk",
+    "q42_embedding_near_dup",
+    "q47_train_val_test_split",
 ]
 
 
