@@ -208,3 +208,77 @@ def q50_refine_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify_event_type(title, venue).alias("event_type"),
         composite_event_id(title, date_str, venue, F.lit("stream.example.com")).alias("event_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q52 — the D1 title scorer under the oracle gate: the SAME score_title_info
+# expression refine's quality stage uses, over title variants derived from
+# documents (null / too-short / ALL-CAPS / date-bearing / plain), mirrored
+# branch-for-branch in SQL. Flags are emitted as a joined string so the
+# comparator sees a scalar. Float parity: the score terms add in the same
+# left-to-right order in both engines.
+@_register(
+    "q52_title_scores",
+    r"""
+    WITH titled AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    WHEN doc_id % 5 = 1 THEN upper(substring(text, 1, 20))
+                    WHEN doc_id % 5 = 2 THEN 'X'
+                    WHEN doc_id % 5 = 3 THEN 'Party 2025 ' || substring(text, 1, 10)
+                    ELSE substring(text, 1, 40) END AS title
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, title,
+               length(title) AS len,
+               regexp_matches(title, '\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}') AS has_date,
+               CASE WHEN trim(title) = '' THEN 0
+                    ELSE len(string_split_regex(trim(title), '\s+')) END AS words,
+               length(regexp_replace(title, '[a-zA-Z0-9\s&-]', '', 'g')) AS specials,
+               substring(title, 1, 1) AS first
+        FROM titled
+    )
+    SELECT doc_id,
+           CASE WHEN title IS NULL OR title = '' THEN 0.0
+                -- literals cast to DOUBLE: DuckDB would otherwise add
+                -- DECIMALs exactly while Spark adds doubles (0.3+0.2+... =
+                -- 0.9999999999999999 in IEEE order)
+                ELSE least(
+                    (CASE WHEN len >= 5 THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END)
+                  + (CASE WHEN has_date THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END)
+                  + (CASE WHEN words >= 2 THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END)
+                  + (CASE WHEN specials / len < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END)
+                  + (CASE WHEN first = upper(first) AND first <> lower(first)
+                          AND NOT (title = upper(title) AND title <> lower(title))
+                          THEN CAST(0.1 AS DOUBLE) ELSE 0.0 END),
+                    CAST(1.0 AS DOUBLE)) END AS title_score,
+           CASE WHEN title IS NULL OR title = '' THEN 'missing_title'
+                ELSE coalesce(array_to_string(
+                    list_concat(
+                        CASE WHEN len >= 5 THEN CAST([] AS VARCHAR[])
+                             ELSE ['title_too_short'] END,
+                        CASE WHEN specials / len < 0.2 THEN CAST([] AS VARCHAR[])
+                             ELSE ['excessive_special_chars'] END),
+                    ','), '') END AS title_flags
+    FROM feats
+    """,
+)
+def q52_title_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import score_title_info
+
+    d = load_table(spark, sf_dir, "documents")
+    mod5 = F.col("doc_id") % 5
+    title = (
+        F.when(mod5 == 0, F.lit(None).cast("string"))
+        .when(mod5 == 1, F.upper(F.substring("text", 1, 20)))
+        .when(mod5 == 2, F.lit("X"))
+        .when(mod5 == 3, F.concat(F.lit("Party 2025 "), F.substring("text", 1, 10)))
+        .otherwise(F.substring("text", 1, 40))
+    )
+    scored = score_title_info(title)
+    return d.select(
+        "doc_id",
+        scored["score"].alias("title_score"),
+        F.array_join(scored["flags"], ",").alias("title_flags"),
+    )
