@@ -12,8 +12,10 @@ proportion + cheapest + currency), R3 (validation-flag flattening).
 Bit-parity notes:
 - additions accumulate in the same order as the reference's ``score += ...``
   statements, so float results are identical;
-- the overall score uses ``bround`` (half-even), matching Python's
-  ``round(x, 3)``;
+- the overall score uses ``python_round`` (binary-value nearest with exact
+  ties-to-even) — neither Spark ``round`` nor ``bround`` matches Python's
+  ``round(x, 3)`` on all doubles (bround half-evens the shortest decimal
+  repr: bround(0.3425, 3) = 0.342 but Python gives 0.343);
 - "empty section" (Python falsy dict) maps to a NULL struct; arrays count as
   missing when NULL or empty, mirroring ``not acts_data``.
 
@@ -291,11 +293,34 @@ def score_ticketing_info(t: Column) -> Column:
 # Composition (quality_scorer.py:29-91, 390-404)
 
 
+def python_round(c: Column, scale: int) -> Column:
+    """Python ``round()`` semantics as an expression.
+
+    Neither Spark builtin matches Python: ``bround``/``round`` half-even /
+    half-up the SHORTEST DECIMAL REPR (bround(0.3425, 3) = 0.342 although
+    the binary value is 0.34250000000000002 and Python correctly gives
+    0.343). This scaled-floor formula decides on the binary value: exact
+    .5 fraction → ties-to-even, else nearest. Matches Python on all probe
+    cases (0.3425→0.343, 0.125→0.12, 2.675→2.67); the only residual
+    divergence is when the ×10^scale multiplication itself rounds onto an
+    exact .5 boundary (no representable example at scale 3 is known).
+    """
+    m = float(10**scale)
+    scaled = c * F.lit(m)
+    fl = F.floor(scaled)
+    frac = scaled - fl
+    tie_even = F.when(fl % 2 == 0, fl).otherwise(fl + 1)
+    rounded = (
+        F.when(frac == 0.5, tie_even).when(frac > 0.5, fl + 1).otherwise(fl)
+    )
+    return rounded.cast("double") / F.lit(m)
+
+
 def overall_score(
     title_s: Column, venue_s: Column, datetime_s: Column, acts_s: Column, ticketing_s: Column
 ) -> Column:
     """Weighted overall, accumulated in reference dict order, Python-round
-    (half-even) to 3 — quality_scorer.py:390-404."""
+    semantics to 3 — quality_scorer.py:390-404."""
     w = FIELD_WEIGHTS
     total = (
         title_s * w["title"]
@@ -307,7 +332,7 @@ def overall_score(
     total_weight = (
         F.lit(w["title"]) + F.lit(w["venue"]) + F.lit(w["datetime"]) + F.lit(w["acts"]) + F.lit(w["ticketing"])
     )
-    return F.bround(total / total_weight, 3)
+    return python_round(total / total_weight, 3)
 
 
 def _tag_flags(field: str, flags: Column) -> Column:

@@ -282,3 +282,205 @@ def q52_title_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored["score"].alias("title_score"),
         F.array_join(scored["flags"], ",").alias("title_flags"),
     )
+
+
+# --------------------------------------------------------------------------
+# q53 — the FULL D2 quality composer under the oracle gate: title + venue +
+# datetime scorers (branch-for-branch SQL mirrors), null acts/ticketing
+# sections (constant 0.0 + missing flags), and the A10 weighted overall
+# with Python banker's rounding (DuckDB round_even ≡ Spark bround). A fixed
+# `now` literal keeps the date-sanity windows deterministic.
+_Q53_NOW = "2025-06-01 00:00:00"
+
+_Q53_VENUE_CASES = """
+        CASE WHEN doc_id % 4 = 1 THEN 'Amnesia Terrace'
+             WHEN doc_id % 4 = 2 THEN 'Random Hall'
+             WHEN doc_id % 4 = 3 THEN NULL
+             ELSE 'Club ' || CAST(doc_id AS VARCHAR) END AS v_name,
+        CASE WHEN doc_id % 3 = 0 THEN 'Carrer de X 5, 07800 Ibiza' ELSE NULL END AS v_full,
+        CASE WHEN doc_id % 3 = 1 THEN 'Carrer de Y 9' ELSE NULL END AS v_street,
+        CASE WHEN doc_id % 5 = 0 THEN 'Ibiza Town'
+             WHEN doc_id % 5 = 1 THEN 'Palma' ELSE NULL END AS v_city,
+        CASE WHEN doc_id % 6 = 0 THEN [1.4, 38.9]
+             WHEN doc_id % 6 = 1 THEN [2.65, 39.57]
+             WHEN doc_id % 6 = 2 THEN [1.4] ELSE NULL END AS v_coords,
+        CASE WHEN doc_id % 7 = 0 THEN NULL
+             WHEN doc_id % 5 = 2 THEN NULL
+             ELSE '2025-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                  || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || ' 23:00:00'
+             END AS d_start,
+        CASE WHEN doc_id % 4 = 0 THEN 'Europe/Madrid'
+             WHEN doc_id % 4 = 1 THEN 'UTC' ELSE NULL END AS d_tz
+"""
+
+
+@_register(
+    "q53_quality_overall",
+    f"""
+    WITH cases AS (
+        SELECT doc_id, doc_id % 9 = 8 AS venue_null, doc_id % 11 = 10 AS dt_null,
+               {_Q53_VENUE_CASES}
+        FROM documents
+    ),
+    feats AS (
+        SELECT *,
+               v_name IS NOT NULL AND v_name <> '' AS has_name,
+               coalesce(v_name LIKE '%Amnesia%' OR v_name LIKE '%Pacha%'
+                        OR v_name LIKE '%Hï Ibiza%' OR v_name LIKE '%Ushuaïa%'
+                        OR v_name LIKE '%DC10%' OR v_name LIKE '%Privilege%', FALSE) AS known,
+               v_full IS NOT NULL AND v_full <> '' AS has_full,
+               v_street IS NOT NULL AND v_street <> ''
+                   AND v_city IS NOT NULL AND v_city <> '' AS has_sc,
+               v_city IS NOT NULL AND v_city <> '' AS has_city,
+               coalesce(lower(v_city) LIKE '%ibiza%', FALSE) AS city_ib,
+               v_coords IS NOT NULL AND len(v_coords) > 0 AS c_present,
+               coalesce(len(v_coords) = 2, FALSE) AS c_len2,
+               coalesce(v_coords[1] >= 1.2 AND v_coords[1] <= 1.6
+                        AND v_coords[2] >= 38.8 AND v_coords[2] <= 39.1, FALSE) AS c_ibiza,
+               d_start IS NOT NULL AND d_start <> '' AS has_start,
+               try_cast(d_start AS TIMESTAMP) IS NOT NULL AS start_valid,
+               coalesce(try_cast(d_start AS TIMESTAMP)
+                        < TIMESTAMP '{_Q53_NOW}' - INTERVAL 30 DAY, FALSE) AS too_past,
+               coalesce(try_cast(d_start AS TIMESTAMP)
+                        > TIMESTAMP '{_Q53_NOW}' + INTERVAL 730 DAY, FALSE) AS too_future,
+               d_tz IS NOT NULL AND d_tz <> '' AS has_tz,
+               coalesce(d_tz IN ('Europe/Madrid', 'CET', 'CEST'), FALSE) AS tz_bonus
+        FROM cases
+    ),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN venue_null THEN CAST(0.0 AS DOUBLE)
+                    ELSE least(
+                        (CASE WHEN has_name THEN CAST(0.3 AS DOUBLE) ELSE 0.0 END)
+                      + (CASE WHEN has_name AND known THEN CAST(0.1 AS DOUBLE) ELSE 0.0 END)
+                      + (CASE WHEN has_full THEN CAST(0.2 AS DOUBLE)
+                              WHEN has_sc THEN CAST(0.15 AS DOUBLE) ELSE 0.0 END)
+                      + (CASE WHEN has_city THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END)
+                      + (CASE WHEN has_city AND city_ib THEN CAST(0.1 AS DOUBLE) ELSE 0.0 END)
+                      + (CASE WHEN c_present AND c_len2 AND c_ibiza
+                              THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END),
+                        CAST(1.0 AS DOUBLE)) END AS venue_score,
+               CASE WHEN venue_null THEN 'missing_venue_data'
+                    ELSE coalesce(array_to_string(
+                        CASE WHEN NOT has_name THEN ['missing_venue_name']
+                             ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN NOT (has_full OR has_sc)
+                                THEN ['missing_address_details'] ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN NOT has_city THEN ['missing_city']
+                                ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN c_present AND c_len2 AND NOT c_ibiza
+                                THEN ['coordinates_outside_ibiza'] ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN c_present AND NOT c_len2
+                                THEN ['invalid_coordinates_format'] ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN NOT c_present THEN ['missing_coordinates']
+                                ELSE CAST([] AS VARCHAR[]) END, ','), '') END AS venue_flags,
+               CASE WHEN dt_null THEN CAST(0.0 AS DOUBLE)
+                    ELSE least(
+                        (CASE WHEN has_start THEN CAST(0.4 AS DOUBLE) ELSE 0.0 END)
+                      + (CASE WHEN has_start AND start_valid AND NOT too_past AND NOT too_future
+                              THEN CAST(0.1 AS DOUBLE) ELSE 0.0 END)
+                      + (CASE WHEN has_tz THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END)
+                      + (CASE WHEN has_tz AND tz_bonus THEN CAST(0.05 AS DOUBLE) ELSE 0.0 END),
+                        CAST(1.0 AS DOUBLE)) END AS datetime_score,
+               CASE WHEN dt_null THEN 'missing_datetime_data'
+                    ELSE coalesce(array_to_string(
+                        CASE WHEN has_start AND start_valid AND too_past
+                             THEN ['date_too_far_past'] ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN has_start AND start_valid AND NOT too_past AND too_future
+                                THEN ['date_too_far_future'] ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN has_start AND NOT start_valid
+                                THEN ['invalid_start_date_format'] ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN NOT has_start THEN ['missing_start_date']
+                                ELSE CAST([] AS VARCHAR[]) END
+                        || CASE WHEN NOT has_tz THEN ['missing_timezone']
+                                ELSE CAST([] AS VARCHAR[]) END, ','), '') END AS datetime_flags
+        FROM feats
+    ),
+    with_scaled AS (
+        SELECT *,
+               (CAST(0.0 AS DOUBLE) * 0.25 + venue_score * 0.20
+                + datetime_score * 0.25 + CAST(0.0 AS DOUBLE) * 0.15
+                + CAST(0.0 AS DOUBLE) * 0.15) / CAST(1.0 AS DOUBLE) * 1000.0 AS scaled
+        FROM scored
+    )
+    SELECT doc_id, venue_score, venue_flags, datetime_score, datetime_flags,
+           -- Python-round: decide on the binary value (see quality.python_round)
+           CASE WHEN scaled - floor(scaled) = 0.5
+                THEN (CASE WHEN CAST(floor(scaled) AS BIGINT) % 2 = 0
+                           THEN floor(scaled) ELSE floor(scaled) + 1 END) / 1000.0
+                WHEN scaled - floor(scaled) > 0.5 THEN (floor(scaled) + 1) / 1000.0
+                ELSE floor(scaled) / 1000.0 END AS overall
+    FROM with_scaled
+    """,
+)
+def q53_quality_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime as _dt
+
+    from ..functions.quality import overall_score, score_datetime_info, score_venue_info
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    venue_t = (
+        "struct<name:string,address:struct<street:string,city:string,full_address:string>,"
+        "coordinates:struct<type:string,coordinates:array<double>>>"
+    )
+    name = (
+        F.when(i % 4 == 1, "Amnesia Terrace")
+        .when(i % 4 == 2, "Random Hall")
+        .when(i % 4 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Club "), i.cast("string")))
+    )
+    coords_arr = (
+        F.when(i % 6 == 0, F.array(F.lit(1.4), F.lit(38.9)))
+        .when(i % 6 == 1, F.array(F.lit(2.65), F.lit(39.57)))
+        .when(i % 6 == 2, F.array(F.lit(1.4)))
+        .otherwise(F.lit(None).cast("array<double>"))
+    )
+    venue = F.when(i % 9 == 8, F.lit(None).cast(venue_t)).otherwise(
+        F.struct(
+            name.alias("name"),
+            F.struct(
+                F.when(i % 3 == 1, "Carrer de Y 9").otherwise(F.lit(None).cast("string")).alias("street"),
+                F.when(i % 5 == 0, "Ibiza Town").when(i % 5 == 1, "Palma").otherwise(F.lit(None).cast("string")).alias("city"),
+                F.when(i % 3 == 0, "Carrer de X 5, 07800 Ibiza").otherwise(F.lit(None).cast("string")).alias("full_address"),
+            ).alias("address"),
+            F.struct(
+                F.when(coords_arr.isNotNull(), "Point").otherwise(F.lit(None).cast("string")).alias("type"),
+                coords_arr.alias("coordinates"),
+            ).alias("coordinates"),
+        )
+    )
+    dt_t = (
+        "struct<start_date:string,end_date:string,timezone:string,"
+        "recurring:struct<is_recurring:boolean,pattern_description:string>>"
+    )
+    start = F.when((i % 7 == 0) | (i % 5 == 2), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("2025-"),
+            F.lpad((i % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((i % 28 + 1).cast("string"), 2, "0"),
+            F.lit(" 23:00:00"),
+        )
+    )
+    dtc = F.when(i % 11 == 10, F.lit(None).cast(dt_t)).otherwise(
+        F.struct(
+            start.alias("start_date"),
+            F.lit(None).cast("string").alias("end_date"),
+            F.when(i % 4 == 0, "Europe/Madrid").when(i % 4 == 1, "UTC").otherwise(F.lit(None).cast("string")).alias("timezone"),
+            F.lit(None).cast("struct<is_recurring:boolean,pattern_description:string>").alias("recurring"),
+        )
+    )
+    now = _dt(2025, 6, 1, 0, 0, 0)
+    vs = score_venue_info(venue)
+    ds = score_datetime_info(dtc, now=now)
+    return d.select(
+        "doc_id",
+        vs["score"].alias("venue_score"),
+        F.array_join(vs["flags"], ",").alias("venue_flags"),
+        ds["score"].alias("datetime_score"),
+        F.array_join(ds["flags"], ",").alias("datetime_flags"),
+        overall_score(
+            F.lit(0.0), vs["score"], ds["score"], F.lit(0.0), F.lit(0.0)
+        ).alias("overall"),
+    )
