@@ -1,4 +1,4 @@
-"""Training-data pipeline sampling/splitting + refine-core queries (q47-q50).
+"""Training-data sampling/splitting + quality-engine gate queries (q47-q54).
 
 The dataset-construction ops every large-scale training pipeline needs on
 top of dedup/similarity: deterministic splits, per-group quotas (data
@@ -483,4 +483,129 @@ def q53_quality_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
         overall_score(
             F.lit(0.0), vs["score"], ds["score"], F.lit(0.0), F.lit(0.0)
         ).alias("overall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — the remaining D1 scorers (acts R1, ticketing R2/A13) under the gate,
+# closing out the quality engine: every scorer family is now hash-verified
+# cross-engine. The Spark side runs the real HOF operators over constructed
+# arrays/structs; the oracle states the per-case outcome with the same
+# double arithmetic in the same accumulation order.
+@_register(
+    "q54_acts_ticketing_scores",
+    """
+    WITH c AS (SELECT doc_id, doc_id % 5 AS am, doc_id % 7 AS tm FROM documents),
+    scored AS (
+        SELECT doc_id,
+            CASE WHEN am IN (0, 1) THEN CAST(0.0 AS DOUBLE)
+                 WHEN am = 2 THEN least(CAST(0.4 AS DOUBLE) + CAST(0.4 AS DOUBLE) * (1.0 / 1.0) + 0.0, CAST(1.0 AS DOUBLE))
+                 WHEN am = 3 THEN least(CAST(0.4 AS DOUBLE) + CAST(0.4 AS DOUBLE) * (1.0 / 2.0) + CAST(0.1 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 ELSE least(CAST(0.4 AS DOUBLE) + CAST(0.4 AS DOUBLE) * (3.0 / 3.0) + CAST(0.2 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 END AS acts_score,
+            CASE WHEN am IN (0, 1) THEN 'missing_acts_data'
+                 WHEN am = 3 THEN 'missing_act_name_in_list'
+                 ELSE '' END AS acts_flags,
+            CASE tm
+                 WHEN 0 THEN CAST(0.0 AS DOUBLE)
+                 WHEN 1 THEN CAST(0.5 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.05 AS DOUBLE) + 0.0 + 0.0 + 0.0 + 0.0 + 0.0
+                 WHEN 2 THEN CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) + 0.0 + 0.0 + 0.0 + 0.0 + 0.0 + 0.0
+                 WHEN 3 THEN CAST(0.1 AS DOUBLE) + 0.0 + 0.0 + CAST(0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (1.0 / 2.0) + CAST(0.05 AS DOUBLE) + CAST(0.05 AS DOUBLE) + 0.0
+                 WHEN 4 THEN 0.0 + 0.0 + 0.0 + CAST(0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (1.0 / 1.0) + CAST(0.05 AS DOUBLE) + 0.0 + 0.0
+                 WHEN 5 THEN CAST(0.5 AS DOUBLE) + 0.0 + 0.0 + CAST(0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (1.0 / 1.0) + CAST(0.05 AS DOUBLE) + 0.0 + 0.0
+                 ELSE CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.05 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * (3.0 / 3.0) + CAST(0.05 AS DOUBLE) + CAST(0.05 AS DOUBLE) + CAST(0.05 AS DOUBLE)
+                 END AS ticket_score,
+            CASE tm
+                 WHEN 0 THEN 'missing_ticketing_data'
+                 WHEN 1 THEN ''
+                 WHEN 2 THEN 'invalid_tickets_url,missing_tiers_for_paid_event_or_invalid_format'
+                 WHEN 3 THEN 'missing_tickets_url_for_paid_event'
+                 WHEN 4 THEN 'missing_is_free_status,very_high_ticket_price'
+                 WHEN 5 THEN 'very_low_ticket_price'
+                 ELSE '' END AS ticket_flags
+        FROM c
+    ),
+    with_scaled AS (
+        SELECT *,
+               (CAST(0.0 AS DOUBLE) * 0.25 + CAST(0.0 AS DOUBLE) * 0.20
+                + CAST(0.0 AS DOUBLE) * 0.25 + acts_score * 0.15
+                + ticket_score * 0.15) / CAST(1.0 AS DOUBLE) * 1000.0 AS scaled
+        FROM scored
+    )
+    SELECT doc_id, acts_score, acts_flags, ticket_score, ticket_flags,
+           CASE WHEN scaled - floor(scaled) = 0.5
+                THEN (CASE WHEN CAST(floor(scaled) AS BIGINT) % 2 = 0
+                           THEN floor(scaled) ELSE floor(scaled) + 1 END) / 1000.0
+                WHEN scaled - floor(scaled) > 0.5 THEN (floor(scaled) + 1) / 1000.0
+                ELSE floor(scaled) / 1000.0 END AS overall
+    FROM with_scaled
+    """,
+)
+def q54_acts_ticketing_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import overall_score, score_acts_info, score_ticketing_info
+
+    d = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    am, tm = i % 5, i % 7
+
+    def act(name):
+        return F.struct(F.lit(name).cast("string").alias("act_name"))
+
+    acts_t = "array<struct<act_name:string>>"
+    acts = (
+        F.when(am == 0, F.lit(None).cast(acts_t))
+        .when(am == 1, F.array().cast(acts_t))
+        .when(am == 2, F.array(act("Act A")))
+        .when(am == 3, F.array(act("Act A"), act("")))
+        .otherwise(F.array(act("Act A"), act("Act B"), act("Act C")))
+    )
+
+    def tier(name, price, cur):
+        return F.struct(
+            F.lit(name).cast("string").alias("tier_name"),
+            F.lit(price).cast("double").alias("tier_price"),
+            F.lit(cur).cast("string").alias("currency"),
+        )
+
+    tiers_t = "array<struct<tier_name:string,tier_price:double,currency:string>>"
+    age_t = "struct<minimum_age:int,restriction_type:string>"
+    tick_t = (
+        "struct<is_free:boolean,tickets_url:string,"
+        f"tiers:{tiers_t.replace('array<', 'array<')},age_restriction:{age_t}>"
+    )
+
+    def tick(is_free, url, tiers, age_min):
+        return F.struct(
+            F.lit(is_free).cast("boolean").alias("is_free"),
+            F.lit(url).cast("string").alias("tickets_url"),
+            (tiers if tiers is not None else F.lit(None).cast(tiers_t)).alias("tiers"),
+            F.struct(
+                F.lit(age_min).cast("int").alias("minimum_age"),
+                F.lit(None).cast("string").alias("restriction_type"),
+            ).alias("age_restriction"),
+        )
+
+    ticketing = (
+        F.when(tm == 0, F.lit(None).cast(tick_t))
+        .when(tm == 1, tick(True, "https://t.example/x", None, None))
+        .when(tm == 2, tick(False, "ticket.example/x", None, None))
+        .when(tm == 3, tick(False, None, F.array(tier("GA", 25.0, "EUR"), tier("", 30.0, "EUR")), None))
+        .when(tm == 4, tick(None, None, F.array(tier("VIP", 600.0, "EUR")), None))
+        .when(tm == 5, tick(True, None, F.array(tier("Promo", 2.0, "EUR")), None))
+        .otherwise(
+            tick(False, "https://t.example/y",
+                 F.array(tier("A", 10.0, "EUR"), tier("B", 20.0, "EUR"), tier("C", 30.0, "EUR")), 18)
+        )
+    )
+    a_s = score_acts_info(acts)
+    t_s = score_ticketing_info(ticketing)
+    return d.select(
+        "doc_id",
+        a_s["score"].alias("acts_score"),
+        F.array_join(a_s["flags"], ",").alias("acts_flags"),
+        t_s["score"].alias("ticket_score"),
+        F.array_join(t_s["flags"], ",").alias("ticket_flags"),
+        overall_score(F.lit(0.0), F.lit(0.0), F.lit(0.0), a_s["score"], t_s["score"]).alias(
+            "overall"
+        ),
     )
