@@ -52,10 +52,16 @@ def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colu
 def nearest_within_km(df, lon: Column, lat: Column, center_lon: float, center_lat: float, km: float):
     """Box prefilter (sargable, partition-prunable) + exact haversine —
     the scale-correct pattern for radius queries without a geo index."""
-    deg = km / 111.0  # ~degrees per km latitude; slightly generous for lon
+    import math
+
+    lat_deg = km / 111.0  # ~degrees per km of latitude
+    # One degree of longitude spans ~111*cos(lat) km, so the lon window must
+    # be WIDER by 1/cos(lat) or points near the E/W edge are silently lost
+    # (at Ibiza latitude 1° lon ≈ 86.7 km). Clamp cos for near-polar centers.
+    lon_deg = km / (111.0 * max(math.cos(math.radians(center_lat)), 1e-6))
     boxed = df.filter(
-        lon.between(center_lon - deg, center_lon + deg)
-        & lat.between(center_lat - deg, center_lat + deg)
+        lon.between(center_lon - lon_deg, center_lon + lon_deg)
+        & lat.between(center_lat - lat_deg, center_lat + lat_deg)
     )
     return (
         boxed.withColumn(

@@ -38,9 +38,17 @@ def generate_unique_id(prefix: str, identifier: Column) -> Column:
 
 
 def composite_event_id(*fields: Column) -> Column:
-    """sha256 of "|"-joined key fields; null → "none", else lower(trim(str))."""
+    """sha256 of "|"-joined key fields; null → "none", else lower(strip(str)).
+
+    The reference strips with Python ``str.strip()`` (ALL whitespace); SQL
+    TRIM strips only ' ', so fields edged with tab/newline would hash to a
+    different event_id and break dedup/upsert key parity. Strip with a
+    ``\\s`` regex instead (same pitfall as strings._strip_ws).
+    """
     parts = [
-        F.when(f.isNull(), F.lit("none")).otherwise(F.lower(F.trim(f.cast("string"))))
+        F.when(f.isNull(), F.lit("none")).otherwise(
+            F.lower(F.regexp_replace(f.cast("string"), r"^\s+|\s+$", ""))
+        )
         for f in fields
     ]
     return F.sha2(F.concat_ws("|", *parts), 256)

@@ -139,6 +139,15 @@ def merge_upsert_partitioned(
     ]
     if not touched:
         return []
+    # A NULL partition value would be written as __HIVE_DEFAULT_PARTITION__
+    # in staging, but the swap loop below builds "col=None" paths (never
+    # found → rows silently dropped) and isin(touched) can't prune NULLs.
+    # Callers must coalesce to a sentinel first (stream_ingest does).
+    if any(v is None for v in touched):
+        raise ValueError(
+            f"merge_upsert_partitioned: NULL values in partition column "
+            f"{partition_col!r}; coalesce to a sentinel before merging"
+        )
 
     exists = os.path.exists(target_path)
     if exists:

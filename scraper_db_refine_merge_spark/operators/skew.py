@@ -42,8 +42,18 @@ def salted_join(
     ×``n_salts`` so every (key, salt) bucket finds its match. Shuffle volume
     for the replicated side grows ×n_salts — use when that side is much
     smaller than the skewed side but too big (or too dynamic) to broadcast.
-    Result equals ``skewed.join(other, on, how)`` row-for-row.
+
+    Result equals ``skewed.join(other, on, how)`` row-for-row for
+    ``inner``/``left``/``left_semi``/``left_anti`` ONLY: for right/full
+    outer joins the replicated side's unmatched rows would surface once per
+    salt (n_salts duplicates), so those modes are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} — right/full "
+            "outer would duplicate unmatched replicated-side rows n_salts times"
+        )
     salt_from = salt_from or skewed.columns
     s = with_salt(skewed, salt_from, n_salts)
     r = other.withColumn(

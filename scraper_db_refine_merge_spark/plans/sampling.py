@@ -172,9 +172,12 @@ def q49_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN lower(title) SIMILAR TO '.*(live|concert|band).*' THEN 'concert'
                 ELSE 'club_night' END AS event_type,
            sha256(concat_ws('|',
-               CASE WHEN title IS NULL THEN 'none' ELSE lower(trim(title)) END,
-               CASE WHEN date_str IS NULL THEN 'none' ELSE lower(trim(date_str)) END,
-               CASE WHEN venue IS NULL THEN 'none' ELSE lower(trim(venue)) END,
+               CASE WHEN title IS NULL THEN 'none'
+                    ELSE lower(regexp_replace(title, '^\s+|\s+$', '', 'g')) END,
+               CASE WHEN date_str IS NULL THEN 'none'
+                    ELSE lower(regexp_replace(date_str, '^\s+|\s+$', '', 'g')) END,
+               CASE WHEN venue IS NULL THEN 'none'
+                    ELSE lower(regexp_replace(venue, '^\s+|\s+$', '', 'g')) END,
                'stream.example.com')) AS event_id
     FROM cleaned
     """,

@@ -7,8 +7,11 @@ Spark's built-in session window only aggregates; the reference-style session
 needs custom per-session payload (first/last event types, value sum, event
 count) AND explicit control over when a session is considered closed — a
 per-key state machine. State is one open session per user: O(active users)
-memory, bounded by the gap timeout; emitted rows are *closed* sessions, so
-downstream consumers (MERGE, metrics) see append-only finalized facts.
+memory, genuinely bounded because idle keys time out — a processing-time
+timeout of the session gap flushes the open session and ``state.remove()``s
+the key, so a user who never returns doesn't pin state forever. Emitted
+rows are *closed* sessions, so downstream consumers (MERGE, metrics) see
+append-only finalized facts.
 
 At scale: state is hash-partitioned by user_id across executors (the same
 shuffle a groupBy would pay), checkpointed via the streaming checkpoint dir;
@@ -56,6 +59,18 @@ STATE_SCHEMA = StructType(
 _US = 1_000_000
 
 
+def _closed_frame(user_id: Any, closed: list[tuple[int, int, int, float]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+            "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+            "n_events": [c[2] for c in closed],
+            "total_value": [round(c[3], 2) for c in closed],
+        }
+    )
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -63,6 +78,18 @@ def _sessionize_group(
     gap_minutes: float,
 ) -> Iterator[pd.DataFrame]:
     gap_us = int(gap_minutes * 60 * _US)
+    gap_ms = max(int(gap_minutes * 60 * 1000), 1)
+
+    if state.hasTimedOut:
+        # No new events for this user within the gap (processing time):
+        # the open session is final — emit it and free the state slot.
+        if state.exists:
+            start_us, end_us, n_events, total_value = state.get
+            state.remove()
+            if start_us is not None:
+                yield _closed_frame(key[0], [(start_us, end_us, n_events, total_value)])
+        return
+
     rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
     ts_us = (rows["ts"].astype("int64")).tolist()  # ns → we convert below
     ts_us = [t // 1000 for t in ts_us]
@@ -88,25 +115,23 @@ def _sessionize_group(
             total_value += float(v)
 
     state.update((start_us, end_us, n_events, total_value))
+    # Re-arm the idle timer: if no further event for this user arrives
+    # within the gap, the hasTimedOut branch above emits the open session.
+    state.setTimeoutDuration(gap_ms)
 
     if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(closed),
-                "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
-                "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
-                "n_events": [c[2] for c in closed],
-                "total_value": [round(c[3], 2) for c in closed],
-            }
-        )
+        yield _closed_frame(key[0], closed)
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     """Gap-based sessionization over a stream of ``(user_id, ts, value)``.
 
-    Emits one row per CLOSED session (a new event from the same user more
-    than ``gap_minutes`` after the previous one closes the open session).
-    The still-open session per user lives in managed state.
+    Emits one row per CLOSED session. A session closes two ways: a new
+    event from the same user more than ``gap_minutes`` after the previous
+    one (event-time gap), or ``gap_minutes`` of processing time passing
+    with no new events for that user (idle timeout — emits the open
+    session and removes the state, keeping state size O(active users)
+    rather than O(all users ever seen)).
     """
 
     def fn(key, pdfs, state):
@@ -120,6 +145,6 @@ def sessionize_stream(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

@@ -75,6 +75,19 @@ def test_composite_event_id_sha256(spark):
     assert got == expected
 
 
+def test_composite_event_id_strips_all_whitespace(spark):
+    """Python str.strip() removes tab/newline, SQL TRIM doesn't — fields
+    edged with non-space whitespace must hash like the reference."""
+    import hashlib
+
+    fields = ["\tGlitterbox \n", "2025-05-25", " DC-10\x0b", "ibiza-spotlight.com"]
+    expected = hashlib.sha256(
+        "|".join(str(f).lower().strip() for f in fields).encode()
+    ).hexdigest()
+    got = _one(spark, composite_event_id(*[F.lit(f) for f in fields]))
+    assert got == expected
+
+
 # ---------------------------------------------------------------- F1-F3 dates
 def test_parse_multi_format(spark):
     cases = {

@@ -71,3 +71,19 @@ def test_nearest_within_km(spark):
     # ordered nearest-first
     dists = [r["distance_km"] for r in got]
     assert dists == sorted(dists)
+
+
+def test_nearest_within_km_lon_window_at_latitude(spark):
+    """The box prefilter must widen its lon window by 1/cos(lat): at Ibiza
+    latitude 1° lon ≈ 86.7 km, so a point due east at ~17 km is only ~0.196°
+    away in lon — outside a naive km/111° window (0.18°) but inside 20 km."""
+    center_lon, center_lat = 1.4091, 38.9067
+    east = (center_lon + 0.196, center_lat)  # ~17 km due east, < 20 km radius
+    df = spark.createDataFrame(
+        [("east_edge", *east)], "name string, lon double, lat double"
+    )
+    got = nearest_within_km(
+        df, F.col("lon"), F.col("lat"), center_lon=center_lon, center_lat=center_lat, km=20.0
+    ).collect()
+    assert [r["name"] for r in got] == ["east_edge"]
+    assert got[0]["distance_km"] < 20.0

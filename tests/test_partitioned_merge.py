@@ -61,3 +61,18 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
         for r in spark.read.parquet(target).select("event_id", "value").collect()
     }
     assert out == {"e1": 99.0, "e2": 2.0, "e3": 3.0, "e4": 4.0, "e5": 5.0}
+
+
+def test_partitioned_merge_rejects_null_partition_values(spark, tmp_path):
+    """NULL partition values would land in __HIVE_DEFAULT_PARTITION__ and be
+    silently dropped by the swap loop — must be rejected at entry."""
+    import pytest
+
+    batch = spark.createDataFrame(
+        [("e1", "2024-01-01", 1.0), ("e2", None, 2.0)],
+        "event_id string, day string, value double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert_partitioned(
+            spark, str(tmp_path / "t"), batch, key_cols=["event_id"], partition_col="day"
+        )

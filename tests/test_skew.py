@@ -20,6 +20,18 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would surface unmatched replicated-side rows once
+    per salt — the operator must refuse those modes."""
+    import pytest
+
+    a = spark.createDataFrame([(1, "x")], "k int, v string")
+    b = spark.createDataFrame([(1, "y")], "k int, w string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(a, b, on=["k"], how=how, salt_from=["v"])
+
+
 def test_salted_latest_per_key_equals_single_window(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     order = [F.col("ts").desc(), F.col("event_id").asc()]

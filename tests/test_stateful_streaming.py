@@ -72,6 +72,51 @@ def test_stateful_sessionization_across_batches(spark, tmp_path):
     assert str(row["session_end"]) == "2024-01-01 10:01:00"
 
 
+def test_stateful_sessionization_idle_timeout_flushes_open_session(spark, tmp_path):
+    """A user who never returns must still get their open session emitted:
+    the processing-time timeout (= the gap) fires on a later batch with no
+    data for that user, flushes the session, and removes the state."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # batch 1: only user 1
+    _write_batch(
+        str(landing / "001.json"),
+        [{"user_id": 1, "ts": "2024-01-01 10:00:00", "value": 4.0}],
+        mtime=1_700_000_000,
+    )
+    # batch 2: only user 2 — by the time this batch runs, user 1's tiny
+    # processing-time timeout (60 ms) has long expired, so their open
+    # session is flushed via the hasTimedOut branch.
+    _write_batch(
+        str(landing / "002.json"),
+        [{"user_id": 2, "ts": "2024-01-01 10:00:30", "value": 1.0}],
+        mtime=1_700_000_060,
+    )
+
+    stream = (
+        spark.readStream.schema(STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    sessions = sessionize_stream(stream, gap_minutes=0.001)  # 60 ms timeout
+
+    collected: list = []
+
+    q = (
+        sessions.writeStream.foreachBatch(lambda b, _: collected.extend(b.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    flushed = [r for r in collected if r["user_id"] == 1]
+    assert len(flushed) == 1, f"user 1's open session not flushed: {collected}"
+    assert flushed[0]["n_events"] == 1
+    assert flushed[0]["total_value"] == 4.0
+
+
 def test_stream_ingest_partitioned_merge(spark, tmp_path):
     """Partition-pruned streaming MERGE: cross-batch re-scrape updates in
     place, table lands hive-partitioned by event_date."""
