@@ -197,6 +197,10 @@ def evaluate_rules(
     """Adds ``dq_rule_results: array<struct<rule_id,severity,field,passed>>``.
 
     One projection; the only shuffle is the C001 uniqueness window count.
+    A predicate that evaluates to NULL (three-valued SQL logic over missing
+    fields, e.g. C008 with NULL ``is_free`` and no tiers) counts as a FAIL —
+    an unevaluable rule must not count as passed, and the rollup's failure
+    count and pass rate must agree on it.
     """
     now = now or datetime.now(timezone.utc)
     rules = rules or RULES
@@ -208,7 +212,7 @@ def evaluate_rules(
             F.lit(r.rule_id).alias("rule_id"),
             F.lit(r.severity).alias("severity"),
             F.lit(r.field).alias("field"),
-            r.predicate(df, now).alias("passed"),
+            F.coalesce(r.predicate(df, now), F.lit(False)).alias("passed"),
         )
         for r in rules
     ]

@@ -2,11 +2,11 @@
 
 from __future__ import annotations
 
-from . import multimodalq, relational, relational2, sampling, textqueries, vectors
+from . import dq, multimodalq, relational, relational2, sampling, textqueries, vectors
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling):
+for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -177,6 +177,64 @@ def q42_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q55 — embedding-cosine near-dup pairs via multi-table LSH: the 100 TB
+# path (VERDICT r1 item 1). Candidate generation is a bucket equi-join
+# (OR-amplified over 4 independent 6-plane tables), verify is restricted to
+# candidates — no all-pairs, no driver collect. The md5-derived planes
+# mirror exactly in DuckDB (same construction q30 proved), so this carries
+# a full value-hash oracle; q42's brute force stays as the recall baseline.
+
+_ND_PLANES, _ND_TABLES, _ND_THRESHOLD = 6, 4, 0.4
+
+
+def _sql_table_bucket(t: int, planes: int) -> str:
+    """Mirror of hyperplane_bucket(vec, planes, table=t) with the 't|' prefix
+    cosine_near_dup_pairs adds so buckets never collide across tables."""
+    bits = " || ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {_sql_plane(p)})) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in range(t * planes, (t + 1) * planes)
+    )
+    return f"('{t}|' || {bits})"
+
+
+@_register(
+    "q55_lsh_near_dup",
+    f"""
+    WITH b AS (
+        SELECT vec_id AS vid,
+               unnest([{", ".join(_sql_table_bucket(t, _ND_PLANES) for t in range(_ND_TABLES))}]) AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT a.vid AS a_id, c.vid AS b_id
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vid < c.vid
+    ),
+    pairs AS (
+        SELECT cand.a_id, cand.b_id, ea.embedding AS qv, eb.embedding AS cv
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.a_id
+        JOIN embeddings eb ON eb.vec_id = cand.b_id
+    ),
+    scored AS (
+        SELECT a_id, b_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM pairs
+    )
+    SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= {_ND_THRESHOLD}
+    """,
+)
+def q55_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        e, threshold=_ND_THRESHOLD, num_planes=_ND_PLANES, num_tables=_ND_TABLES
+    )
+
+
+# --------------------------------------------------------------------------
 # q43 — IVF-style approximate top-k: per-label centroids as the coarse
 # quantizer, nprobe=2 cells probed per query. Deterministic end-to-end
 # (exact-decimal centroids, rounded sims, total-order tie-breaks), so unlike
