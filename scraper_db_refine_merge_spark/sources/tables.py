@@ -9,7 +9,11 @@ here assumes single-file inputs.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,19 +34,75 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _events_cache_path(src: str) -> str:
+    """Cache key = source path + mtime + size, so a regenerated testdata file
+    invalidates automatically."""
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.environ.get(
+        "SPARK_GRAFT_CACHE_DIR", os.path.join(tempfile.gettempdir(), "spark_graft_cache")
+    )
+    return os.path.join(root, f"events_micros_{key}.parquet")
+
+
+def _load_events_raw(spark: SparkSession, src: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    # read as raw long; convert ns → µs (floor, matching every µs-native
+    # engine's truncation) and rebuild a proper TimestampType column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(src)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def normalize_events(spark: SparkSession, sf_dir: str) -> str:
+    """One-time NANOS→MICROS rewrite of the events table (ingest
+    normalization). The raw-ns path wraps ``ts`` in ``timestamp_micros(...)``,
+    which is not a pushable expression — every ts-window query full-scans.
+    Rewritten as native TIMESTAMP(MICROS) parquet, ts predicates reach
+    PushedFilters and row-group stats skip cold date ranges; at 100 TB this
+    is the difference between scanning a day and scanning a year.
+
+    Values are identical to the raw path (same floor division). Returns the
+    normalized table path; concurrent builders race benignly (atomic rename,
+    first writer wins).
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = _events_cache_path(src)
+    if os.path.exists(dst):
+        return dst
+    df = _load_events_raw(spark, src)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = f"{dst}.__tmp__{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    # INT96 (a possible default) has no predicate pushdown — force MICROS
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    try:
+        os.rename(tmp, dst)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent writer won
+    return dst
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-        # read as raw long; convert ns → µs (floor, matching every µs-native
-        # engine's truncation) and rebuild a proper TimestampType column.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        if os.environ.get("SPARK_GRAFT_EVENTS_CACHE", "1") != "0":
+            try:
+                return spark.read.parquet(normalize_events(spark, sf_dir))
+            except Exception:
+                pass  # cache unavailable (read-only tmp, race) → raw path
+        return _load_events_raw(spark, src)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
