@@ -123,6 +123,50 @@ def test_merge_upsert_and_stats(spark, tmp_path):
     assert stats.updated == 1 and stats.inserted == 1
     assert stats.target_rows_after == 3
 
+
+def test_merge_upsert_delta_backend_requires_delta(spark, tmp_path):
+    """backend='delta' must fail loudly, not silently fall back, when
+    delta-spark is absent or the session lacks the Delta extension."""
+    from scraper_db_refine_merge_spark.operators.merge import delta_available
+
+    df = spark.createDataFrame([("e1", 1)], "event_id string, v int")
+    if not delta_available(spark):
+        with pytest.raises(RuntimeError, match="delta"):
+            merge_upsert(spark, str(tmp_path / "t"), df, ["event_id"], backend="delta")
+    else:
+        stats = merge_upsert(spark, str(tmp_path / "t"), df, ["event_id"], backend="delta")
+        assert stats.inserted == 1
+
+
+def test_merge_upsert_delta_roundtrip(spark, tmp_path):
+    """Same merge_upsert API on the Delta backend: transactional MERGE INTO
+    with cross-partition atomicity from the Delta log. Skipped when the
+    container has no delta-spark."""
+    pytest.importorskip("delta")
+    from scraper_db_refine_merge_spark.operators.merge import delta_available
+
+    if not delta_available(spark):
+        pytest.skip("session built without Delta SQL extension")
+
+    target = str(tmp_path / "delta_table")
+    base = spark.createDataFrame(
+        [("e1", "v1", 1), ("e2", "v1", 1)], "event_id string, payload string, version int"
+    )
+    stats0 = merge_upsert(spark, target, base, ["event_id"], [F.col("version").desc()])
+    assert stats0.inserted == 2
+
+    batch = spark.createDataFrame(
+        [("e2", "v2", 2), ("e2", "v3", 3), ("e3", "v1", 1)],
+        "event_id string, payload string, version int",
+    )
+    stats = merge_upsert(spark, target, batch, ["event_id"], [F.col("version").desc()])
+    assert stats.total_incoming == 3
+    assert stats.within_batch_duplicates == 1
+    assert stats.updated == 1 and stats.inserted == 1
+    assert stats.target_rows_after == 3
+    rows = {r["event_id"]: r["payload"] for r in spark.read.format("delta").load(target).collect()}
+    assert rows == {"e1": "v1", "e2": "v3", "e3": "v1"}
+
     final = {r["event_id"]: r["payload"] for r in spark.read.parquet(target).collect()}
     assert final == {"e1": "v1", "e2": "v3", "e3": "v1"}
 
