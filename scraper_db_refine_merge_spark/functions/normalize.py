@@ -63,20 +63,47 @@ def _literal_map(d: dict[str, str]) -> Column:
     return F.create_map(*[F.lit(x) for x in chain.from_iterable(d.items())])
 
 
+# word boundaries for Python str.title(): transitions between letter and
+# non-letter (lookarounds keep the delimiters themselves intact)
+_LETTER_EDGE = r"(?<=\p{L})(?=\P{L})|(?<=\P{L})(?=\p{L})"
+
+
 def _title_case(c: Column) -> Column:
-    """Python ``str.title()`` approximation: initcap within hyphen segments
-    (initcap alone would lowercase after '-')."""
-    return F.array_join(F.transform(F.split(c, "-"), F.initcap), "-")
+    """Python ``str.title()`` faithful: every letter-run becomes
+    upper(first) + lower(rest); non-letters pass through AND delimit words,
+    so "drum&bass" → "Drum&Bass", "x3x" → "X3X", "don't" → "Don'T" — all
+    exactly as CPython. (Known divergence: one-to-many case maps — Java
+    upper('ß') = 'SS' where Python titlecases to 'Ss'.)"""
+    parts = F.split(c, _LETTER_EDGE)
+    return F.array_join(
+        F.transform(
+            parts,
+            lambda x: F.when(
+                x.rlike(r"^\p{L}"),
+                F.concat(
+                    F.upper(F.substring(x, 1, 1)), F.lower(F.substring(x, 2, 2147483647))
+                ),
+            ).otherwise(x),
+        ),
+        "",
+    )
 
 
 def normalize_venue_name(venue: Column) -> Column:
-    """Lowercase-key lookup, identity fallback (F15)."""
-    return F.coalesce(F.element_at(_literal_map(VENUE_MAP), F.lower(F.trim(venue))), venue)
+    """Lowercase-key lookup, identity fallback (F15). Key uses python_strip:
+    the reference keys with str.strip(), so 'pacha\\t' must hit the map."""
+    from .strings import python_strip
+
+    return F.coalesce(
+        F.element_at(_literal_map(VENUE_MAP), F.lower(python_strip(venue))), venue
+    )
 
 
 def normalize_genre(genre: Column) -> Column:
     """Lookup else title-case (F16, schema_adapter_enhanced.py:375-381)."""
-    key = F.lower(F.trim(genre))
+    from .strings import python_strip
+
+    key = F.lower(python_strip(genre))
     return F.when(genre.isNull() | (genre == ""), F.lit("")).otherwise(
         F.coalesce(F.element_at(_literal_map(GENRE_MAP), key), _title_case(genre))
     )
@@ -84,9 +111,13 @@ def normalize_genre(genre: Column) -> Column:
 
 def normalize_genres(genres: Column) -> Column:
     """Elementwise genre normalization over an array (HOF, no explode)."""
-    key = lambda g: F.lower(F.trim(g))  # noqa: E731
+    from .strings import python_strip
+
     m = _literal_map(GENRE_MAP)
-    return F.transform(genres, lambda g: F.coalesce(F.element_at(m, key(g)), _title_case(g)))
+    return F.transform(
+        genres,
+        lambda g: F.coalesce(F.element_at(m, F.lower(python_strip(g))), _title_case(g)),
+    )
 
 
 def timezone_from_location(location: Column) -> Column:

@@ -21,6 +21,18 @@ def _strip_ws(c: Column) -> Column:
     return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
+# Python str.strip()'s whitespace set beyond Java \s: the \x1c-\x1f info
+# separators, NEL (\x85), and every Unicode space separator (\p{Z}).
+_PY_WS = r"[\s\x1c-\x1f\p{Z}]"
+
+
+def python_strip(c: Column) -> Column:
+    """Full-parity Python ``str.strip()``: strips everything ``str.isspace()``
+    considers whitespace, not just Java's ``\\s``. Use where key parity with
+    reference dict lookups matters (normalize.py maps)."""
+    return F.regexp_replace(c, f"^{_PY_WS}+|{_PY_WS}+$", "")
+
+
 def normalize_whitespace(c: Column) -> Column:
     """strip + collapse all whitespace runs to ' ', empty → NULL
     (scrapers_v2/data_quality/cleaning.py:5-19)."""

@@ -213,6 +213,94 @@ def _py_fuzzy(s, default_tz="Europe/Madrid"):
     return dt.astimezone(_tz.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+# ----------------------------------------------------------------------
+# dictionary normalizations ≡ reference schema_adapter_enhanced.py
+# _normalize_venue_name (:272-288), FieldNormalizer.normalize_genre
+# (:343-381), detect_timezone_from_location (:383-397) — the r1 ROADMAP
+# item 7 remainder: adversarial keys (case, edge whitespace incl. unicode
+# spaces, near-misses) against plain-Python mirrors of the reference.
+
+from scraper_db_refine_merge_spark.functions.normalize import (  # noqa: E402
+    GENRE_MAP,
+    TIMEZONE_MAP,
+    VENUE_MAP,
+    normalize_genre,
+    normalize_venue_name,
+    timezone_from_location,
+)
+
+
+def _py_norm_venue(v):
+    return VENUE_MAP.get(v.lower().strip(), v)
+
+
+def _py_norm_genre(g):
+    if not g:
+        return ""
+    return GENRE_MAP.get(g.lower().strip(), g.title())
+
+
+def _py_tz(loc):
+    if not loc:
+        return "UTC"
+    low = loc.lower()
+    for city, tz in TIMEZONE_MAP.items():
+        if city in low:
+            return tz
+    return "UTC"
+
+
+# keys from the maps, case-scrambled, with edge whitespace Python strips
+# (incl. NBSP/ideographic space — beyond Java \s), plus near-miss free text.
+# ß/ligature chars excluded: Java upper() expands them 1→2, Python doesn't.
+_ws_edges = st.sampled_from(["", " ", "\t", "\n", "\x1c", " ", "　"])
+_map_keys = st.sampled_from(sorted(set(VENUE_MAP) | set(GENRE_MAP) | set(TIMEZONE_MAP)))
+_scrambled = st.builds(
+    lambda k, up, pre, post: f"{pre}{k.upper() if up else k.title()}{post}",
+    k=_map_keys,
+    up=st.booleans(),
+    pre=_ws_edges,
+    post=_ws_edges,
+)
+_free_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        blacklist_categories=("Cs",),
+        blacklist_characters="ßẞﬀﬁﬂﬃﬄﬅﬆ"
+        "İıǄǅǆǇǈǉǊǋǌ"
+        "Ǳǲǳŉ",
+    ),
+    max_size=24,
+)
+
+
+@SETTINGS
+@given(st.lists(_scrambled | _free_text, min_size=1, max_size=60))
+def test_normalize_venue_differential(spark, values):
+    got = _run(spark, values, normalize_venue_name)
+    assert got == [_py_norm_venue(v) for v in values]
+
+
+@SETTINGS
+@given(st.lists(_scrambled | _free_text, min_size=1, max_size=60))
+def test_normalize_genre_differential(spark, values):
+    got = _run(spark, values, normalize_genre)
+    expected = [_py_norm_genre(v) for v in values]
+    for v, g, e in zip(values, got, expected):
+        assert g == e, (repr(v), g, e)
+
+
+@SETTINGS
+@given(st.lists(_scrambled | _free_text | st.none(), min_size=1, max_size=60))
+def test_timezone_from_location_differential(spark, values):
+    got = _run(spark, values, timezone_from_location)
+    assert got == [_py_tz(v) for v in values]
+
+
+# ----------------------------------------------------------------------
+# fuzzy date chain ≡ dateutil (continued)
+
+
 @SETTINGS
 @given(st.lists(_dts, min_size=1, max_size=30))
 def test_fuzzy_chain_matches_dateutil_on_declared_formats(spark, dts):
