@@ -72,11 +72,21 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def decode_image(content: bytes):
-    """Real decoder slot. STUB: no imaging library is shipped in this
-    container; plug Pillow/torchvision here on a real cluster."""
+def pil_available() -> bool:
     try:
         from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(content: bytes):
+    """Decode an image blob to a PIL Image. Raises NotImplementedError when
+    no imaging library ships in the environment (this container has none —
+    the rest of the pipeline falls back to the deterministic stand-in)."""
+    try:
+        from PIL import Image
     except ImportError as e:  # pragma: no cover - the expected path here
         raise NotImplementedError(
             "image decoding requires an imaging library (e.g. Pillow); "
@@ -84,9 +94,23 @@ def decode_image(content: bytes):
         ) from e
     import io
 
-    from PIL import Image
-
     return Image.open(io.BytesIO(content))
+
+
+def real_image_features(content: bytes, dim: int = FEATURE_DIM):
+    """Real decode + feature path (used when Pillow is importable):
+    (width, height, features) where features is an 8×8 grayscale thumbnail
+    flattened to ``dim`` floats in [-1, 1] — a genuine content-based
+    embedding (perceptual-hash-style), deterministic for a given image."""
+    img = decode_image(content)
+    width, height = img.size
+    side = 8
+    thumb = img.convert("L").resize((side, side))
+    px = list(thumb.getdata())  # side*side values in 0..255
+    feats = [float(p) / 255.0 * 2.0 - 1.0 for p in px]
+    if len(feats) < dim:  # dim > 64: tile deterministically
+        feats = (feats * (dim // len(feats) + 1))[:dim]
+    return width, height, [float(x) for x in feats[:dim]]
 
 
 def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -129,6 +153,53 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 
     cols = media.select("media_id", "media_type", "content")
     return cols.mapInPandas(_extract, FEATURES_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("content_hash", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_image_features(media: DataFrame, use_decoder: str = "auto") -> DataFrame:
+    """Image decode + dims + content features over the binary column.
+
+    ``use_decoder``: "auto" decodes with Pillow when importable, else the
+    deterministic md5 stand-in (width/height NULL); "always" requires the
+    decoder (tasks fail loudly without it); "never" forces the stand-in —
+    the replay-stable mode the oracle-gated queries use. Same Arrow-batched
+    ``mapInPandas`` plumbing either way: swapping the encoder never changes
+    the plan shape, partitioning, or memory profile.
+    """
+    if use_decoder not in ("auto", "always", "never"):
+        raise ValueError(f"unknown use_decoder {use_decoder!r}")
+    decode = use_decoder == "always" or (use_decoder == "auto" and pil_available())
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "content_hash": [], "features": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                blob = bytes(content)
+                if decode:
+                    w, h, feats = real_image_features(blob)
+                else:
+                    w, h, feats = None, None, _fake_features(blob)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["content_hash"].append(hashlib.md5(blob).hexdigest())
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    cols = media.filter(F.col("media_type") == "image").select("media_id", "content")
+    return cols.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n_bytes: int = 1 << 16) -> DataFrame:

@@ -2,11 +2,11 @@
 
 from __future__ import annotations
 
-from . import dq, multimodalq, relational, relational2, sampling, textqueries, vectors
+from . import dq, multimodalq, relational, relational2, sampling, streamq, textqueries, vectors
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq):
+for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

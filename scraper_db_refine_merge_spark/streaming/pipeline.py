@@ -44,6 +44,7 @@ def stream_ingest(
     metrics_path: str | None = None,
     max_files_per_trigger: int = 16,
     partition_by_event_date: bool = False,
+    now: datetime | None = None,
 ):
     """ST1 — continuous upsert ingestion. Returns the StreamingQuery.
 
@@ -66,7 +67,9 @@ def stream_ingest(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        refined = refine(batch_df, source_platform)
+        # fixed `now` (deterministic replay / the oracle-gated q57) or
+        # wall clock (production)
+        refined = refine(batch_df, source_platform, now=now)
         if partition_by_event_date:
             from ..operators.merge import merge_upsert_partitioned
 

@@ -148,6 +148,46 @@ def test_media_stats_prunes_blob(spark, media, tmp_path):
     assert read_schema and "content" not in read_schema[0]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_raises_without_pillow():
+    from scraper_db_refine_merge_spark.multimodal.binary import pil_available
+
+    if pil_available():
+        pytest.skip("Pillow present — covered by test_extract_image_features_real_decoder")
     with pytest.raises(NotImplementedError):
         decode_image(b"not an image")
+
+
+def test_extract_image_features_fallback(media):
+    """use_decoder='never': md5 stand-in features, NULL dims — the
+    replay-stable path that works in any environment."""
+    from scraper_db_refine_merge_spark.multimodal.binary import extract_image_features
+
+    rows = {r["media_id"]: r for r in extract_image_features(media, use_decoder="never").collect()}
+    assert set(rows) == {"img1", "img2"}  # image rows only
+    for r in rows.values():
+        assert r["width"] is None and r["height"] is None
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(-1.0 <= x <= 1.0 for x in r["features"])
+
+
+def test_extract_image_features_real_decoder(spark):
+    """Real Pillow path: decode → true dims + 8×8 grayscale thumbnail
+    features. Skipped where the container ships no imaging library."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from scraper_db_refine_merge_spark.multimodal.binary import extract_image_features
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), color=(255, 0, 0)).save(buf, format="PNG")
+    rows = [("real1", "image", "image/png", buf.getvalue(), ("https://x/r.png", None, None, None, len(buf.getvalue())))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_image_features(media, use_decoder="always").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (20, 10)
+    assert len(r["features"]) == FEATURE_DIM
+    # uniform red image → uniform grayscale thumbnail → constant features
+    assert len(set(r["features"])) == 1
