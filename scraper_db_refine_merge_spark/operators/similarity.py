@@ -308,63 +308,95 @@ def brute_force_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_scale: int = 5,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding near-dup pairs: all (a < b) pairs with cosine ≥
-    threshold. O(N²) — the correctness baseline the LSH/IVF variants are
-    judged against; use ``cosine_near_dup_pairs`` (bucketed) at corpus scale.
+    threshold. O(N²) compute — the correctness baseline the LSH/IVF variants
+    are judged against; ``cosine_near_dup_pairs`` (bucketed) is the
+    sub-quadratic path at corpus scale.
 
-    Implementation: Arrow-batched ``mapInPandas`` against a broadcast corpus
-    matrix — the expression-HOF cosine is interpreted per element and is
-    ~50× slower on an N² pair space (measured 92s vs <2s at sf0.1). Float
-    parity is preserved by accumulating dot/norm SEQUENTIALLY over
-    dimensions (a Python loop of vectorized adds — the same left-to-right
-    order as the HOF ``aggregate`` and DuckDB's ``list_sum``; BLAS matmul
-    would use blocked accumulation whose rounding can diverge), and
-    rounding half-away-from-zero to match Spark/DuckDB ROUND (numpy rounds
-    half-even). The broadcast fits while N·dim is executor-memory-sized; at
-    corpus scale the same kernel runs over a block-grid crossJoin instead.
+    Fully distributed block-grid: rows hash (md5-derived, deterministic)
+    into ``num_blocks`` blocks; each of the B(B+1)/2 block pairs cogroups
+    into one ``applyInPandas`` task scoring an (N/B)×(N/B) tile with a
+    vectorized numpy kernel. Nothing is collected or broadcast — peak task
+    memory is two block matrices + one tile, and ``num_blocks`` scales the
+    tile down as N grows (tasks = B², so parallelism grows with it). The
+    expression-HOF cosine on an exploded pair space is ~50× slower
+    (measured 92s vs <2s at sf0.1) — interpreted per element, and the
+    explode materializes the pairs through a shuffle; the grid ships each
+    row only B times and materializes no pair rows.
+
+    Float parity with the HOF ``aggregate`` and DuckDB's ``list_sum``:
+    dot/norm accumulate SEQUENTIALLY over dimensions (a Python loop of
+    vectorized adds — same left-to-right order; BLAS matmul would use
+    blocked accumulation whose rounding can diverge), and rounding is
+    half-away-from-zero to match Spark/DuckDB ROUND (numpy rounds
+    half-even).
     """
     import numpy as np
     import pandas as pd
 
     id_dt = df.schema[id_col].dataType.simpleString()
-    rows_b = df.sparkSession.sparkContext.broadcast(
-        [(r[0], r[1]) for r in df.select(id_col, vec_col).collect()]
-    )
     scale = 10**round_scale
 
-    BLOCK = 512
+    block = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(num_blocks),
+    ).cast("int")
+    rows = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), block.alias("__blk"))
+    # Replicate each row to its grid cells (bi <= bj) by exploding a small
+    # int range — no self-join, each row ships at most `num_blocks` times.
+    left = rows.select(
+        "__id",
+        "__vec",
+        F.col("__blk").alias("bi"),
+        F.explode(F.sequence("__blk", F.lit(num_blocks - 1))).alias("bj"),
+    )
+    # Fresh aliases on the right: both sides derive from the same plan, and
+    # shared attribute ids across a cogroup are deduplicated away by Spark's
+    # self-join resolution (the right pdf would arrive without its columns).
+    right = rows.select(
+        F.col("__id").alias("__rid"),
+        F.col("__vec").alias("__rvec"),
+        F.explode(F.sequence(F.lit(0), "__blk")).alias("bi"),
+        F.col("__blk").alias("bj"),
+    )
 
-    def _pairs(batches):
-        ids_all = np.array([r[0] for r in rows_b.value])
-        mat = np.array([r[1] for r in rows_b.value], dtype=np.float64)
-        dim = mat.shape[1]
-        norms_all = _seq_norm(mat, dim)
-        for pdf in batches:
-            a_ids_full = pdf[id_col].to_numpy()
-            a_mat_full = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            for lo in range(0, len(a_ids_full), BLOCK):
-                a_ids = a_ids_full[lo : lo + BLOCK]
-                a_mat = a_mat_full[lo : lo + BLOCK]
-                a_norms = _seq_norm(a_mat, dim)
-                acc = np.zeros((len(a_ids), len(ids_all)))
-                for d in range(dim):  # sequential over dims: order parity
-                    acc += a_mat[:, d, None] * mat[None, :, d]
-                sims = acc / (a_norms[:, None] * norms_all[None, :])
-                sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
-                keep = (a_ids[:, None] < ids_all[None, :]) & (sims >= threshold)
-                ai, bj = np.nonzero(keep)
-                if len(ai):
-                    yield pd.DataFrame(
-                        {
-                            "a_id": a_ids[ai],
-                            "b_id": ids_all[bj],
-                            "cosine_sim": sims[ai, bj],
-                        }
-                    )
+    def _tile(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine_sim": []})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        bi, bj = key
+        a_ids = lpdf["__id"].to_numpy()
+        b_ids = rpdf["__rid"].to_numpy()
+        a_mat = np.array([list(v) for v in lpdf["__vec"]], dtype=np.float64)
+        b_mat = np.array([list(v) for v in rpdf["__rvec"]], dtype=np.float64)
+        dim = a_mat.shape[1]
+        acc = np.zeros((len(a_ids), len(b_ids)))
+        for d in range(dim):  # sequential over dims: order parity
+            acc += a_mat[:, d, None] * b_mat[None, :, d]
+        sims = acc / (_seq_norm(a_mat, dim)[:, None] * _seq_norm(b_mat, dim)[None, :])
+        sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+        if bi == bj:  # same block on both sides: strict < keeps each pair once
+            keep = (a_ids[:, None] < b_ids[None, :]) & (sims >= threshold)
+        else:  # disjoint blocks: every qualifying pair, ordered below
+            keep = sims >= threshold
+        ai, bjx = np.nonzero(keep)
+        if not len(ai):
+            return empty
+        swap = b_ids[bjx] < a_ids[ai]
+        return pd.DataFrame(
+            {
+                "a_id": np.where(swap, b_ids[bjx], a_ids[ai]),
+                "b_id": np.where(swap, a_ids[ai], b_ids[bjx]),
+                "cosine_sim": sims[ai, bjx],
+            }
+        )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        _pairs, f"a_id {id_dt}, b_id {id_dt}, cosine_sim double"
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(_tile, f"a_id {id_dt}, b_id {id_dt}, cosine_sim double")
     )
 
 
