@@ -2,11 +2,21 @@
 
 from __future__ import annotations
 
-from . import dq, multimodalq, relational, relational2, sampling, streamq, textqueries, vectors
+from . import (
+    dq,
+    multimodalq,
+    relational,
+    relational2,
+    sampling,
+    streamq,
+    temporalq,
+    textqueries,
+    vectors,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq):
+for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,123 @@
+"""asof_join / interval_join semantics on hand-built frames.
+
+The oracle gate (q58/q59) proves equivalence with the quadratic SQL forms
+on real data; these pin the operator corners the gate doesn't reach:
+forward direction, tolerance nulling, exact-tie resolution, numeric time
+columns, bucket-boundary inclusivity, and multi-bucket intervals.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scraper_db_refine_merge_spark.operators.temporal import asof_join, interval_join
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = _df(
+        spark,
+        [("u1", 100, "a"), ("u1", 205, "b"), ("u2", 50, "c"), ("u3", 10, "d")],
+        "k string, t long, tag string",
+    )
+    right = _df(
+        spark,
+        [
+            ("u1", 90, 1),
+            ("u1", 100, 2),  # exact tie with left t=100
+            ("u1", 100, 3),  # same instant: highest rid wins backward
+            ("u1", 200, 4),
+            ("u2", 60, 5),  # after u2's only left row
+        ],
+        "k string, rt long, rid long",
+    )
+    return left, right
+
+
+def _by_tag(res):
+    return {r["tag"]: r for r in res.collect()}
+
+
+def test_backward_basic(frames):
+    left, right = frames
+    out = _by_tag(
+        asof_join(left, right, "k", "t", "rt", right_tiebreak="rid", matched_time_alias="mt")
+    )
+    assert out["a"]["rid"] == 3  # tie at t=100 → simultaneous match, max rid
+    assert out["a"]["mt"] == 100
+    assert out["b"]["rid"] == 4
+    assert out["c"]["rid"] is None  # only later right rows
+    assert out["d"]["rid"] is None  # no right rows for u3
+
+
+def test_forward_basic(frames):
+    left, right = frames
+    out = _by_tag(
+        asof_join(
+            left, right, "k", "t", "rt",
+            direction="forward", right_tiebreak="rid", matched_time_alias="mt",
+        )
+    )
+    assert out["a"]["rid"] == 2  # simultaneous match, MIN rid forward
+    assert out["b"]["rid"] is None  # nothing at/after 205
+    assert out["c"]["rid"] == 5
+    assert out["d"]["rid"] is None
+
+
+def test_tolerance_nulls_far_matches(frames):
+    left, right = frames
+    out = _by_tag(
+        asof_join(
+            left, right, "k", "t", "rt",
+            tolerance_us=4, right_tiebreak="rid", matched_time_alias="mt",
+        )
+    )
+    assert out["a"]["rid"] == 3  # gap 0 <= 4
+    assert out["b"]["rid"] is None  # gap 5 > 4 → nulled
+    assert out["b"]["mt"] is None
+
+
+def test_left_row_count_preserved(frames):
+    left, right = frames
+    assert asof_join(left, right, "k", "t", "rt", right_tiebreak="rid").count() == left.count()
+
+
+def test_collision_rejected(spark, frames):
+    left, _ = frames
+    right_bad = _df(spark, [("u1", 90, "x")], "k string, rt long, tag string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right_bad, "k", "t", "rt")
+
+
+def test_interval_join_bounds_and_buckets(spark):
+    points = _df(
+        spark,
+        [("u1", 0, 1), ("u1", 10, 2), ("u1", 25, 3), ("u1", 26, 4), ("u2", 10, 5)],
+        "k string, t long, pid long",
+    )
+    intervals = _df(
+        spark,
+        [
+            ("u1", 10, 25, 100),  # inclusive both ends; spans buckets 1..3 at width 8
+            ("u2", 0, 9, 200),  # ends just before u2's point
+        ],
+        "k string, lo long, hi long, iid long",
+    )
+    rows = {
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "k", "t", "lo", "hi", bucket_width_us=8).collect()
+    }
+    assert rows == {(2, 100), (3, 100)}  # t=10 (start) and t=25 (end) in; 26 out; u2 t=10 > hi=9
+
+
+def test_interval_join_wide_interval_no_duplicates(spark):
+    # interval spans many buckets; each contained point matches exactly once
+    points = _df(spark, [("k", t, t) for t in range(0, 100, 7)], "k string, t long, pid long")
+    intervals = _df(spark, [("k", 5, 95, 1)], "k string, lo long, hi long, iid long")
+    got = interval_join(points, intervals, "k", "t", "lo", "hi", bucket_width_us=3).collect()
+    expected = [t for t in range(0, 100, 7) if 5 <= t <= 95]
+    assert sorted(r["pid"] for r in got) == expected
