@@ -100,6 +100,85 @@ def q57_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation under the gate: 1h windows,
+    2h watermark, append-mode parquet sink, three batches replayed in mtime
+    order (maxFilesPerTrigger=1). Late-data semantics are forced by
+    construction and mirrored in the oracle by constant arithmetic.
+
+    Measured Spark microbatch rule (verified empirically, and the design is
+    insensitive to the one-batch lag): the late-row FILTER in batch N uses
+    the watermark computed after batch N-2, while state EVICTION at batch
+    N's end uses the one after batch N-1 (W_k = max event time through
+    batch k, minus delay).
+
+    - batch 0: every doc at 00:30 (even doc_id) / 01:30 (odd); watermark
+      marker at 04:30 → W0 = 02:30.
+    - batch 1: docs %5==0 at 02:45 (on time either way); marker at 06:30 →
+      W1 = 04:30. Eviction with W0 closes hours 0-1.
+    - batch 2: docs %3==0 re-sent at 00:45 — LATE: window end 01:00 ≤
+      02:30 = W0 (≤ W1 too) → DROPPED; docs %7==0 at 05:15 — end 06:00 >
+      both → kept; flush marker at 23:30 → final W2 = 21:30 closes every
+      window except the marker's own [23:00, 24:00).
+
+    Expected sink: hour 0 = even docs EXACTLY ONCE (if the drop failed, the
+    already-evicted hour-0 window would re-open and emit a second row —
+    the oracle's 6-row shape verifies the drop), hour 1 = odd docs, hour 2
+    = %5 docs, hour 4 = 1 (marker), hour 5 = %7 docs, hour 6 = 1 (marker);
+    hour 23 absent. Verifies the drop rule, append-mode window closing,
+    and the final no-data flush batch — none of which a batch query
+    exercises.
+    """
+    from ..streaming.pipeline import windowed_event_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = [r[0] for r in d.select("doc_id").collect()]
+
+    root = tempfile.mkdtemp(prefix="q60_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+
+    def _row(m: int, hhmm: str) -> str:
+        return json.dumps({"ts": f"2025-06-01T{hhmm}:00+00:00", "doc_id": m})
+
+    batches = [
+        [_row(m, "00:30" if m % 2 == 0 else "01:30") for m in ids] + [_row(-1, "04:30")],
+        [_row(m, "02:45") for m in ids if m % 5 == 0] + [_row(-2, "06:30")],
+        [_row(m, "00:45") for m in ids if m % 3 == 0]
+        + [_row(m, "05:15") for m in ids if m % 7 == 0]
+        + [_row(-3, "23:30")],
+    ]
+    for i, lines in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "counts")
+    raw = (
+        spark.readStream.schema("ts timestamp, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    agg = windowed_event_counts(raw, ts_col="ts", window_len="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    t = spark.read.parquet(target)
+    return t.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("event_count").cast("bigint").alias("event_count"),
+    )
+
+
 QUERIES["q57_stream_replay"] = q57_stream_replay
 # Expected final table state: last batch that scraped each event wins
 # (b2 ⊃ m%5=0 beats b1 ⊃ m%3=0 beats b0 ⊃ all); title/venue/type/genre
@@ -119,4 +198,25 @@ ORACLES["q57_stream_replay"] = """
         CAST(10.0 AS DOUBLE) AS tier_price,
         '2025-06-01T00:00:00+00:00' AS last_scraped
     FROM documents
+"""
+
+QUERIES["q60_stream_windowed_counts"] = q60_stream_windowed_counts
+# Expected final sink state per the replay construction in the docstring:
+# late rows (batch-1 hour-0 re-sends, batch-2 hour-3 rows) are dropped by
+# the watermark; the flush marker's own window never closes.
+ORACLES["q60_stream_windowed_counts"] = """
+    WITH c AS (
+        SELECT
+            CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+            CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+            CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+            CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h5
+        FROM documents
+    )
+    SELECT '2025-06-01 00:00:00' AS window_start, h0 AS event_count FROM c
+    UNION ALL SELECT '2025-06-01 01:00:00', h1 FROM c
+    UNION ALL SELECT '2025-06-01 02:00:00', h2 FROM c
+    UNION ALL SELECT '2025-06-01 04:00:00', CAST(1 AS BIGINT)
+    UNION ALL SELECT '2025-06-01 05:00:00', h5 FROM c
+    UNION ALL SELECT '2025-06-01 06:00:00', CAST(1 AS BIGINT)
 """
