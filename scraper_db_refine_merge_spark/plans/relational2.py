@@ -374,3 +374,36 @@ def q39_run_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_value"),
         F.count("*").alias("requests"),
     )
+
+
+# --------------------------------------------------------------------------
+# q61 — grouped exact quantiles (beyond-reference: the distribution-profile
+# operator a data-quality / training-mix pipeline reports per slice).
+# Spark's `percentile` and DuckDB's `quantile_cont` both compute the
+# same linear interpolation (lo + (hi-lo)*frac on the sorted values), so
+# the doubles agree bit-for-bit — no rounding needed. Exact percentile
+# shuffles whole groups; at 100 TB swap in approx_percentile (t-digest,
+# partial-aggregable) — same plan shape, bounded state, no oracle parity.
+@_register(
+    "q61_price_quantiles",
+    """
+    SELECT l_returnflag, l_linestatus,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.90) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q61_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = lambda q: F.expr(f"percentile(l_extendedprice, {q})")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        p(0.25).alias("p25"),
+        p(0.50).alias("p50"),
+        p(0.90).alias("p90"),
+        p(0.99).alias("p99"),
+        F.count("*").alias("n"),
+    )
