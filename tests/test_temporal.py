@@ -121,3 +121,50 @@ def test_interval_join_wide_interval_no_duplicates(spark):
     got = interval_join(points, intervals, "k", "t", "lo", "hi", bucket_width_us=3).collect()
     expected = [t for t in range(0, 100, 7) if 5 <= t <= 95]
     assert sorted(r["pid"] for r in got) == expected
+
+
+# ----------------------------------------------------------------------
+# Randomized differential: asof_join ≡ pandas.merge_asof (the widely-used
+# reference semantics for point-in-time joins). Right side sorted by
+# (t, rid) makes pandas' positional tie-break coincide with the operator's
+# max-rid (backward) / min-rid (forward) rule.
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_key = st.sampled_from(["a", "b", "c"])
+
+
+@given(
+    left=st.lists(st.tuples(_key, st.integers(0, 40)), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_key, st.integers(0, 40)), min_size=0, max_size=25),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(max_examples=5, deadline=None)
+def test_asof_matches_pandas_merge_asof(spark, left, right, direction):
+    lrows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    rrows = [(k, t, i) for i, (k, t) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "k string, t long, tag long")
+    rdf = spark.createDataFrame(
+        rrows or [("_none_", -1, -1)], "k string, rt long, rid long"
+    )
+    got = {
+        r["tag"]: r["rid"]
+        for r in asof_join(
+            ldf, rdf, "k", "t", "rt", direction=direction, right_tiebreak="rid"
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["k", "t", "tag"]).sort_values(["t", "tag"])
+    rpd = pd.DataFrame(rrows or [("_none_", -1, -1)], columns=["k", "rt", "rid"]).sort_values(
+        ["rt", "rid"]
+    )
+    exp_df = pd.merge_asof(
+        lpd, rpd, left_on="t", right_on="rt", by="k",
+        direction=direction, allow_exact_matches=True,
+    )
+    expected = {
+        int(r.tag): (None if pd.isna(r.rid) else int(r.rid)) for r in exp_df.itertuples()
+    }
+    assert got == expected
