@@ -220,3 +220,84 @@ ORACLES["q60_stream_windowed_counts"] = """
     UNION ALL SELECT '2025-06-01 05:00:00', h5 FROM c
     UNION ALL SELECT '2025-06-01 06:00:00', CAST(1 AS BIGINT)
 """
+
+
+def q62_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state (dropDuplicatesWithinWatermark)
+    under the gate. Three mtime-ordered batches, 1h watermark delay.
+    State eviction at batch N's end uses the watermark computed after
+    batch N-1 (the same one-batch lag q60 documents), so a padding batch
+    separates first-send from re-send:
+
+    - batch 0: every doc at 01:00, PLUS byte-identical duplicates of
+      %5==0 docs (same id, same ts — dropped in-horizon), marker at
+      10:00 → W0 = 09:00.
+    - batch 1: marker at 11:00 only. Eviction at its end runs with W0 =
+      09:00, which passes every doc's horizon (01:00 + 1h) → all doc id
+      state evicts.
+    - batch 2: %3==0 docs re-sent at 10:30 — id state gone, they EMIT
+      AGAIN; flush marker at 23:00.
+
+    Expected per-id emit counts: 1 + [id%3==0] for docs, 1 per marker.
+    Plain keep-state-forever dropDuplicates would emit every doc exactly
+    once — the oracle's counts verify the watermark EVICTION, and the %5
+    duplicates verify the in-horizon drop.
+    """
+    from ..streaming.pipeline import dedup_stream
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = [r[0] for r in d.select("doc_id").collect()]
+
+    root = tempfile.mkdtemp(prefix="q62_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+
+    def _row(m: int, hhmm: str) -> str:
+        return json.dumps({"ts": f"2025-06-01T{hhmm}:00+00:00", "doc_id": m})
+
+    batches = [
+        [_row(m, "01:00") for m in ids]
+        + [_row(m, "01:00") for m in ids if m % 5 == 0]
+        + [_row(-1, "10:00")],
+        [_row(-2, "11:00")],
+        [_row(m, "10:30") for m in ids if m % 3 == 0] + [_row(-3, "23:00")],
+    ]
+    for i, lines in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "emitted")
+    raw = (
+        spark.readStream.schema("ts timestamp, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    q = (
+        dedup_stream(raw, ["doc_id"], ts_col="ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    t = spark.read.parquet(target)
+    return t.groupBy("doc_id").agg(F.count("*").alias("n_emitted"))
+
+
+QUERIES["q62_stream_dedup"] = q62_stream_dedup
+# Per-id emit counts per the replay construction: one first emission plus
+# one re-emission per post-eviction re-send; markers once each.
+ORACLES["q62_stream_dedup"] = """
+    SELECT doc_id,
+           CAST(1 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted
+    FROM documents
+    UNION ALL SELECT -1, CAST(1 AS BIGINT)
+    UNION ALL SELECT -2, CAST(1 AS BIGINT)
+    UNION ALL SELECT -3, CAST(1 AS BIGINT)
+"""

@@ -167,6 +167,20 @@ def refresh_queue(events: DataFrame, now: datetime | None = None) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame, id_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact-dedup with bounded state: first row per id wins,
+    duplicates arriving within the watermark horizon are dropped, and id
+    state is EVICTED once the watermark passes its event time + delay —
+    so state is O(ids per watermark window), not O(all ids ever) like
+    plain ``dropDuplicates`` on a stream. The cost of bounded state is
+    at-least-once across horizons: an id re-sent after eviction emits
+    again (dedupe the sink with a batch J3/J4 pass if exactly-once
+    matters downstream). The J3 dedup family's streaming analog."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+
+
 def windowed_event_counts(
     stream_df: DataFrame, ts_col: str = "ts", window_len: str = "1 day", watermark: str = "1 hour"
 ) -> DataFrame:
