@@ -129,3 +129,28 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bk_events_a", "bk_events_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_q58_asof_single_shuffle_no_nested_loop(spark, sf_dir):
+    """The union-and-window as-of form: ONE hash shuffle (the key), one
+    sort, and no BroadcastNestedLoop/Cartesian — the naive range-join
+    form would plan a BNLJ that explodes at scale."""
+    p = _plan(QUERIES["q58_asof_attribution"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_q59_interval_join_is_equi(spark, sf_dir):
+    """The bucketed interval join must plan as a hash/sort-merge EQUI join
+    on (key, bucket) — never a nested-loop over the range predicate."""
+    p = _plan(QUERIES["q59_signup_click_window"](spark, sf_dir))
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_q42_block_grid_no_driver_collect_shape(spark, sf_dir):
+    """Distributed exact near-dup: cogrouped Arrow exchange, and the only
+    wide exchanges are the two cogroup-side hash partitionings."""
+    p = _plan(QUERIES["q42_embedding_near_dup"](spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") == 2
