@@ -301,3 +301,53 @@ ORACLES["q62_stream_dedup"] = """
     UNION ALL SELECT -2, CAST(1 AS BIGINT)
     UNION ALL SELECT -3, CAST(1 AS BIGINT)
 """
+
+
+def q63_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under the gate: events split into
+    three disjoint batches (event_id % 3 — any decomposition must give the
+    same result), each folded into a stored rollup table with fold_rollup
+    (partial-agg union + re-aggregate + atomic swap). The final table must
+    equal the from-scratch GROUP BY over all events — the mergeability
+    invariant, hash-verified cross-engine. Sums accumulate in DECIMAL so
+    the result is independent of batch order/split.
+    """
+    from ..operators.rollup import fold_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="q63_rollup_")
+    target = os.path.join(root, "rollup")
+    out = None
+    for i in range(3):
+        batch = e.filter(F.col("event_id") % 3 == i)
+        out = fold_rollup(
+            spark,
+            target,
+            batch.withColumn("ts2", F.col("ts")),
+            key_cols=["event_type"],
+            sum_cols=["value"],
+            min_cols=["ts"],
+            max_cols=["ts2"],
+        )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("value").cast("double").alias("sum_value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("min_ts"),
+        F.date_format("ts2", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
+        F.round(F.col("value").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )
+
+
+QUERIES["q63_incremental_rollup"] = q63_incremental_rollup
+# From-scratch aggregate over all events — must equal the 3-batch fold.
+ORACLES["q63_incremental_rollup"] = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+"""
