@@ -143,3 +143,33 @@ def q59_signup_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.unix_micros("ts") - F.unix_micros("start_ts")).alias("offset_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q64 — hopping (sliding) window counts: 2h windows sliding by 1h, so every
+# event lands in exactly two windows. Spark's F.window generates the
+# overlapping windows natively (epoch-aligned starts at multiples of the
+# slide); the oracle replicates each row to its two covering window starts
+# with unnest([0,1]).
+@_register(
+    "q64_sliding_window_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts) - to_hours(k), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events, unnest([0, 1]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q64_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
