@@ -351,3 +351,91 @@ ORACLES["q63_incremental_rollup"] = """
     FROM events
     GROUP BY event_type
 """
+
+
+def q65_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (F.session_window) under the gate: 30min
+    gap, 10min watermark, append-mode parquet sink. A session closes when
+    the watermark passes its end (last event + gap); eviction at batch N's
+    end uses the batch N-1 watermark (the measured lag q60 documents), so
+    the watermark-advancing markers ride in later batches:
+
+    - batch 0: every doc at 01:00 and 01:10 (one session: gap 10min <
+      30min, window [01:00, 01:40)); even docs again at 02:30 (a SECOND
+      session [02:30, 03:00) — 80min > gap); marker -1 at 10:00.
+    - batch 1: marker -2 at 23:00 → eviction here runs with W0 = 09:50,
+      closing every doc session; marker -1's own session (end 10:30) is
+      not yet closed.
+    - final no-data batch: eviction with W1 = 22:50 closes marker -1's
+      session; marker -2's (end 23:30) never closes and must be absent.
+
+    Expected sink: (doc, 01:00, n=2) for all docs, (doc, 02:30, n=1) for
+    even docs, (-1, 10:00, n=1). Verifies in-gap merging, gap splitting,
+    session-end eviction, and the unfinished-session hold-back.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ids = [r[0] for r in d.select("doc_id").collect()]
+
+    root = tempfile.mkdtemp(prefix="q65_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+
+    def _row(m: int, hhmm: str) -> str:
+        return json.dumps({"ts": f"2025-06-01T{hhmm}:00+00:00", "uid": m})
+
+    batches = [
+        [_row(m, "01:00") for m in ids]
+        + [_row(m, "01:10") for m in ids]
+        + [_row(m, "02:30") for m in ids if m % 2 == 0]
+        + [_row(-1, "10:00")],
+        [_row(-2, "23:00")],
+    ]
+    for i, lines in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "sessions")
+    raw = (
+        spark.readStream.schema("ts timestamp, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "uid")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "uid",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    return spark.read.parquet(target)
+
+
+QUERIES["q65_stream_session_windows"] = q65_stream_session_windows
+# Session window end = last event + gap (30min).
+ORACLES["q65_stream_session_windows"] = """
+    SELECT doc_id AS uid, '2025-06-01 01:00:00' AS session_start,
+           '2025-06-01 01:40:00' AS session_end, CAST(2 AS BIGINT) AS n
+    FROM documents
+    UNION ALL
+    SELECT doc_id, '2025-06-01 02:30:00', '2025-06-01 03:00:00', CAST(1 AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT -1, '2025-06-01 10:00:00', '2025-06-01 10:30:00', CAST(1 AS BIGINT)
+"""
