@@ -88,3 +88,49 @@ def test_write_clustered_disjoint_file_ranges(spark, sf_dir, tmp_path):
 
     # round-trips the full table
     assert spark.read.parquet(path).count() == d.count()
+
+
+def _file_spans(path, col):
+    """(min, max) of `col` per parquet file, from footer stats."""
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            c = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == col
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def test_write_zordered_multi_dim_locality(spark, tmp_path):
+    """Z-ordered files have narrow spans in BOTH dimensions; a plain
+    (a, b) sort gives narrow spans on `a` only — the trailing dimension
+    stays near-global in every file."""
+    from scraper_db_refine_merge_spark.operators.layout import write_zordered
+
+    n, grid = 16384, 128
+    df = spark.range(n).select(
+        (F.col("id") % grid).alias("x"),
+        (F.col("id") / grid).cast("long").alias("y"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+    df.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y").write.parquet(spath)
+
+    def med_span(path, col):
+        spans = sorted(hi - lo for lo, hi in _file_spans(path, col))
+        return spans[len(spans) // 2]
+
+    # z-order: both dims localized (each file ≈ a 32x32 quadrant of the
+    # 128x128 grid); lexicographic: x localized, y span stays ~global
+    assert med_span(zpath, "x") <= grid // 2
+    assert med_span(zpath, "y") <= grid // 2
+    assert med_span(spath, "y") > grid // 2  # the 1D-sort failure mode
+    # round-trip
+    assert spark.read.parquet(zpath).count() == n
