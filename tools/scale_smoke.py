@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scraper_db_refine_merge_spark.operators import dedup as dd  # noqa: E402
+from scraper_db_refine_merge_spark.operators.rollup import fold_rollup  # noqa: E402
 from scraper_db_refine_merge_spark.operators.similarity import (  # noqa: E402
     cosine_near_dup_pairs,
     lsh_topk,
 )
+from scraper_db_refine_merge_spark.operators.temporal import asof_join, interval_join  # noqa: E402
 from scraper_db_refine_merge_spark.session import get_spark  # noqa: E402
 from scraper_db_refine_merge_spark.sources.tables import load_table  # noqa: E402
 
@@ -61,12 +63,43 @@ def main():
 
     docs_path, n_docs = replicate(spark, "documents", "doc_id", factor)
     vecs_path, n_vecs = replicate(spark, "embeddings", "vec_id", factor)
+    # events keep their user_ids on replication: per-user event density
+    # grows with the corpus, so the keyed window/join paths see hot keys
+    evts_path, n_evts = replicate(spark, "events", "event_id", factor)
     docs = spark.read.parquet(docs_path)
     vecs = spark.read.parquet(vecs_path)
-    print(f"\ncorpus: {n_docs} docs, {n_vecs} vectors (sf0.1 x{factor})\n")
+    evts = spark.read.parquet(evts_path)
+    print(f"\ncorpus: {n_docs} docs, {n_vecs} vectors, {n_evts} events (sf0.1 x{factor})\n")
 
     base_docs = load_table(spark, BASE, "documents")
     base_vecs = load_table(spark, BASE, "embeddings")
+    base_evts = load_table(spark, BASE, "events")
+
+    def _asof(e):
+        p = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+        c = e.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        )
+        return asof_join(p, c, "user_id", "ts", "click_ts", right_tiebreak="click_id")
+
+    def _interval(e):
+        s = e.filter(F.col("event_type") == "signup").select(
+            "user_id",
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        )
+        c = e.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        return interval_join(c, s, "user_id", "ts", "start_ts", "end_ts", 3_600_000_000)
+
+    def _rollup(e, name):
+        target = os.path.join(SCRATCH, name)
+        shutil.rmtree(target, ignore_errors=True)
+        return fold_rollup(
+            spark, target, e, key_cols=["event_type", "user_id"], sum_cols=["value"]
+        ).count()
 
     results = {}
     for label, small, big in [
@@ -94,6 +127,21 @@ def main():
             "lsh_topk(5 queries)",
             lambda: lsh_topk(base_vecs, base_vecs.filter(F.col("vec_id") < 5), k=5).count(),
             lambda: lsh_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=5).count(),
+        ),
+        (
+            "asof_join(purchase<-click)",
+            lambda: _asof(base_evts).count(),
+            lambda: _asof(evts).count(),
+        ),
+        (
+            "interval_join(signup+1h)",
+            lambda: _interval(base_evts).count(),
+            lambda: _interval(evts).count(),
+        ),
+        (
+            "fold_rollup(type,user)",
+            lambda: _rollup(base_evts, "rollup_1x"),
+            lambda: _rollup(evts, f"rollup_{factor}x"),
         ),
     ]:
         small()  # warm codegen
