@@ -1,0 +1,156 @@
+"""Native Bloom-filter semi-join pruning for keyed MERGE (SURVEY J4/J9).
+
+Motivation (100 TB): the fallback MERGE keeps unmatched target rows via
+``target LEFT ANTI JOIN batch``. When the batch is too large to broadcast,
+that anti-join shuffles EVERY touched target row on the key even though a
+typical re-scrape batch matches only a tiny fraction of them. A Bloom
+filter over the batch's keys lets rows that are *definitely not* in the
+batch bypass the join entirely; only "maybe" rows (true matches + the
+false-positive tail) pay the shuffle. This is the same idea as Spark's
+runtime bloom-filter join (``InjectRuntimeFilter``) — but those expressions
+(``bloom_filter_agg`` / ``might_contain``) are internal-only and never fire
+across the write boundary a MERGE has, so we build the filter ourselves.
+
+Design — everything stays JVM-side and deterministic, no UDFs:
+
+- two hash lanes from ``xxhash64`` (second lane seeded by an extra literal
+  column), combined Kirsch–Mitzenmacher style ``pos_i = (h1 + i*h2) % m``.
+  All arithmetic is pre-reduced mod ``m`` so it can't overflow under ANSI.
+- build: per row explode the k positions, map to (word, bit), aggregate
+  with ``bit_or`` — Spark's partial aggregation caps the shuffle at
+  ``m/64`` rows *per map task*, independent of batch size. The finished
+  filter is a single row holding ``array<bigint>`` (m=2^23 → 128 KiB),
+  attached to the probe side via ``broadcast`` cross-join.
+- probe: k native bit-tests against the broadcast array.
+
+The prefilter is EXACT as used here: a false positive only routes an extra
+row through the anti-join (which then keeps it); there are no false
+negatives because both sides evaluate identical expressions.
+
+Reference parity note: this is a pure performance device under the same
+merge semantics as Mongo's keyed bulk upsert (data_migration.py:133-139);
+it changes no results, only the shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# golden-ratio int32 constant; any fixed literal works — it only has to make
+# lane 2 independent of lane 1 (xxhash64 over a different arity/input).
+_SEED2 = -1640531527
+
+DEFAULT_NUM_BITS = 1 << 23  # 8 Mi bits = 128 KiB broadcast; ~1% fp at 1M keys
+DEFAULT_NUM_HASHES = 5
+
+
+def _lanes(key_cols: list[str], num_bits: int) -> tuple[Column, Column]:
+    """(h1, step) both already reduced into [0, num_bits): overflow-free."""
+    cols = [F.col(c) for c in key_cols]
+    h1 = F.pmod(F.xxhash64(*cols), F.lit(num_bits))
+    # step in [1, num_bits-1] so successive probes always move
+    step = F.pmod(F.xxhash64(F.lit(_SEED2), *cols), F.lit(num_bits - 1)) + F.lit(1)
+    return h1, step
+
+
+def _pow2() -> Column:
+    """array<bigint> of the 64 single-bit longs (pyspark's shiftleft only
+    takes a Python-int shift amount, so bit k is looked up, not shifted;
+    bit 63 is the sign bit = two's-complement -(2^63))."""
+    return F.array(
+        *[F.lit(1 << i).cast("long") for i in range(63)], F.lit(-(2**63)).cast("long")
+    )
+
+
+def _word_ix(pos: Column) -> Column:
+    return F.floor(pos / F.lit(64)).cast("int")
+
+
+def _bit_val(pos: Column) -> Column:
+    return F.try_element_at(_pow2(), (pos % 64).cast("int") + F.lit(1))
+
+
+def bloom_build(
+    batch: DataFrame,
+    key_cols: list[str],
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Aggregate the batch's keys into a 1-row DataFrame with column
+    ``__bf_words: array<bigint>`` of length ``num_bits/64``.
+
+    Distributed end-to-end: partial ``bit_or`` combines map-side, the final
+    assembly handles at most ``num_bits/64`` tiny rows. No driver bitmap.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    nwords = num_bits // 64
+    h1, step = _lanes(key_cols, num_bits)
+    positions = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.pmod(h1 + i * step, F.lit(num_bits)),
+        )
+    )
+    word_bits = (
+        batch.select(positions.alias("pos"))
+        .select(_word_ix(F.col("pos")).alias("w"), _bit_val(F.col("pos")).alias("b"))
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("b"))
+    )
+    return word_bits.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "b"))).alias("__bf_map")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(F.try_element_at("__bf_map", i), F.lit(0).cast("long")),
+        ).alias("__bf_words")
+    )
+
+
+def bloom_might_contain(
+    key_cols: list[str],
+    words: Column,
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> Column:
+    """Boolean probe: False ⇒ the key is definitely not in the built batch.
+
+    Never NULL (NULL key components hash like the build side hashes them),
+    so it is safe under ``filter`` on both the positive and negated branch.
+    """
+    h1, step = _lanes(key_cols, num_bits)
+    cond = F.lit(True)
+    for i in range(num_hashes):
+        pos = F.pmod(h1 + F.lit(i) * step, F.lit(num_bits))
+        word = F.coalesce(
+            F.try_element_at(words, _word_ix(pos) + F.lit(1)), F.lit(0).cast("long")
+        )
+        cond = cond & (word.bitwiseAND(_bit_val(pos)) != F.lit(0))
+    return cond
+
+
+def pruned_left_anti(
+    target: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    num_bits: int = DEFAULT_NUM_BITS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """``target LEFT ANTI JOIN batch USING key_cols`` with Bloom pruning.
+
+    Row-for-row identical to the plain anti-join (order aside): the
+    definitely-absent stream bypasses the join; only bloom-positive rows
+    (matches + fp tail) are anti-joined, so false positives are corrected,
+    and false negatives cannot occur. NULL-keyed target rows survive either
+    branch, matching anti-join's null-unsafe equality.
+    """
+    bf = bloom_build(batch, key_cols, num_bits, num_hashes)
+    tagged = target.crossJoin(F.broadcast(bf)).withColumn(
+        "__bf_maybe",
+        bloom_might_contain(key_cols, F.col("__bf_words"), num_bits, num_hashes),
+    ).drop("__bf_words")
+    definite = tagged.filter(~F.col("__bf_maybe")).drop("__bf_maybe")
+    maybe = tagged.filter(F.col("__bf_maybe")).drop("__bf_maybe")
+    return definite.unionByName(maybe.join(batch.select(*key_cols), key_cols, "left_anti"))

@@ -136,6 +136,21 @@ def _merge_upsert_delta(
     )
 
 
+def _kept_rows(
+    target: DataFrame, deduped: DataFrame, key_cols: list[str], prefilter: str
+) -> DataFrame:
+    """Target rows not superseded by the batch. ``prefilter="bloom"`` routes
+    definitely-unmatched rows around the anti-join (operators.bloom) — same
+    result, far less shuffle when the batch exceeds broadcast size."""
+    if prefilter == "bloom":
+        from .bloom import pruned_left_anti
+
+        return pruned_left_anti(target, deduped.select(*key_cols), key_cols)
+    if prefilter != "none":
+        raise ValueError(f"unknown merge prefilter {prefilter!r}")
+    return target.join(deduped.select(*key_cols), key_cols, "left_anti")
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -144,6 +159,7 @@ def merge_upsert(
     order_cols: list[Column] | None = None,
     collect_stats: bool = True,
     backend: str = "auto",
+    prefilter: str = "none",
 ) -> MergeStats | None:
     """Upsert ``updates`` into the keyed table at ``target_path``.
 
@@ -154,6 +170,11 @@ def merge_upsert(
     ``backend``: ``"delta"`` requires delta-spark (raises otherwise);
     ``"parquet"`` forces the swap fallback; ``"auto"`` uses Delta when the
     session has it AND the target is not already a plain parquet table.
+
+    ``prefilter="bloom"`` (parquet path only; Delta MERGE file-prunes on its
+    own) applies the broadcast Bloom prefilter before the keep-side
+    anti-join — identical output, shuffle volume proportional to the match
+    fraction instead of the table.
     """
     order_cols = order_cols or [F.col(key_cols[0])]
     if backend not in ("auto", "delta", "parquet"):
@@ -180,7 +201,7 @@ def merge_upsert(
     exists = os.path.exists(target_path)
     target = spark.read.parquet(target_path) if exists else None
     if exists:
-        kept = target.join(deduped.select(*key_cols), key_cols, "left_anti")
+        kept = _kept_rows(target, deduped, key_cols, prefilter)
         merged = kept.unionByName(deduped)
     else:
         merged = deduped
@@ -219,6 +240,7 @@ def merge_upsert_partitioned(
     key_cols: list[str],
     partition_col: str,
     order_cols: list[Column] | None = None,
+    prefilter: str = "none",
 ) -> list[str]:
     """Partition-pruned upsert into a hive-partitioned Parquet table.
 
@@ -260,9 +282,11 @@ def merge_upsert_partitioned(
     exists = os.path.exists(target_path)
     if exists:
         target = spark.read.option("basePath", target_path).parquet(target_path)
-        # partition pruning: only touched partition directories are scanned
+        # partition pruning: only touched partition directories are scanned;
+        # within them, the optional Bloom prefilter skips the anti-join for
+        # keys the batch provably doesn't carry.
         affected = target.filter(F.col(partition_col).isin(touched))
-        kept = affected.join(deduped.select(*key_cols), key_cols, "left_anti")
+        kept = _kept_rows(affected, deduped, key_cols, prefilter)
         merged = kept.unionByName(deduped.select(*kept.columns))
     else:
         merged = deduped
