@@ -202,6 +202,130 @@ def extract_image_features(media: DataFrame, use_decoder: str = "auto") -> DataF
     return cols.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_audio(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Decode a PCM WAV blob via stdlib ``wave`` (no external library):
+    (sample_rate, n_channels, n_frames, mono_samples in [-1, 1]).
+
+    Unlike the image path (which needs Pillow), audio decode of the dominant
+    archival format is genuinely implemented — compressed codecs (mp3/ogg/
+    flac) still raise NotImplementedError, the container ships no decoder
+    for them (same documented limitation as multimodal images).
+    """
+    import array
+    import io
+    import sys
+    import wave
+
+    try:
+        w = wave.open(io.BytesIO(content))
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "only uncompressed PCM WAV is decodable with the stdlib; "
+            "compressed audio codecs need an audio library not present here"
+        ) from e
+    with w:
+        sr, nch, sw, nf = w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()
+        raw = w.readframes(nf)
+    if sw == 1:  # unsigned 8-bit
+        samples = [(b - 128) / 128.0 for b in raw]
+    elif sw in (2, 4):  # signed little-endian PCM
+        a = array.array("h" if sw == 2 else "i")
+        a.frombytes(raw)
+        if sys.byteorder == "big":  # pragma: no cover - x86/arm are little
+            a.byteswap()
+        scale = float(1 << (8 * sw - 1))
+        samples = [s / scale for s in a]
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    if nch > 1:  # interleaved → mono mix
+        n = len(samples) // nch
+        samples = [sum(samples[i * nch : (i + 1) * nch]) / nch for i in range(n)]
+    return sr, nch, nf, samples
+
+
+def real_audio_features(
+    content: bytes, dim: int = FEATURE_DIM
+) -> tuple[int, int, int, list[float]]:
+    """(sample_rate, n_channels, duration_ms, features): RMS energy over
+    ``dim`` equal time windows, mapped to [-1, 1] — a real content-derived
+    temporal-envelope embedding, deterministic for a given blob."""
+    import math
+
+    sr, nch, nf, samples = decode_audio(content)
+    duration_ms = round(nf * 1000 / sr) if sr else 0
+    feats: list[float] = []
+    n = len(samples)
+    for wi in range(dim):
+        lo, hi = wi * n // dim, (wi + 1) * n // dim
+        if hi <= lo:
+            feats.append(-1.0)
+            continue
+        rms = math.sqrt(sum(s * s for s in samples[lo:hi]) / (hi - lo))
+        feats.append(min(rms, 1.0) * 2.0 - 1.0)
+    return sr, nch, duration_ms, [float(x) for x in feats]
+
+
+def extract_audio_features(media: DataFrame, use_decoder: str = "auto") -> DataFrame:
+    """Audio decode + temporal-envelope features over the binary column —
+    exact plumbing parity with ``extract_image_features``.
+
+    ``use_decoder``: "auto" really decodes blobs that parse as PCM WAV and
+    falls back to the md5 stand-in otherwise; "always" requires every blob
+    to decode (loud failure); "never" forces the stand-in (replay-stable
+    mode for the oracle-gated query). The Arrow-batched ``mapInPandas``
+    plan — partitioning, batch shape, memory profile — is identical in all
+    three modes."""
+    if use_decoder not in ("auto", "always", "never"):
+        raise ValueError(f"unknown use_decoder {use_decoder!r}")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "duration_ms": [],
+                "content_hash": [],
+                "features": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                blob = bytes(content)
+                sr = nch = dur = None
+                if use_decoder == "always":
+                    sr, nch, dur, feats = real_audio_features(blob)
+                elif use_decoder == "never":
+                    feats = _fake_features(blob)
+                else:
+                    try:
+                        sr, nch, dur, feats = real_audio_features(blob)
+                    except NotImplementedError:
+                        feats = _fake_features(blob)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["duration_ms"].append(dur)
+                out["content_hash"].append(hashlib.md5(blob).hexdigest())
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    cols = media.filter(F.col("media_type") == "audio").select("media_id", "content")
+    return cols.mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_n_bytes: int = 1 << 16) -> DataFrame:
     """Frame-sampling plumbing for video rows: emits one row per pseudo-frame
     (offset markers over the blob). The real frame decoder slots into the

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..multimodal.binary import extract_features, sample_video_frames
+from ..multimodal.binary import (
+    extract_audio_features,
+    extract_features,
+    sample_video_frames,
+)
 from ..sources.tables import load_table
 
 QUERIES: dict = {}
@@ -102,3 +106,31 @@ def q44_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q45_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_documents(spark, sf_dir)
     return sample_video_frames(media)
+
+
+# --------------------------------------------------------------------------
+# q66 — audio feature extraction (multimodal/binary.py extract_audio_features)
+# in replay-stable stand-in mode: per-blob md5 + fixed feature width. The
+# real WAV decoder (stdlib wave) is covered by tests/test_audio.py — its
+# outputs depend on binary WAV fixtures DuckDB can't synthesize in SQL.
+@_register(
+    "q66_audio_features",
+    """
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+           md5(text) AS content_hash,
+           CAST(64 AS INTEGER) AS feat_dim,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+    FROM documents
+    WHERE doc_id % 3 = 1
+    """,
+)
+def q66_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(spark, sf_dir)
+    feats = extract_audio_features(media, use_decoder="never")
+    sizes = media.select("media_id", F.col("metadata.size_bytes").alias("size_bytes"))
+    return feats.join(sizes, "media_id").select(
+        "media_id",
+        "content_hash",
+        F.size("features").alias("feat_dim"),
+        "size_bytes",
+    )
