@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from . import (
+    curation,
     dq,
     multimodalq,
     relational,
@@ -17,6 +18,6 @@ from . import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq):
+for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

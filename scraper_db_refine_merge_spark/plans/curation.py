@@ -1,0 +1,318 @@
+"""Corpus-curation operators for LLM training data, under the oracle gate:
+repetition-based quality filtering, PII redaction, sequence packing, and
+chunk-level cross-corpus dedup.
+
+These extend the reference's quality/refine layer (quality_scorer.py's
+per-field heuristics) with the corpus-level filters a pretraining pipeline
+runs at 100 TB. All four are native-expression / single-shuffle designs:
+
+- q67 repetition filters: per-doc duplicate-word fraction, immediate-repeat
+  count (native array exprs, zero shuffle) + top-bigram fraction (explode →
+  partial-agg count, one shuffle on (doc_id, bigram)).
+- q68 sequence packing: concat-and-chunk assignment via window cumsum
+  (operators/packing.py; shard-parallel at scale).
+- q69 PII redaction: regexp count + ordered redaction passes, md5-verified
+  against the oracle's RE2 — patterns chosen to have identical semantics in
+  Java regex and RE2.
+- q70 chunk dedup: fixed 8-token segmentation, corpus-frequency filter,
+  order-preserving reassembly (posexplode → count join → sorted re-agg) —
+  the MassiveText "remove repeated passages" shape.
+
+Oracle parity notes: tokenization = the same whitespace collapse both
+sides; every ratio is integer/integer IEEE division, ROUND(x,4) as in q22;
+all hashes md5; DuckDB sums cast to BIGINT (HUGEINT gotcha).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.packing import pack_bins_summary, pack_contiguous
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# shared tokenization: collapse whitespace, lowercase, split on single space
+def _toks(c) -> F.Column:
+    return F.split(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), " ")
+
+
+_SQL_TOKS = "string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')"
+
+
+# --------------------------------------------------------------------------
+# q67 — Gopher-style repetition filters. dup_word_frac and immediate-repeat
+# runs are per-row native array expressions (no shuffle); the top-bigram
+# fraction explodes bigrams once and partial-aggregates, so the only
+# shuffle carries (doc_id, bigram, partial_count).
+@_register(
+    "q67_repetition_filters",
+    f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    stats AS (
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               ROUND(CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1), 4)
+                   AS dup_word_frac,
+               CAST(CASE WHEN len(t) >= 2
+                    THEN len(list_filter(range(1, len(t)), i -> t[i] = t[i + 1]))
+                    ELSE 0 END AS INT) AS n_immediate_repeats
+        FROM base
+    ),
+    bi_idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base WHERE len(t) >= 2),
+    bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram FROM bi_idx),
+    bic AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+    bstat AS (SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_bigram_frac
+              FROM bic GROUP BY 1)
+    SELECT s.doc_id, s.n_tokens, s.dup_word_frac, s.n_immediate_repeats,
+           COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (s.dup_word_frac <= 0.6 AND COALESCE(b.top_bigram_frac, 0.0) <= 0.2) AS keep
+    FROM stats s LEFT JOIN bstat b USING (doc_id)
+    """,
+)
+def q67_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", _toks(F.col("text")).alias("t"))
+    n = F.size("t")
+    stats = d.select(
+        "doc_id",
+        "t",
+        n.alias("n_tokens"),
+        F.round(
+            (n - F.size(F.array_distinct("t"))).cast("double") / F.greatest(n, F.lit(1)), 4
+        ).alias("dup_word_frac"),
+        F.when(
+            n >= 2,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.element_at(F.col("t"), i) == F.element_at(F.col("t"), i + 1),
+                )
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("n_immediate_repeats"),
+    )
+    bigrams = stats.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    bstat = (
+        bigrams.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.round(F.max("count").cast("double") / F.sum("count"), 4).alias("top_bigram_frac"))
+    )
+    return (
+        stats.drop("t")
+        .join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_word_frac",
+            "n_immediate_repeats",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            (
+                (F.col("dup_word_frac") <= 0.6)
+                & (F.coalesce("top_bigram_frac", F.lit(0.0)) <= 0.2)
+            ).alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q68 — sequence packing (operators/packing.py): concat documents in doc_id
+# order, chunk the token stream into ctx=512 windows, roll up per bin.
+@_register(
+    "q68_pack_sequences",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, len({_SQL_TOKS}) AS n_tok FROM documents
+    ),
+    w AS (
+        SELECT doc_id, n_tok,
+               COALESCE(CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+        FROM tok WHERE n_tok > 0
+    ),
+    b AS (
+        SELECT doc_id, n_tok, off // 512 AS first_bin,
+               (off + n_tok - 1) // 512 AS last_bin
+        FROM w
+    )
+    SELECT first_bin AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling
+    FROM b GROUP BY 1
+    """,
+)
+def q68_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_toks(F.col("text"))).cast("long").alias("n_tok")
+    )
+    packed = pack_contiguous(d, "doc_id", "n_tok", ctx=512)
+    return pack_bins_summary(packed, "n_tok").select(
+        "bin", "n_docs", F.col("n_tokens").cast("long").alias("n_tokens"), "n_straddling"
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — PII redaction. The synthetic corpus carries no real PII, so the
+# query is an inject-then-redact harness (the standard way to validate a
+# scrubber): deterministic emails/phones/reference numbers are synthesized
+# from doc_id IDENTICALLY in both engines, then three ordered redaction
+# passes run and md5 of the result verifies byte-exact agreement between
+# Java regex and DuckDB's RE2 — patterns restricted to constructs with
+# identical semantics in both (character classes, bounded/unbounded
+# repetition, literal anchors; no backrefs, no lookaround).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4,}"
+_DIGITS_RE = "[0-9]{4,}"
+
+
+@_register(
+    "q69_pii_redaction",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               text || ' contact user.' || CAST(doc_id AS VARCHAR)
+                    || '@example-mail.com tel 555-'
+                    || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' ref ' || CAST(doc_id * 7919 AS VARCHAR)
+                            ELSE '' END AS blob
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(blob, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(blob, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(blob, '{_DIGITS_RE}')) AS INT) AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(regexp_replace(blob,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_DIGITS_RE}', '<DIGITS>', 'g')) AS redacted_hash
+    FROM b
+    """,
+)
+def q69_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    blob = F.concat(
+        F.col("text"),
+        F.lit(" contact user."),
+        did.cast("string"),
+        F.lit("@example-mail.com tel 555-"),
+        F.lpad((did % 1000000).cast("string"), 6, "0"),
+        F.when(
+            did % 3 == 0, F.concat(F.lit(" ref "), (did * 7919).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(blob, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _DIGITS_RE,
+        "<DIGITS>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(blob, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(blob, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(blob, F.lit(_DIGITS_RE)).cast("int").alias("n_digit_runs"),
+        F.md5(redacted.cast("binary")).alias("redacted_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q70 — chunk-level cross-corpus dedup (MassiveText "repeated passages"):
+# segment every doc into fixed 8-token chunks, drop chunks whose corpus
+# frequency exceeds 2, reassemble docs in order. posexplode → frequency
+# join → ordered re-aggregation; the frequency table is keyed by chunk text
+# (hash-partitioned, partial-agg), never all-pairs.
+_CHUNK = 8
+_FREQ_CAP = 2
+
+
+@_register(
+    "q70_chunk_dedup",
+    f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    ch0 AS (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS i
+        FROM base
+    ),
+    ch AS (
+        SELECT doc_id, i,
+               array_to_string(t[i * {_CHUNK} + 1 : i * {_CHUNK} + {_CHUNK}], ' ') AS chunk
+        FROM ch0
+    ),
+    f AS (SELECT chunk, COUNT(*) AS c FROM ch GROUP BY 1),
+    kept AS (SELECT ch.doc_id, ch.i, ch.chunk FROM ch JOIN f USING (chunk) WHERE f.c <= {_FREQ_CAP}),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY i) AS new_text
+        FROM kept GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(ceil(len(b.t) / {_CHUNK}.0) AS INT) AS n_chunks,
+           CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+           md5(COALESCE(a.new_text, '')) AS new_hash
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q70_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.col("text")).alias("t")
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(float(_CHUNK))).cast("int")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i * _CHUNK + 1, _CHUNK), " "),
+            )
+        ).alias("i", "chunk"),
+    )
+    freq = chunks.groupBy("chunk").count()
+    kept = chunks.join(freq, "chunk").filter(F.col("count") <= _FREQ_CAP)
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "chunk"))), lambda x: x["chunk"]
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return (
+        base.select("doc_id", n_chunks.alias("n_chunks"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce("new_text", F.lit("")).cast("binary")).alias("new_hash"),
+        )
+    )
