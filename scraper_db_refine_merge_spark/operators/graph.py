@@ -1,0 +1,96 @@
+"""Connected components over a pair list — the clustering stage that turns
+near-duplicate PAIRS (operators/dedup.py, operators/similarity.py) into
+duplicate CLUSTERS for canonical-document selection.
+
+The reference resolves duplicates pairwise at merge time (latest-wins per
+business key); corpus dedup at 100 TB needs the transitive closure: if
+A≈B and B≈C, all three form one cluster and one canonical survives. This
+is an iterative algorithm — not SQL-expressible in one pass — so the
+implementation is a driver-controlled loop of DataFrame joins (the driver
+only ever sees one scalar per round, the changed-row count; all data stays
+distributed).
+
+Algorithm: min-label propagation + pointer jumping.
+- start: label(v) = v
+- each round: label(v) ← min(label(v), min over neighbors' labels)   (hop)
+              label(v) ← label(label(v))                             (jump)
+  The jump step halves chain lengths, giving O(log diameter) rounds —
+  near-dup clusters are dense (quasi-cliques), so 2-3 rounds in practice.
+- every round ends with ``localCheckpoint(eager=True)``: iterative Spark
+  without lineage truncation re-executes the whole chain each round and
+  eventually overflows the plan; checkpointing keeps each round O(1) plans.
+
+Scale: each round is two hash-partitioned joins on node id (shuffle ∝
+edges + nodes, AQE-coalesced); no collect of nodes/edges, no adjacency
+matrix. Deterministic: labels are mins over a total order (the node id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    the minimum node id reachable from the node. Undirected (edges are
+    symmetrized); converges in O(log diameter) rounds, capped by
+    ``max_iter`` (raises if the cap is hit before convergence)."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iter):
+        # hop: pull the minimum label across neighbors
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("d"), F.col("label").alias("nl")), "d")
+            .groupBy("s")
+            .agg(F.min("nl").alias("nbr_min"))
+            .select(F.col("s").alias("node"), "nbr_min")
+        )
+        hopped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+        )
+        # jump: adopt the label of the current label (pointer doubling)
+        jumped = (
+            hopped.alias("h")
+            .join(
+                hopped.select(F.col("node").alias("label"), F.col("label").alias("ll")).alias("p"),
+                "label",
+                "left",
+            )
+            .select(F.col("h.node").alias("node"), F.least(F.col("label"), F.coalesce("ll", F.col("label"))).alias("label"))
+        )
+        new_labels = jumped.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every doc in a near-dup pair
+    list; cluster_id = min doc id of the cluster (the canonical survivor
+    under keep-smallest-id policy)."""
+    cc = connected_components(pairs, a_col, b_col)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -386,3 +386,34 @@ def q41_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q46_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.simhash_near_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# q73 — duplicate CLUSTERS: transitive closure over the q24 near-dup pairs
+# (operators/graph.py connected_components — iterative min-label
+# propagation with pointer jumping). The oracle states the same semantics
+# as a recursive-CTE closure: cluster id = min reachable doc id.
+@_register(
+    "q73_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_PAIR_JACCARD},
+    p AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.2),
+    e AS (SELECT a_id AS s, b_id AS d FROM p UNION SELECT b_id, a_id FROM p),
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+    ),
+    lab AS (SELECT s AS node, least(s, MIN(d)) AS cluster_id FROM reach GROUP BY s),
+    sz AS (SELECT cluster_id, COUNT(*) AS n FROM lab GROUP BY cluster_id)
+    SELECT lab.node AS doc_id, lab.cluster_id,
+           CAST(sz.n AS BIGINT) AS cluster_size
+    FROM lab JOIN sz USING (cluster_id)
+    """,
+)
+def q73_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2).select("a_id", "b_id")
+    return dup_clusters(pairs)
