@@ -1,0 +1,135 @@
+"""Mergeable distinct-count sketches (KMV and HyperLogLog), md5-derived
+and bit-exact across engines — no UDFs, no randomness.
+
+Why sketches in this engine: the reference's run metrics count distincts
+exactly (fine at Mongo scale); at 100 TB a per-partition-mergeable sketch
+replaces a full shuffle of the distinct keys with a fixed-size state per
+group. Both sketches here are classic published designs:
+
+- KMV ("k minimum values"): keep the k smallest hash values per group;
+  the k-th smallest estimates density → distinct ≈ (k-1)/frac(kth).
+  Merge = union + re-take-k-smallest.
+- HyperLogLog: bucket by the first bits of the hash, register = max
+  leading-zero-run-length (rho) of the remainder; merge = element-wise
+  MAX of registers — the canonical mergeable sketch.
+
+Determinism/parity design (the reason this file looks the way it does):
+- the hash is md5 of the value's string form — identical hex in Spark and
+  DuckDB, so sketch CONTENT (registers, k-th hash) is oracle-checkable
+  bit-for-bit, not just approximately.
+- rho is computed lexically: ``instr(lpad(bin(x), 60, '0'), '1')`` — both
+  engines agree on bin()/lpad()/strpos semantics (verified), avoiding
+  any floating log2.
+- the HLL harmonic sum is kept EXACT: Σ 2^(-rho) is scaled by 2^64 into a
+  DECIMAL(38,0) integer numerator (max 64·2^64 ≈ 1.2e21 < 10^38), so
+  accumulation order cannot perturb it — raw_estimate is then one IEEE
+  division at the end, identical everywhere.
+
+Aggregation shape: one partial-aggregated shuffle per sketch (groupBy
+(group, bucket) max / windowed top-k per group) — registers per group are
+fixed-size, so state is O(groups · m) regardless of input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HLL_M = 64  # registers per group (b=6 bucket bits)
+HLL_RHO_BITS = 60  # bits of hash used for the leading-zero run
+KMV_K = 32
+
+# 2^64 as an exact decimal literal (the Σ2^(-rho) scale factor). Kept at
+# DECIMAL(21,0) so (m - n_present)·2^64 stays inside DECIMAL(31,0) — a
+# 38-wide product would overflow DuckDB's decimal multiply into DOUBLE.
+_POW64_DEC = "CAST('18446744073709551616' AS DECIMAL(21,0))"
+
+
+def _md5(value: Column) -> Column:
+    return F.md5(value.cast("string").cast("binary"))
+
+
+def _bucket(h: Column, m: int) -> Column:
+    return (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m).cast("int")
+
+
+def _rho(h: Column) -> Column:
+    """1 + leading-zero count of the 60-bit remainder; 61 when all-zero.
+    Lexical formulation keeps both engines bit-identical."""
+    x = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    pos = F.instr(F.lpad(F.bin(x), HLL_RHO_BITS, "0"), "1")
+    return F.when(pos == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(pos).cast("int")
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, m: int = HLL_M
+) -> DataFrame:
+    """(group..., bucket, max_rho): the HLL sketch state itself. MAX makes
+    it mergeable across partitions/batches/days — union register tables and
+    re-MAX to combine sketches (tested)."""
+    h = _md5(F.col(value_col))
+    return (
+        df.select(*group_cols, _bucket(h, m).alias("bucket"), _rho(h).alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_summary(
+    registers: DataFrame, group_cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """Per-group estimate from a register table: exact DECIMAL numerator
+    Σ 2^(64-rho) (absent buckets contribute 2^64 ≡ rho 0), raw HLL
+    estimate α·m²·2^64 / numerator. No small/large-range corrections —
+    documented raw-HLL semantics, adequate for m=64 at engine-test scale."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # 2^(64-rho) from exact decimal literals: Spark's double→decimal cast
+    # rounds through the double's 16-digit string repr (pow(2.0,59) would
+    # land 2 off), so powers are looked up, never computed in floating point
+    pow2 = F.array(*[F.lit(str(1 << i)).cast("decimal(21,0)") for i in range(64)])
+    term = F.try_element_at(pow2, (F.lit(65) - F.col("max_rho")).cast("int"))
+    g = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("n_present"),
+        F.sum(term).alias("sum_present"),
+    )
+    numerator = (
+        F.col("sum_present")
+        + (F.lit(m) - F.col("n_present")).cast("decimal(10,0)") * F.expr(_POW64_DEC)
+    ).cast("decimal(38,0)")
+    est = (
+        F.lit(alpha * m * m)
+        * F.expr(f"CAST({_POW64_DEC} AS DOUBLE)")
+        / numerator.cast("double")
+    )
+    return g.select(
+        *group_cols,
+        (F.lit(m) - F.col("n_present")).cast("int").alias("n_zero_registers"),
+        numerator.alias("harmonic_numerator"),
+        est.alias("raw_estimate"),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(group..., n_distinct_hashes, kth_hash, est_distinct): k-minimum-
+    values sketch. Distinct hashes first (KMV is a set sketch), then the
+    k-th smallest per group via a windowed rank — one shuffle, state O(k)
+    per group. Groups with fewer than k distinct values report exact."""
+    hashed = df.select(*group_cols, _md5(F.col(value_col)).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    counts = ranked.groupBy(*group_cols).agg(F.count("*").alias("n_distinct_hashes"))
+    kth = ranked.filter(F.col("rn") == k).select(*group_cols, F.col("h").alias("kth_hash"))
+    kth_frac = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double") / F.pow(
+        F.lit(2.0), F.lit(60)
+    )
+    joined = counts.join(kth, group_cols, "left")
+    return joined.select(
+        *group_cols,
+        "n_distinct_hashes",
+        "kth_hash",
+        F.when(F.col("kth_hash").isNull(), F.col("n_distinct_hashes").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / kth_frac)
+        .alias("est_distinct"),
+    )

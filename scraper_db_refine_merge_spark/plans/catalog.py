@@ -9,6 +9,7 @@ from . import (
     relational,
     relational2,
     sampling,
+    sketchq,
     streamq,
     temporalq,
     textqueries,
@@ -18,6 +19,6 @@ from . import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation):
+for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation, sketchq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -1,0 +1,133 @@
+"""Distinct-count sketches under the oracle gate (operators/sketches.py).
+
+The gate verifies the sketch CONTENT bit-for-bit (registers, k-th hash,
+exact decimal harmonic numerator), not merely the estimates — md5-derived
+hashing makes KMV/HLL state identical across engines. q74/q75/q76.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import (
+    HLL_M,
+    KMV_K,
+    hll_registers,
+    hll_summary,
+    kmv_sketch,
+)
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_SQL_HASHED = "SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events"
+
+_SQL_RHO = (
+    "strpos(lpad(bin(('0x' || substr(h, 3, 15))::UBIGINT), 60, '0'), '1')"
+)
+
+_SQL_REGS = f"""
+    hashed AS ({_SQL_HASHED}),
+    b AS (
+        SELECT event_type,
+               CAST(('0x' || substr(h, 1, 2))::UBIGINT % {HLL_M} AS INTEGER) AS bucket,
+               CAST(CASE WHEN {_SQL_RHO} = 0 THEN 61 ELSE {_SQL_RHO} END AS INTEGER) AS rho
+        FROM hashed
+    ),
+    regs AS (
+        SELECT event_type, bucket, CAST(MAX(rho) AS INTEGER) AS max_rho
+        FROM b GROUP BY 1, 2
+    )
+"""
+
+_POW64 = "CAST('18446744073709551616' AS DECIMAL(21,0))"
+_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M)
+
+
+# --------------------------------------------------------------------------
+# q74 — KMV distinct sketch per event_type over user_id. The k-th smallest
+# md5 is compared as a hex string — sketch state equality, not just the
+# estimate.
+@_register(
+    "q74_kmv_distinct",
+    f"""
+    WITH hashed AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ),
+    counts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct_hashes
+               FROM hashed GROUP BY 1),
+    kth AS (SELECT event_type, h AS kth_hash FROM ranked WHERE rn = {KMV_K})
+    SELECT c.event_type, c.n_distinct_hashes, k.kth_hash,
+           CASE WHEN k.kth_hash IS NULL THEN CAST(c.n_distinct_hashes AS DOUBLE)
+                ELSE {float(KMV_K - 1)!r} /
+                     (CAST(('0x' || substr(k.kth_hash, 1, 15))::UBIGINT AS DOUBLE)
+                      / power(2.0, 60))
+           END AS est_distinct
+    FROM counts c LEFT JOIN kth k USING (event_type)
+    """,
+)
+def q74_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return kmv_sketch(e, ["event_type"], "user_id", k=KMV_K)
+
+
+# --------------------------------------------------------------------------
+# q75 — the HLL register table itself: (event_type, bucket, max_rho).
+# Element-wise MAX mergeability is what makes this the 100 TB distinct
+# counter; the gate proves both engines build the same registers.
+@_register(
+    "q75_hll_registers",
+    f"""
+    WITH {_SQL_REGS}
+    SELECT event_type, bucket, max_rho FROM regs
+    """,
+)
+def q75_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return hll_registers(e, ["event_type"], "user_id", m=HLL_M)
+
+
+# --------------------------------------------------------------------------
+# q76 — HLL summary: exact DECIMAL harmonic numerator + raw estimate.
+@_register(
+    "q76_hll_estimate",
+    f"""
+    WITH {_SQL_REGS},
+    g AS (
+        SELECT event_type, COUNT(*) AS n_present,
+               SUM(CAST(power(2, 64 - max_rho) AS DECIMAL(38,0))) AS sum_present
+        FROM regs GROUP BY 1
+    )
+    SELECT event_type,
+           CAST({HLL_M} - n_present AS INTEGER) AS n_zero_registers,
+           CAST(CAST(sum_present + CAST({HLL_M} - n_present AS DECIMAL(10,0)) * {_POW64}
+                AS DECIMAL(38,0)) AS VARCHAR) AS harmonic_numerator,
+           {_ALPHA_M2} * CAST({_POW64} AS DOUBLE)
+               / CAST(CAST(sum_present + CAST({HLL_M} - n_present AS DECIMAL(10,0))
+                           * {_POW64} AS DECIMAL(38,0)) AS DOUBLE) AS raw_estimate
+    FROM g
+    """,
+)
+def q76_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_registers(e, ["event_type"], "user_id", m=HLL_M)
+    s = hll_summary(regs, ["event_type"], m=HLL_M)
+    # numerator as digit string: >2^63 decimals degrade to float64 in the
+    # pandas layer both comparators run on; the string keeps it exact
+    return s.withColumn("harmonic_numerator", F.col("harmonic_numerator").cast("string"))
