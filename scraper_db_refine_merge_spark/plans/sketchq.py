@@ -39,8 +39,12 @@ _SQL_RHO = (
     "strpos(lpad(bin(('0x' || substr(h, 3, 15))::UBIGINT), 60, '0'), '1')"
 )
 
-_SQL_REGS = f"""
-    hashed AS ({_SQL_HASHED}),
+
+def sql_regs(hashed_select: str) -> str:
+    """DuckDB CTE fragment building HLL registers from any SELECT that
+    yields (event_type, h=md5 hex) rows — shared by q75/q76/q77."""
+    return f"""
+    hashed AS ({hashed_select}),
     b AS (
         SELECT event_type,
                CAST(('0x' || substr(h, 1, 2))::UBIGINT % {HLL_M} AS INTEGER) AS bucket,
@@ -52,6 +56,9 @@ _SQL_REGS = f"""
         FROM b GROUP BY 1, 2
     )
 """
+
+
+_SQL_REGS = sql_regs(_SQL_HASHED)
 
 _POW64 = "CAST('18446744073709551616' AS DECIMAL(21,0))"
 _ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M)
@@ -131,3 +138,66 @@ def q76_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numerator as digit string: >2^63 decimals degrade to float64 in the
     # pandas layer both comparators run on; the string keeps it exact
     return s.withColumn("harmonic_numerator", F.col("harmonic_numerator").cast("string"))
+
+
+# --------------------------------------------------------------------------
+# q77 — STREAMING HLL (streaming/sketch_stream.py): three JSON batches of
+# user ids (full set / doubled ids / heavy-dup residues) replayed through
+# foreachBatch MAX-merge; the final register table must equal the
+# batch-built registers over the union — the oracle states that batch
+# semantics directly. Mergeability under micro-batching is exactly what
+# the gate proves here; per-batch idempotence is tested in
+# tests/test_sketch_stream.py.
+@_register(
+    "q77_stream_hll",
+    f"""
+    WITH users AS (
+        SELECT doc_id AS user_id FROM documents
+        UNION ALL SELECT doc_id * 2 FROM documents
+        UNION ALL SELECT doc_id % 97 FROM documents
+    ),
+    ev AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS event_type
+        FROM users
+    ),
+    {sql_regs("SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM ev")}
+    SELECT event_type, bucket, max_rho FROM regs
+    """,
+)
+def q77_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from ..streaming.sketch_stream import stream_hll_registers
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = [r[0] for r in d.select("doc_id").collect()]
+
+    root = tempfile.mkdtemp(prefix="q77_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    batches = [ids, [m * 2 for m in ids], [m % 97 for m in ids]]
+    for i, users in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            for u in users:
+                f.write(json.dumps({"user_id": u, "event_type": "a" if u % 2 == 0 else "b"}) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "registers")
+    q = stream_hll_registers(
+        spark,
+        landing,
+        target,
+        os.path.join(root, "ckpt"),
+        ["event_type"],
+        "user_id",
+        schema="user_id long, event_type string",
+        m=HLL_M,
+    )
+    q.awaitTermination(300)
+
+    return spark.read.parquet(target).select("event_type", "bucket", "max_rho")
