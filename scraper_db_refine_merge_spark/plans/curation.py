@@ -83,7 +83,13 @@ _SQL_TOKS = "string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '
     """,
 )
 def q67_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", _toks(F.col("text")).alias("t"))
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition quality stats over any (doc_id, text) DataFrame —
+    the df-based operator behind q67 (scale-smoked in tools/scale_smoke)."""
+    d = docs.select("doc_id", _toks(F.col("text")).alias("t"))
     n = F.size("t")
     stats = d.select(
         "doc_id",
@@ -282,9 +288,13 @@ _FREQ_CAP = 2
     """,
 )
 def q70_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _toks(F.col("text")).alias("t")
-    )
+    return chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_dedup(docs: DataFrame) -> DataFrame:
+    """Chunk-level cross-corpus dedup over any (doc_id, text) DataFrame —
+    the df-based operator behind q70 (scale-smoked in tools/scale_smoke)."""
+    base = docs.select("doc_id", _toks(F.col("text")).alias("t"))
     n_chunks = F.ceil(F.size("t") / F.lit(float(_CHUNK))).cast("int")
     chunks = base.select(
         "doc_id",

@@ -154,3 +154,38 @@ def test_q42_block_grid_no_driver_collect_shape(spark, sf_dir):
     p = _plan(QUERIES["q42_embedding_near_dup"](spark, sf_dir))
     assert "FlatMapCoGroupsInPandas" in p
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_q75_hll_registers_two_phase_agg_pruned_scan(spark, sf_dir):
+    """The HLL sketch build must be one partial-aggregated shuffle (state
+    per map task is groups×m registers) over a 2-column pruned scan."""
+    p = _plan(QUERIES["q75_hll_registers"](spark, sf_dir))
+    assert p.count("HashAggregate") == 2
+    assert p.count("Exchange hashpartitioning") == 1
+    scan = next(ln for ln in p.splitlines() if "FileScan" in ln)
+    assert "event_type" in scan and "user_id" in scan
+    assert "props" not in scan  # column pruning reached the scan
+
+
+def test_q67_bigram_agg_is_partial_no_cartesian(spark, sf_dir):
+    """Repetition filters: per-row stats stay narrow; the bigram explode
+    partial-aggregates before both shuffles; nothing goes nested-loop."""
+    p = _plan(QUERIES["q67_repetition_filters"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 4  # two 2-phase aggregates
+
+
+def test_bloom_build_partial_aggregates(spark):
+    """The filter build must partial-aggregate bit_or map-side — the
+    shuffle carries at most m/64 words per map task, not n·k positions."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators.bloom import bloom_build
+
+    keys = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    p = _plan(bloom_build(keys, ["k"], num_bits=1 << 14))
+    # two 2-phase aggregates (bit_or per word, then the 1-row assembly);
+    # the partial side of each runs before its Exchange
+    assert p.count("HashAggregate") >= 3
+    assert p.count("Exchange hashpartitioning") == 1

@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scraper_db_refine_merge_spark.operators import dedup as dd  # noqa: E402
+from scraper_db_refine_merge_spark.operators.graph import dup_clusters  # noqa: E402
 from scraper_db_refine_merge_spark.operators.rollup import fold_rollup  # noqa: E402
+from scraper_db_refine_merge_spark.operators.sketches import hll_registers  # noqa: E402
+from scraper_db_refine_merge_spark.plans.curation import (  # noqa: E402
+    chunk_dedup,
+    repetition_stats,
+)
 from scraper_db_refine_merge_spark.operators.similarity import (  # noqa: E402
     cosine_near_dup_pairs,
     lsh_topk,
@@ -142,6 +148,33 @@ def main():
             "fold_rollup(type,user)",
             lambda: _rollup(base_evts, "rollup_1x"),
             lambda: _rollup(evts, f"rollup_{factor}x"),
+        ),
+        (
+            "repetition_stats",
+            lambda: repetition_stats(base_docs).count(),
+            lambda: repetition_stats(docs).count(),
+        ),
+        (
+            "chunk_dedup",
+            lambda: chunk_dedup(base_docs).count(),
+            lambda: chunk_dedup(docs).count(),
+        ),
+        (
+            "hll_registers(events)",
+            lambda: hll_registers(base_evts, ["event_type"], "user_id").count(),
+            lambda: hll_registers(evts, ["event_type"], "user_id").count(),
+        ),
+        (
+            # pair OUTPUT grows ~quadratically in the replication factor
+            # (exact copies form ever-larger dup cliques); what must stay
+            # tame is clustering them — CC rounds are O(log diameter)
+            "dup_clusters(simhash h<=3)",
+            lambda: dup_clusters(
+                dd.simhash_near_pairs(base_docs, "doc_id", "text", max_hamming=3)
+            ).count(),
+            lambda: dup_clusters(
+                dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+            ).count(),
         ),
     ]:
         small()  # warm codegen
