@@ -109,6 +109,48 @@ def hll_summary(
     )
 
 
+def histogram_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, width: float
+) -> DataFrame:
+    """(group..., bin, n): fixed-width histogram — the mergeable quantile
+    sketch (bin counts ADD across partitions/batches/days, tested). The
+    scale swap for exact grouped quantiles (q61): state per group is
+    O(value_range/width) instead of O(rows), one partial-agg shuffle."""
+    return (
+        df.select(*group_cols, F.floor(F.col(value_col) / F.lit(width)).alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, group_cols: list[str], qs: list[float], width: float
+) -> DataFrame:
+    """Per-group quantile estimates from a histogram sketch by linear
+    interpolation inside the covering bin. All arithmetic is written in
+    one fixed order (bin·w + (q·total − cum_before)/n · w) so engines
+    agree bit-for-bit on the estimates, not just approximately."""
+    w_cum = Window.partitionBy(*group_cols).orderBy("bin")
+    w_all = Window.partitionBy(*group_cols)
+    h = (
+        hist.withColumn("cum", F.sum("n").over(w_cum))
+        .withColumn("total", F.sum("n").over(w_all))
+        .select(*group_cols, "bin", "n", "cum", "total",
+                F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"))
+    )
+    target = F.col("q") * F.col("total")
+    covering = h.filter(F.col("cum") >= target).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(*group_cols, "q").orderBy("bin"))
+    ).filter(F.col("rn") == 1)
+    est = (
+        F.col("bin") * F.lit(width)
+        + (target - (F.col("cum") - F.col("n"))) / F.col("n") * F.lit(width)
+    )
+    return covering.select(
+        *group_cols, "q", est.alias("est_value"), F.col("total").alias("n_total")
+    )
+
+
 def kmv_sketch(
     df: DataFrame, group_cols: list[str], value_col: str, k: int = KMV_K
 ) -> DataFrame:

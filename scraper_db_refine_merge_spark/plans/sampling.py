@@ -612,3 +612,67 @@ def q54_acts_ticketing_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q78 — deterministic WEIGHTED sampling (Efraimidis–Spirakis) without any
+# floating pow/ln: for an integer weight w, the max of w independent
+# hash-uniforms has CDF t^w — identical in distribution to the classic
+# u^(1/w) priority — so the top-k by that max IS a weighted sample, and
+# every comparison is over exact dyadic rationals both engines compute
+# identically. Replication cost is O(weight) per row (weights here 1..5;
+# at scale cap/bucket the weights). Top-k plans as TakeOrderedAndProject.
+@_register(
+    "q78_weighted_sample",
+    """
+    WITH w AS (SELECT doc_id, n_chars % 5 + 1 AS weight FROM documents),
+    e AS (SELECT doc_id, weight, unnest(range(1, weight + 1)) AS j FROM w),
+    k AS (
+        SELECT doc_id, weight,
+               MAX(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(j AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0)
+                   AS sample_key
+        FROM e GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(weight AS INT) AS weight, sample_key
+    FROM k ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def q78_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select("doc_id", (F.col("n_chars") % 5 + 1).alias("weight")),
+        "doc_id",
+        "weight",
+        k=50,
+    )
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> DataFrame:
+    """Weighted sample of k rows: P(selected) ∝ integer ``weight_col``.
+    Deterministic (md5 priorities), invariant under partitioning/order."""
+    key_j = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(":"), F.col("j").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.select(id_col, weight_col, F.explode(F.sequence(F.lit(1), F.col(weight_col))).alias("j"))
+        .select(id_col, weight_col, key_j.alias("kj"))
+        .groupBy(id_col, weight_col)
+        .agg(F.max("kj").alias("sample_key"))
+        .select(id_col, F.col(weight_col).cast("int").alias("weight"), "sample_key")
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -201,3 +201,50 @@ def q77_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
 
     return spark.read.parquet(target).select("event_type", "bucket", "max_rho")
+
+
+# --------------------------------------------------------------------------
+# q79 — mergeable histogram quantile sketch (operators/sketches.py
+# histogram_sketch + histogram_quantiles): fixed-width bin counts per
+# event_type over `value`, p50/p95 by in-bin linear interpolation. The
+# arithmetic order is fixed on both sides so the estimates match
+# bit-for-bit; mergeability (+) is unit-tested.
+_HQ_W = 25.0
+
+
+@_register(
+    "q79_histogram_quantiles",
+    f"""
+    WITH hist AS (
+        SELECT event_type, CAST(floor(value / {_HQ_W}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    cums AS (
+        SELECT event_type, bin, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM hist
+    ),
+    ex AS (
+        SELECT event_type, bin, n, cum, total,
+               unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q
+        FROM cums
+    ),
+    cov AS (
+        SELECT event_type, bin, n, cum, total, q,
+               ROW_NUMBER() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+        FROM ex WHERE cum >= q * total
+    )
+    SELECT event_type, q,
+           bin * {_HQ_W} + (q * total - (cum - n)) / n * {_HQ_W} AS est_value,
+           total AS n_total
+    FROM cov WHERE rn = 1
+    """,
+)
+def q79_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import histogram_quantiles, histogram_sketch
+
+    e = load_table(spark, sf_dir, "events")
+    hist = histogram_sketch(e, ["event_type"], "value", width=_HQ_W)
+    return histogram_quantiles(hist, ["event_type"], [0.5, 0.95], width=_HQ_W)

@@ -67,3 +67,51 @@ def test_kmv_estimate_and_duplicates_collapse(spark):
         est = r[-1]
         n_true = 250  # 500 users split across 2 event types by id parity
         assert abs(est - n_true) / n_true < 0.6  # k=32 → ~18% stderr, 3 sigma
+
+
+def test_histogram_sketch_merges_by_sum(spark):
+    from scraper_db_refine_merge_spark.operators.sketches import histogram_sketch
+
+    df = _events(spark, n_users=300, n_rows=3000).withColumn(
+        "value", (F.col("user_id") * 7 % 100).cast("double")
+    )
+    whole = histogram_sketch(df, ["event_type"], "value", 10.0)
+    h1 = histogram_sketch(df.filter(F.col("user_id") < 150), ["event_type"], "value", 10.0)
+    h2 = histogram_sketch(df.filter(F.col("user_id") >= 150), ["event_type"], "value", 10.0)
+    merged = (
+        h1.unionByName(h2).groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_histogram_quantiles_near_exact(spark):
+    from scraper_db_refine_merge_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(10000).select(
+        F.lit("g").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    hist = histogram_sketch(df, ["g"], "v", 50.0)
+    out = {r["q"]: r["est_value"] for r in histogram_quantiles(hist, ["g"], [0.5, 0.95], 50.0).collect()}
+    # uniform 0..999 → p50 ≈ 500, p95 ≈ 950; in-bin interpolation keeps the
+    # error well under one bin width
+    assert abs(out[0.5] - 500) < 50
+    assert abs(out[0.95] - 950) < 50
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from scraper_db_refine_merge_spark.plans.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 5 if i < 100 else 1) for i in range(1000)], "doc_id long, weight long"
+    )
+    a = [r["doc_id"] for r in weighted_sample(docs, "doc_id", "weight", 100).collect()]
+    b = [r["doc_id"] for r in weighted_sample(docs, "doc_id", "weight", 100).collect()]
+    assert a == b  # deterministic incl. order
+    # 100 heavy docs (w=5) among 900 light (w=1): heavies are ~5x likelier;
+    # expected heavy share ≈ 100·5/(100·5+900·1) ≈ 36% of the top-100 —
+    # require clearly above the unweighted 10% share
+    heavy = sum(1 for d in a if d < 100)
+    assert heavy > 20
