@@ -439,3 +439,100 @@ ORACLES["q65_stream_session_windows"] = """
     UNION ALL
     SELECT -1, '2025-06-01 10:00:00', '2025-06-01 10:30:00', CAST(1 AS BIGINT)
 """
+
+
+# --------------------------------------------------------------------------
+# q80 — STREAM-STREAM interval join (streaming/joins.py): clicks ⋈
+# purchases on user within [click_ts, click_ts + 1h], 2h watermarks both
+# sides, three paired micro-batches per stream (mtime order,
+# maxFilesPerTrigger=1 each).
+#
+# The construction proves three streaming-only behaviors:
+# - same-batch match: every user clicks at 01:00, users %2 purchase at
+#   01:30 → emitted in batch 0;
+# - cross-batch state: users %5 click at 05:10 (batch 1) and purchase at
+#   05:40 (batch 2) — the click is served from join state;
+# - late drop: users %3 purchase at 01:40 arrives in batch 2, but the
+#   input filter there uses the watermark after batch 0 (max 05:00 − 2h =
+#   03:00) → dropped. It WOULD have matched the 01:00 click in batch
+#   semantics — its absence from the sink is the streaming proof. (Inner
+#   joins make eviction safe: an evicted match implies a beyond-watermark
+#   row, so input drop is the only observable.)
+# The oracle states the surviving matches by constant arithmetic.
+def q80_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import stream_interval_join
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = [r[0] for r in d.select("doc_id").collect()]
+
+    root = tempfile.mkdtemp(prefix="q80_stream_")
+    clicks_dir = os.path.join(root, "clicks")
+    purch_dir = os.path.join(root, "purchases")
+    os.makedirs(clicks_dir)
+    os.makedirs(purch_dir)
+
+    def _row(u: int, hhmm: str) -> str:
+        return json.dumps({"user_id": u, "ts": f"2025-06-01T{hhmm}:00+00:00"})
+
+    click_batches = [
+        [_row(m, "01:00") for m in ids] + [_row(-1, "05:00")],
+        [_row(m, "05:10") for m in ids if m % 5 == 0] + [_row(-2, "05:30")],
+        [_row(-3, "23:00")],
+    ]
+    purch_batches = [
+        [_row(m, "01:30") for m in ids if m % 2 == 0] + [_row(-11, "05:00")],
+        [_row(-12, "05:30")],
+        [_row(m, "01:40") for m in ids if m % 3 == 0]  # late → dropped
+        + [_row(m, "05:40") for m in ids if m % 5 == 0]
+        + [_row(-13, "23:00")],
+    ]
+    for dir_, batches in ((clicks_dir, click_batches), (purch_dir, purch_batches)):
+        for i, lines in enumerate(batches):
+            path = os.path.join(dir_, f"batch_{i}.json")
+            with open(path, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            t = 1_700_000_000 + i * 60
+            os.utime(path, (t, t))
+
+    schema = "user_id long, ts timestamp"
+    clicks = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(clicks_dir)
+        .withColumnRenamed("ts", "click_ts")
+    )
+    purchases = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(purch_dir)
+        .withColumnRenamed("ts", "purchase_ts")
+    )
+    joined = stream_interval_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        window="1 hour", watermark="2 hours",
+    )
+    target = os.path.join(root, "joined")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    t = spark.read.parquet(target)
+    return t.select(
+        "user_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+QUERIES["q80_stream_stream_join"] = q80_stream_stream_join
+ORACLES["q80_stream_stream_join"] = """
+    SELECT doc_id AS user_id,
+           '2025-06-01 01:00:00' AS click_ts,
+           '2025-06-01 01:30:00' AS purchase_ts
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, '2025-06-01 05:10:00', '2025-06-01 05:40:00'
+    FROM documents WHERE doc_id % 5 = 0
+"""
