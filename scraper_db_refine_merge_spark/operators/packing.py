@@ -50,6 +50,56 @@ def pack_contiguous(
     return out
 
 
+def pack_greedy(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    ctx: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Greedy NEXT-FIT packing: walk documents in order, close the current
+    bin when the next document doesn't fit. Unlike concat-and-chunk, no
+    document straddles bins (an over-ctx document still gets its own bin).
+
+    The walk is inherently sequential — per-row state (current bin, tokens
+    used) — so it runs as ``applyInPandas`` per shard: one Python pass per
+    shard, shards packed in parallel across the cluster. With
+    ``shard_col=None`` everything is ONE group (use only for oracle-sized
+    determinism tests; production always shards).
+
+    Returns (order_col, token_col[, shard_col], bin).
+    """
+    import pandas as pd
+
+    cols = [order_col, token_col] + ([shard_col] if shard_col else [])
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        bins = []
+        cur, used = 0, 0
+        first = True
+        for t in pdf[token_col]:
+            t = int(t)
+            if first:
+                cur, used, first = 0, t, False
+            elif used + t <= ctx:
+                used += t
+            else:
+                cur, used = cur + 1, t
+            bins.append(cur)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    src = df.select(*cols).filter(F.col(token_col) > 0)
+    gcol = shard_col
+    if gcol is None:
+        gcol = "__shard"
+        src = src.withColumn(gcol, F.lit(0).cast("long"))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+    out = src.groupBy(gcol).applyInPandas(_pack, schema + ", bin long")
+    return out.drop("__shard") if shard_col is None else out
+
+
 def pack_bins_summary(packed: DataFrame, token_col: str) -> DataFrame:
     """Per-bin rollup of a ``pack_contiguous`` result, grouped by the bin
     each document STARTS in: document count, tokens started, straddlers."""

@@ -326,3 +326,75 @@ def chunk_dedup(docs: DataFrame) -> DataFrame:
             F.md5(F.coalesce("new_text", F.lit("")).cast("binary")).alias("new_hash"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q81 — greedy NEXT-FIT packing (operators/packing.py pack_greedy): the
+# sequential walk is applyInPandas per shard on the Spark side; the oracle
+# SIMULATES the identical walk with a linear recursive CTE (one recursion
+# step per document), proving an inherently non-SQL operator against SQL.
+@_register(
+    "q81_greedy_packing",
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok FROM documents
+    ),
+    d AS (
+        SELECT doc_id, n_tok, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        FROM t WHERE n_tok > 0
+    ),
+    walk(rn, doc_id, n_tok, bin, used) AS (
+        SELECT rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.rn, d.doc_id, d.n_tok,
+               CASE WHEN w.used + d.n_tok <= 512 THEN w.bin ELSE w.bin + 1 END,
+               CASE WHEN w.used + d.n_tok <= 512 THEN w.used + d.n_tok ELSE d.n_tok END
+        FROM walk w JOIN d ON d.rn = w.rn + 1
+    )
+    SELECT doc_id, n_tok, bin FROM walk
+    """,
+)
+def q81_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_toks(F.col("text"))).cast("long").alias("n_tok")
+    )
+    return pack_greedy(d, "doc_id", "n_tok", ctx=512)
+
+
+# --------------------------------------------------------------------------
+# q82 — Bloom-accelerated decontamination (operators/bloom.py
+# pruned_left_anti): held-out set keys build a broadcast Bloom filter;
+# corpus rows that provably aren't contaminated bypass the anti-join,
+# bloom-positive rows are exactly verified — result identical to the
+# plain anti-join the oracle states, at a fraction of the shuffle. The
+# contamination set = documents whose md5(normalized text) collides with
+# the q49 convention (doc_id % 100 == 7 stand-in eval set).
+@_register(
+    "q82_bloom_decontaminate",
+    f"""
+    WITH contam AS (
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents WHERE doc_id % 100 = 7
+    ),
+    corpus AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    )
+    SELECT c.doc_id FROM corpus c
+    LEFT JOIN contam x ON c.h = x.h
+    WHERE x.h IS NULL
+    """,
+)
+def q82_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import pruned_left_anti
+
+    d = load_table(spark, sf_dir, "documents")
+    norm_hash = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).cast("binary")
+    )
+    corpus = d.select("doc_id", norm_hash.alias("h"))
+    contam = d.filter(F.col("doc_id") % 100 == 7).select(norm_hash.alias("h"))
+    return pruned_left_anti(corpus, contam, ["h"]).select("doc_id")
