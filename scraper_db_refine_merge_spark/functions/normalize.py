@@ -63,23 +63,29 @@ def _literal_map(d: dict[str, str]) -> Column:
     return F.create_map(*[F.lit(x) for x in chain.from_iterable(d.items())])
 
 
-# word boundaries for Python str.title(): transitions between letter and
-# non-letter (lookarounds keep the delimiters themselves intact)
-_LETTER_EDGE = r"(?<=\p{L})(?=\P{L})|(?<=\P{L})(?=\p{L})"
+# word boundaries for Python str.title(): transitions between CASED and
+# non-cased characters. CPython's do_title tracks previous_is_cased =
+# ISLOWER|ISUPPER|ISTITLE — i.e. the Lowercase/Uppercase binary properties
+# plus category Lt — NOT "is a letter": uncased letters (Lo scripts like
+# Telugu 'ఈ', Lm modifiers) delimit words, so 'ఈa'.title() == 'ఈA'.
+# Lookarounds keep the delimiters themselves intact.
+_CASED = r"\p{IsLowercase}\p{IsUppercase}\p{Lt}"
+_CASED_EDGE = rf"(?<=[{_CASED}])(?=[^{_CASED}])|(?<=[^{_CASED}])(?=[{_CASED}])"
 
 
 def _title_case(c: Column) -> Column:
-    """Python ``str.title()`` faithful: every letter-run becomes
-    upper(first) + lower(rest); non-letters pass through AND delimit words,
-    so "drum&bass" → "Drum&Bass", "x3x" → "X3X", "don't" → "Don'T" — all
-    exactly as CPython. (Known divergence: one-to-many case maps — Java
-    upper('ß') = 'SS' where Python titlecases to 'Ss'.)"""
-    parts = F.split(c, _LETTER_EDGE)
+    """Python ``str.title()`` faithful: every cased-run becomes
+    upper(first) + lower(rest); non-cased chars (punctuation, digits, AND
+    uncased letters) pass through and delimit words, so "drum&bass" →
+    "Drum&Bass", "don't" → "Don'T", "ఈa" → "ఈA" — all exactly as CPython.
+    (Known divergence: one-to-many case maps — Java upper('ß') = 'SS' where
+    Python titlecases to 'Ss'.)"""
+    parts = F.split(c, _CASED_EDGE)
     return F.array_join(
         F.transform(
             parts,
             lambda x: F.when(
-                x.rlike(r"^\p{L}"),
+                x.rlike(rf"^[{_CASED}]"),
                 F.concat(
                     F.upper(F.substring(x, 1, 1)), F.lower(F.substring(x, 2, 2147483647))
                 ),

@@ -8,7 +8,12 @@ scrapers_v2/utils.py:94-180). The Spark-native equivalent is Delta
 and file-pruned (only files containing matched keys rewrite). The same
 ``merge_upsert`` API dispatches to it when available (``backend="auto"``);
 without delta the documented fallback (SURVEY §4) runs: latest-wins within
-the batch → left-anti + union → atomic directory swap.
+the batch → left-anti + union → atomic directory swap. In environments
+without delta-spark (including this sandbox) the parquet fallback IS the
+canonical path; both backends are held to identical upsert semantics by the
+shared-fixture test tests/test_refine_merge.py::
+test_merge_upsert_roundtrip_and_stats, whose delta parametrization executes
+wherever delta-spark is installed and self-skips elsewhere.
 
 Scale notes:
 - within-batch dedup is W3 (row_number over the key) — mandatory before any

@@ -151,6 +151,90 @@ def histogram_quantiles(
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Row-independent bucket: md5 of "row:value" (the row prefix makes the
+    d hash functions independent slices of one md5 family), first 8 hex
+    chars → 32-bit int mod width. Reproducible in any engine with
+    md5/substring — the oracle mirrors it via '0x…'::UBIGINT."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), value.cast("string")).cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
+
+
+def cms_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(group..., row, bucket, cnt): count-min sketch state — the mergeable
+    FREQUENCY sketch completing the family (HLL = distinct, histogram =
+    quantiles, CMS = per-key counts). Merge = element-wise SUM of cells
+    (tested), so per-partition/batch/day sketches combine without re-reading
+    data; state per group is fixed d·w cells regardless of input rows.
+
+    Shape: explode each input row to its d (row, bucket) cells, ONE
+    partial-aggregated shuffle — map-side combine collapses each partition
+    to ≤ d·w cells before the exchange, so shuffle volume is O(partitions ·
+    d·w), not O(rows)."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cms_bucket(F.col(key_col), i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(*group_cols, cells, w.alias("__w"))
+        .select(*group_cols, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"), "__w")
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-key count estimate = min over the d rows of the key's cell — the
+    classic CMS upper-biased point query. ``keys`` is the candidate-key
+    table (at scale you pass candidates, not the full key universe); the
+    register table is d·w cells and is explicitly broadcast, so estimation
+    is a map-side join over the candidates — no shuffle of the keys."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(F.col(key_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(registers), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
 def kmv_sketch(
     df: DataFrame, group_cols: list[str], value_col: str, k: int = KMV_K
 ) -> DataFrame:

@@ -38,7 +38,12 @@ def _time_expr(df: DataFrame, col: str):
     """Exact ordering/arithmetic form of a time column: integer micros for
     timestamps (no double round-trip — sub-µs exact), the raw column for
     numeric times."""
-    if dict(df.dtypes)[col].startswith("timestamp"):
+    t = dict(df.dtypes)[col]
+    if t == "timestamp_ntz":
+        # unix_micros rejects NTZ; reinterpret in the session zone first
+        # (engine pins UTC, so this is the identity instant mapping).
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    if t.startswith("timestamp"):
         return F.unix_micros(F.col(col))
     return F.col(col)
 

@@ -11,8 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
     HLL_M,
     KMV_K,
+    cms_estimate,
+    cms_registers,
     hll_registers,
     hll_summary,
     kmv_sketch,
@@ -152,9 +156,9 @@ def q76_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q77_stream_hll",
     f"""
     WITH users AS (
-        SELECT doc_id AS user_id FROM documents
-        UNION ALL SELECT doc_id * 2 FROM documents
-        UNION ALL SELECT doc_id % 97 FROM documents
+        SELECT doc_id AS user_id FROM documents WHERE doc_id < 100000
+        UNION ALL SELECT doc_id * 2 FROM documents WHERE doc_id < 100000
+        UNION ALL SELECT doc_id % 97 FROM documents WHERE doc_id < 100000
     ),
     ev AS (
         SELECT user_id,
@@ -171,9 +175,10 @@ def q77_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.sketch_stream import stream_hll_registers
+    from .streamq import _harness_ids
 
     d = load_table(spark, sf_dir, "documents")
-    ids = [r[0] for r in d.select("doc_id").collect()]
+    ids = _harness_ids(d)
 
     root = tempfile.mkdtemp(prefix="q77_stream_")
     landing = os.path.join(root, "landing")
@@ -248,3 +253,65 @@ def q79_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hist = histogram_sketch(e, ["event_type"], "value", width=_HQ_W)
     return histogram_quantiles(hist, ["event_type"], [0.5, 0.95], width=_HQ_W)
+
+
+# --------------------------------------------------------------------------
+# q83 — COUNT-MIN heavy hitters (operators/sketches.py cms_registers +
+# cms_estimate): the mergeable frequency sketch. The gate verifies the
+# full pipeline bit-for-bit: register cells (md5-derived buckets, summed
+# counts), min-over-rows point estimates for every candidate key, and the
+# deterministic top-10 by (estimate, key), with the exact count alongside
+# to witness the upper-biased error. Merge-by-SUM is unit-tested in
+# tests/test_sketches.py.
+_CMS_ROWS = ", ".join(str(i) for i in range(CMS_DEPTH))
+
+
+@_register(
+    "q83_cms_heavy_hitters",
+    f"""
+    WITH rows_ AS (SELECT unnest([{_CMS_ROWS}]) AS row),
+    cells AS (
+        SELECT i.row AS row,
+               CAST(('0x' || substring(md5(CAST(i.row AS VARCHAR) || ':' ||
+                    CAST(e.user_id AS VARCHAR)), 1, 8))::UBIGINT % {CMS_WIDTH}
+                    AS INTEGER) AS bucket
+        FROM events e CROSS JOIN rows_ i
+    ),
+    regs AS (
+        SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+        SELECT k.user_id, i.row AS row,
+               CAST(('0x' || substring(md5(CAST(i.row AS VARCHAR) || ':' ||
+                    CAST(k.user_id AS VARCHAR)), 1, 8))::UBIGINT % {CMS_WIDTH}
+                    AS INTEGER) AS bucket
+        FROM keys k CROSS JOIN rows_ i
+    ),
+    est AS (
+        SELECT p.user_id, MIN(r.cnt) AS est_count
+        FROM probes p JOIN regs r ON p.row = r.row AND p.bucket = r.bucket
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM events GROUP BY 1
+    )
+    SELECT e.user_id, e.est_count, x.true_count
+    FROM est e JOIN exact x USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id
+    LIMIT 10
+    """,
+)
+def q83_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    regs = cms_registers(e, [], "user_id")
+    keys = e.select("user_id").distinct()
+    est = cms_estimate(regs, keys, "user_id")
+    exact = e.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est_count").desc(), F.col("user_id"))
+        .limit(10)
+    )

@@ -39,6 +39,24 @@ ORACLES: dict = {}
 
 _NOW = datetime(2025, 6, 1, tzinfo=timezone.utc)
 
+# Input authoring for the replay harnesses collects doc ids onto the driver
+# to write landing JSON. That is HARNESS-ONLY code (the path under test is
+# the distributed streaming job), but the collect is capped by construction
+# so pointing the harness at a production-scale table can't pull an
+# unbounded id list driver-side. Every oracle carries the same
+# `doc_id < HARNESS_ID_CAP` predicate; at the test SFs (≤ sf0.1, ids
+# 0..4999) the cap is a no-op.
+HARNESS_ID_CAP = 100_000
+
+
+def _harness_ids(d: DataFrame) -> list[int]:
+    return [
+        r[0]
+        for r in d.select("doc_id")
+        .filter(F.col("doc_id") < HARNESS_ID_CAP)
+        .collect()
+    ]
+
 
 def _raw_row(m: int, version: int) -> dict:
     title = f"Stream Festival {m}" if m % 7 == 0 else f"Stream Event {m}"
@@ -58,7 +76,7 @@ def _raw_row(m: int, version: int) -> dict:
 
 def q57_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    ids = [r[0] for r in d.select("doc_id").collect()]
+    ids = _harness_ids(d)
 
     root = tempfile.mkdtemp(prefix="q57_stream_")
     landing = os.path.join(root, "landing")
@@ -132,7 +150,7 @@ def q60_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import windowed_event_counts
 
     d = load_table(spark, sf_dir, "documents")
-    ids = [r[0] for r in d.select("doc_id").collect()]
+    ids = _harness_ids(d)
 
     root = tempfile.mkdtemp(prefix="q60_stream_")
     landing = os.path.join(root, "landing")
@@ -197,7 +215,7 @@ ORACLES["q57_stream_replay"] = """
         'Tech House' AS primary_genre,
         CAST(10.0 AS DOUBLE) AS tier_price,
         '2025-06-01T00:00:00+00:00' AS last_scraped
-    FROM documents
+    FROM documents WHERE doc_id < 100000
 """
 
 QUERIES["q60_stream_windowed_counts"] = q60_stream_windowed_counts
@@ -211,7 +229,7 @@ ORACLES["q60_stream_windowed_counts"] = """
             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
             CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
             CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h5
-        FROM documents
+        FROM documents WHERE doc_id < 100000
     )
     SELECT '2025-06-01 00:00:00' AS window_start, h0 AS event_count FROM c
     UNION ALL SELECT '2025-06-01 01:00:00', h1 FROM c
@@ -246,7 +264,7 @@ def q62_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import dedup_stream
 
     d = load_table(spark, sf_dir, "documents")
-    ids = [r[0] for r in d.select("doc_id").collect()]
+    ids = _harness_ids(d)
 
     root = tempfile.mkdtemp(prefix="q62_stream_")
     landing = os.path.join(root, "landing")
@@ -296,7 +314,7 @@ QUERIES["q62_stream_dedup"] = q62_stream_dedup
 ORACLES["q62_stream_dedup"] = """
     SELECT doc_id,
            CAST(1 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted
-    FROM documents
+    FROM documents WHERE doc_id < 100000
     UNION ALL SELECT -1, CAST(1 AS BIGINT)
     UNION ALL SELECT -2, CAST(1 AS BIGINT)
     UNION ALL SELECT -3, CAST(1 AS BIGINT)
@@ -374,7 +392,7 @@ def q65_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-end eviction, and the unfinished-session hold-back.
     """
     d = load_table(spark, sf_dir, "documents")
-    ids = [r[0] for r in d.select("doc_id").collect()]
+    ids = _harness_ids(d)
 
     root = tempfile.mkdtemp(prefix="q65_stream_")
     landing = os.path.join(root, "landing")
@@ -432,10 +450,10 @@ QUERIES["q65_stream_session_windows"] = q65_stream_session_windows
 ORACLES["q65_stream_session_windows"] = """
     SELECT doc_id AS uid, '2025-06-01 01:00:00' AS session_start,
            '2025-06-01 01:40:00' AS session_end, CAST(2 AS BIGINT) AS n
-    FROM documents
+    FROM documents WHERE doc_id < 100000
     UNION ALL
     SELECT doc_id, '2025-06-01 02:30:00', '2025-06-01 03:00:00', CAST(1 AS BIGINT)
-    FROM documents WHERE doc_id % 2 = 0
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100000
     UNION ALL
     SELECT -1, '2025-06-01 10:00:00', '2025-06-01 10:30:00', CAST(1 AS BIGINT)
 """
@@ -463,7 +481,7 @@ def q80_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import stream_interval_join
 
     d = load_table(spark, sf_dir, "documents")
-    ids = [r[0] for r in d.select("doc_id").collect()]
+    ids = _harness_ids(d)
 
     root = tempfile.mkdtemp(prefix="q80_stream_")
     clicks_dir = os.path.join(root, "clicks")
@@ -531,8 +549,8 @@ ORACLES["q80_stream_stream_join"] = """
     SELECT doc_id AS user_id,
            '2025-06-01 01:00:00' AS click_ts,
            '2025-06-01 01:30:00' AS purchase_ts
-    FROM documents WHERE doc_id % 2 = 0
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100000
     UNION ALL
     SELECT doc_id, '2025-06-01 05:10:00', '2025-06-01 05:40:00'
-    FROM documents WHERE doc_id % 5 = 0
+    FROM documents WHERE doc_id % 5 = 0 AND doc_id < 100000
 """

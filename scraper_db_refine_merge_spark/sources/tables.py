@@ -38,8 +38,11 @@ def _events_cache_path(src: str) -> str:
     """Cache key = source path + mtime + size, so a regenerated testdata file
     invalidates automatically."""
     st = os.stat(src)
+    # v2: cache contents changed when NTZ-source normalization landed — the
+    # version tag invalidates caches written from the same source bytes by
+    # older code (which preserved TIMESTAMP_NTZ instead of casting to LTZ).
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v2:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     root = os.environ.get(
         "SPARK_GRAFT_CACHE_DIR", os.path.join(tempfile.gettempdir(), "spark_graft_cache")
@@ -48,13 +51,21 @@ def _events_cache_path(src: str) -> str:
 
 
 def _load_events_raw(spark: SparkSession, src: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    # read as raw long; convert ns → µs (floor, matching every µs-native
-    # engine's truncation) and rebuild a proper TimestampType column.
+    # The generator has emitted ts as parquet TIMESTAMP(NANOS) (Spark 4
+    # rejects unless read as raw long) and as TIMESTAMP(MICROS) without the
+    # isAdjustedToUTC flag (Spark 4 reads TIMESTAMP_NTZ). Normalize both to
+    # TimestampType (LTZ): instants are the engine's timestamp contract —
+    # every downstream op (unix_micros, long casts, watermarks) assumes it.
+    # Session timezone is pinned UTC (session.py), so NTZ→LTZ is
+    # value-identical wall-clock reinterpretation.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(src)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # ns → µs floor, matching every µs-native engine's truncation
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

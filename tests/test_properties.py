@@ -250,6 +250,44 @@ def _py_tz(loc):
     return "UTC"
 
 
+# Parity domain for the dictionary-normalization properties: the title/upper/
+# lower ALGORITHM is asserted Python-faithful wherever the per-char case
+# TABLES agree between the JVM/ICU (Spark) and CPython's unicodedata. The
+# tables themselves diverge in three known classes — 1→many expansions
+# (ß→SS, և→Եւ), Unicode-version skew (Spark's ICU carries Unicode-16
+# mappings like ƛ→Ꞛ that Python 3.11 lacks), and the context-sensitive
+# Greek final sigma — and those chars are excluded by construction:
+# _case_divergent_chars() computes the exact disagreement set once per
+# session by running every codepoint through both engines' case maps.
+_DIVERGENT_CHARS: frozenset | None = None
+
+
+def _case_divergent_chars(spark) -> frozenset:
+    global _DIVERGENT_CHARS
+    if _DIVERGENT_CHARS is None:
+        import pandas as pd
+
+        chars = [chr(c) for c in range(0x110000) if not 0xD800 <= c <= 0xDFFF]
+        sdf = spark.createDataFrame(pd.DataFrame({"v": chars}))
+        out = sdf.select(
+            "v", F.upper("v").alias("u"), F.lower("v").alias("l")
+        ).toPandas()
+        div = {
+            v
+            for v, u, l in zip(out["v"], out["u"], out["l"])
+            if u != v.upper() or l != v.lower() or v.title() != v.upper()
+        }
+        div.add("Σ")  # context-sensitive final sigma: tables agree per-char,
+        # but CPython's str.title()/lower() apply the word-final ς rule
+        _DIVERGENT_CHARS = frozenset(div)
+    return _DIVERGENT_CHARS
+
+
+def _in_parity_domain(spark, values):
+    div = _case_divergent_chars(spark)
+    return [v for v in values if v is None or not set(v) & div]
+
+
 # keys from the maps, case-scrambled, with edge whitespace Python strips
 # (incl. NBSP/ideographic space — beyond Java \s), plus near-miss free text.
 # ß/ligature chars excluded: Java upper() expands them 1→2, Python doesn't.
@@ -277,6 +315,9 @@ _free_text = st.text(
 @SETTINGS
 @given(st.lists(_scrambled | _free_text, min_size=1, max_size=60))
 def test_normalize_venue_differential(spark, values):
+    values = _in_parity_domain(spark, values)
+    if not values:
+        return
     got = _run(spark, values, normalize_venue_name)
     assert got == [_py_norm_venue(v) for v in values]
 
@@ -284,6 +325,9 @@ def test_normalize_venue_differential(spark, values):
 @SETTINGS
 @given(st.lists(_scrambled | _free_text, min_size=1, max_size=60))
 def test_normalize_genre_differential(spark, values):
+    values = _in_parity_domain(spark, values)
+    if not values:
+        return
     got = _run(spark, values, normalize_genre)
     expected = [_py_norm_genre(v) for v in values]
     for v, g, e in zip(values, got, expected):
@@ -293,6 +337,9 @@ def test_normalize_genre_differential(spark, values):
 @SETTINGS
 @given(st.lists(_scrambled | _free_text | st.none(), min_size=1, max_size=60))
 def test_timezone_from_location_differential(spark, values):
+    values = _in_parity_domain(spark, values)
+    if not values:
+        return
     got = _run(spark, values, timezone_from_location)
     assert got == [_py_tz(v) for v in values]
 

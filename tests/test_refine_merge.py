@@ -105,23 +105,54 @@ def test_deduplicate_events(refined):
     assert deduped.count() == 2
 
 
-def test_merge_upsert_and_stats(spark, tmp_path):
-    target = str(tmp_path / "events_table")
+def _roundtrip_fixture(spark):
+    """Shared MERGE fixture: base {e1:v1, e2:v1}, batch with a within-batch
+    duplicate (e2 v2 then v3 — latest must win) plus a fresh key e3.
+    Expected final state {e1:v1, e2:v3, e3:v1} regardless of backend."""
     base = spark.createDataFrame(
         [("e1", "v1", 1), ("e2", "v1", 1)], "event_id string, payload string, version int"
     )
-    stats0 = merge_upsert(spark, target, base, ["event_id"], [F.col("version").desc()])
-    assert stats0.inserted == 2 and stats0.target_rows_after == 2
-
     batch = spark.createDataFrame(
         [("e2", "v2", 2), ("e2", "v3", 3), ("e3", "v1", 1)],
         "event_id string, payload string, version int",
     )
-    stats = merge_upsert(spark, target, batch, ["event_id"], [F.col("version").desc()])
+    return base, batch
+
+
+@pytest.mark.parametrize("backend", ["parquet", "delta"])
+def test_merge_upsert_roundtrip_and_stats(spark, tmp_path, backend):
+    """The SAME fixture and assertion set runs against both backends — the
+    equivalence proof that the parquet anti-join+union+swap fallback (the
+    canonical in-sandbox path; this container has no delta-spark) and the
+    transactional Delta MERGE INTO path implement identical upsert
+    semantics. The delta param self-skips where delta-spark is absent and
+    executes in full wherever it is installed."""
+    from scraper_db_refine_merge_spark.operators.merge import delta_available
+
+    if backend == "delta":
+        pytest.importorskip("delta")
+        if not delta_available(spark):
+            pytest.skip("session built without Delta SQL extension")
+
+    target = str(tmp_path / f"events_table_{backend}")
+    base, batch = _roundtrip_fixture(spark)
+
+    stats0 = merge_upsert(
+        spark, target, base, ["event_id"], [F.col("version").desc()], backend=backend
+    )
+    assert stats0.inserted == 2 and stats0.target_rows_after == 2
+
+    stats = merge_upsert(
+        spark, target, batch, ["event_id"], [F.col("version").desc()], backend=backend
+    )
     assert stats.total_incoming == 3
     assert stats.within_batch_duplicates == 1  # e2 appears twice; latest wins (W3)
     assert stats.updated == 1 and stats.inserted == 1
     assert stats.target_rows_after == 3
+
+    reader = spark.read.format("delta") if backend == "delta" else spark.read
+    final = {r["event_id"]: r["payload"] for r in reader.load(target).collect()}
+    assert final == {"e1": "v1", "e2": "v3", "e3": "v1"}
 
 
 def test_merge_upsert_delta_backend_requires_delta(spark, tmp_path):
@@ -136,39 +167,6 @@ def test_merge_upsert_delta_backend_requires_delta(spark, tmp_path):
     else:
         stats = merge_upsert(spark, str(tmp_path / "t"), df, ["event_id"], backend="delta")
         assert stats.inserted == 1
-
-
-def test_merge_upsert_delta_roundtrip(spark, tmp_path):
-    """Same merge_upsert API on the Delta backend: transactional MERGE INTO
-    with cross-partition atomicity from the Delta log. Skipped when the
-    container has no delta-spark."""
-    pytest.importorskip("delta")
-    from scraper_db_refine_merge_spark.operators.merge import delta_available
-
-    if not delta_available(spark):
-        pytest.skip("session built without Delta SQL extension")
-
-    target = str(tmp_path / "delta_table")
-    base = spark.createDataFrame(
-        [("e1", "v1", 1), ("e2", "v1", 1)], "event_id string, payload string, version int"
-    )
-    stats0 = merge_upsert(spark, target, base, ["event_id"], [F.col("version").desc()])
-    assert stats0.inserted == 2
-
-    batch = spark.createDataFrame(
-        [("e2", "v2", 2), ("e2", "v3", 3), ("e3", "v1", 1)],
-        "event_id string, payload string, version int",
-    )
-    stats = merge_upsert(spark, target, batch, ["event_id"], [F.col("version").desc()])
-    assert stats.total_incoming == 3
-    assert stats.within_batch_duplicates == 1
-    assert stats.updated == 1 and stats.inserted == 1
-    assert stats.target_rows_after == 3
-    rows = {r["event_id"]: r["payload"] for r in spark.read.format("delta").load(target).collect()}
-    assert rows == {"e1": "v1", "e2": "v3", "e3": "v1"}
-
-    final = {r["event_id"]: r["payload"] for r in spark.read.parquet(target).collect()}
-    assert final == {"e1": "v1", "e2": "v3", "e3": "v1"}
 
 
 def test_insert_if_absent(spark, tmp_path):

@@ -115,3 +115,42 @@ def test_weighted_sample_deterministic_and_biased(spark):
     # require clearly above the unweighted 10% share
     heavy = sum(1 for d in a if d < 100)
     assert heavy > 20
+
+
+def test_cms_registers_merge_by_sum(spark):
+    """CMS cells built on two halves, unioned and re-SUMmed, must equal the
+    cells built on the whole — element-wise SUM mergeability (the property
+    that lets per-day/per-batch sketches combine without re-reading data)."""
+    from scraper_db_refine_merge_spark.operators.sketches import cms_registers
+
+    df = _events(spark)
+    whole = cms_registers(df, [], "user_id")
+    h1 = cms_registers(df.filter(F.col("user_id") % 2 == 0), [], "user_id")
+    h2 = cms_registers(df.filter(F.col("user_id") % 2 == 1), [], "user_id")
+    merged = (
+        h1.unionByName(h2).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    a = sorted(tuple(r) for r in whole.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
+
+
+def test_cms_estimate_upper_bias_and_heavy_hitter(spark):
+    """Point estimates are never below the true count (CMS error is one-
+    sided), exact for a key far heavier than the collision noise floor."""
+    from scraper_db_refine_merge_spark.operators.sketches import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    # skewed stream: user 7 appears 2000 times, users 0..99 appear ~20 each
+    heavy = spark.range(2000).select(F.lit(7).alias("user_id"))
+    tail = spark.range(2000).select((F.col("id") % 100 + 100).alias("user_id"))
+    df = heavy.unionByName(tail)
+    regs = cms_registers(df, [], "user_id")
+    keys = df.select("user_id").distinct()
+    est = {r["user_id"]: r["est_count"] for r in cms_estimate(regs, keys, "user_id").collect()}
+    true = {r["user_id"]: r["n"] for r in df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= true[k] for k in true)  # one-sided error
+    top = max(est, key=lambda k: (est[k], -k))
+    assert top == 7
