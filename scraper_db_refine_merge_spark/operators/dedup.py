@@ -234,11 +234,25 @@ def minhash_dedup_pairs(
     if persist_shingles is not None:
         sh = sh.persist(persist_shingles)
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, num_hashes, band_size)
+    # The candidate pair set feeds three consumers (two semi-join filters +
+    # the pair join) and its lineage includes the full signature aggregation
+    # — persist the (tiny, bucket-bounded) pair list so that pipeline runs
+    # once, not three times.
+    cand = lsh_candidate_pairs(sig, num_hashes, band_size).persist()
 
     sizes = sig.select("doc", "n_shingles")
-    sh_a = sh.select(F.col("doc").alias("a_id"), "shingle")
-    sh_b = sh.select(F.col("doc").alias("b_id"), "shingle")
+    # Candidate-restriction made physical: each shingle side is broadcast-
+    # semi-joined to its candidate id set BEFORE the pair join, so the
+    # (b_id, shingle) shuffle carries only candidate docs' shingles — at
+    # corpus scale the shuffle is O(candidate shingles), not O(all
+    # shingles). Candidate id sets are LSH-bucket-bounded and tiny relative
+    # to the corpus; the broadcast is safe by construction.
+    sh_a = sh.select(F.col("doc").alias("a_id"), "shingle").join(
+        F.broadcast(cand.select("a_id").distinct()), "a_id", "semi"
+    )
+    sh_b = sh.select(F.col("doc").alias("b_id"), "shingle").join(
+        F.broadcast(cand.select("b_id").distinct()), "b_id", "semi"
+    )
     inter = (
         cand.join(sh_a, "a_id")
         .join(sh_b, ["b_id", "shingle"])

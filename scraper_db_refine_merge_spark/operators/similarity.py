@@ -67,15 +67,30 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # Norms are precomputed per vector on each side (corpus norm once per
+    # corpus row, not once per (query, corpus) pair) — same expressions and
+    # accumulation order as cosine(), so values are bit-identical, but the
+    # per-pair work drops to one dot product.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_to_double(F.col(vec_col))).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("c_vec"),
+        l2_norm(_to_double(F.col(vec_col))).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_scale).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+                round_scale,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
