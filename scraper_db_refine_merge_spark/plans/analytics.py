@@ -1,0 +1,298 @@
+"""Warehouse-analytics operators beyond the reference's query surface:
+SCD2 dimension history, funnel analysis, retention cohorts, TF-IDF term
+ranking. All oracle-gated (q84/q86/q87/q88).
+
+These are the standard workloads a user of a general analytics engine runs
+daily; each is expressed as windows/aggregations that shuffle once per
+logical step and survive scale:
+
+- SCD2 (q84): run-collapse via the lag-change + cumulative-sum island
+  trick — one window pass, one aggregation, one lead pass. No self-join.
+- Funnel (q86): staged conditional mins; each stage is a broadcast join of
+  the (per-user, tiny) previous stage onto the filtered event stream.
+- Cohorts (q87): first-touch per user broadcast back over the stream,
+  integer week arithmetic (no calendar-week functions — those differ
+  between engines).
+- TF-IDF (q88): tf and df from the same token explode, rarity weight as
+  N/df (a monotone transform of textbook idf; ln() is NOT cross-engine
+  bit-stable, a documented divergence), deterministic per-doc top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# --------------------------------------------------------------------------
+# q84 — SCD2 dimension history from an event stream. The tracked attribute
+# is the user's value band (floor(value/100)); consecutive events in the
+# same band collapse into ONE version row (true SCD2 semantics — a version
+# per CHANGE, not per event), with [valid_from, valid_to) intervals and
+# NULL valid_to marking the current version. The island detection is the
+# lag-change + running-sum trick: one window pass to mark changes, a
+# cumulative sum to number versions, one aggregation, and a lead() to close
+# intervals — no self-joins, shuffle is one hash exchange on user_id reused
+# by every window (same partition key).
+@_register(
+    "q84_scd2_history",
+    f"""
+    WITH banded AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value / 100) AS INTEGER) AS band
+        FROM events
+    ),
+    changes AS (
+        SELECT *,
+               CASE WHEN band IS DISTINCT FROM
+                         LAG(band) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS chg
+        FROM banded
+    ),
+    versioned AS (
+        SELECT *,
+               CAST(SUM(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS version
+        FROM changes
+    ),
+    collapsed AS (
+        SELECT user_id, version, band,
+               MIN(ts) AS vf, COUNT(*) AS n_events
+        FROM versioned GROUP BY 1, 2, 3
+    )
+    SELECT user_id, version, band,
+           strftime(vf, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY version),
+                    '{_TS_FMT_DUCK}') AS valid_to,
+           n_events
+    FROM collapsed
+    """,
+)
+def q84_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    band = F.floor(F.col("value") / 100).cast("int")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    banded = e.select("user_id", "ts", "event_id", band.alias("band"))
+    # IS DISTINCT FROM semantics: eqNullSafe negated (bands here are never
+    # NULL, but the operator must not silently break if they can be)
+    chg = F.when(
+        ~F.col("band").eqNullSafe(F.lag("band").over(w)), F.lit(1)
+    ).otherwise(F.lit(0))
+    versioned = banded.withColumn("chg", chg).withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int")
+    )
+    collapsed = versioned.groupBy("user_id", "version", "band").agg(
+        F.min("ts").alias("vf"), F.count("*").alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return collapsed.select(
+        "user_id",
+        "version",
+        "band",
+        F.date_format("vf", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(F.lead("vf").over(wv), _TS_FMT_SPARK).alias("valid_to"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# q86 — funnel analysis: signup → first click strictly after it → first
+# purchase strictly after that click, per user; one row of stage counts.
+# Each stage joins the (per-user, one-row) previous stage back onto the
+# filtered stream — broadcast-sized state per stage, the stream itself
+# never self-joins.
+@_register(
+    "q86_funnel_steps",
+    """
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS users_signed_up,
+           (SELECT COUNT(*) FROM c) AS users_clicked_after,
+           (SELECT COUNT(*) FROM p) AS users_purchased_after
+    """,
+)
+def q86_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("users_signed_up"))
+        .crossJoin(c.agg(F.count("*").alias("users_clicked_after")))
+        .crossJoin(p.agg(F.count("*").alias("users_purchased_after")))
+    )
+
+
+# --------------------------------------------------------------------------
+# q87 — retention cohorts: cohort = integer week of the user's first event
+# since 2024-01-01, cell = distinct users from that cohort active in each
+# week offset. Week arithmetic is plain integer day division — calendar
+# week functions (weekofyear / ISO weeks) differ between engines and
+# locales, a classic cross-engine trap.
+@_register(
+    "q87_retention_cohorts",
+    """
+    WITH first_touch AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
+    ),
+    tagged AS (
+        SELECT e.user_id,
+               CAST(floor(datediff('day', DATE '2024-01-01',
+                                   CAST(f.first_ts AS DATE)) / 7) AS INTEGER)
+                   AS cohort_week,
+               CAST(floor(datediff('day', DATE '2024-01-01',
+                                   CAST(e.ts AS DATE)) / 7) AS INTEGER)
+                   AS event_week
+        FROM events e JOIN first_touch f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week,
+           event_week - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+
+    def week(col):
+        return F.floor(F.datediff(F.to_date(col), F.lit("2024-01-01")) / 7).cast("int")
+
+    tagged = e.join(F.broadcast(first), "user_id").select(
+        "user_id",
+        week(F.col("first_ts")).alias("cohort_week"),
+        week(F.col("ts")).alias("event_week"),
+    )
+    return (
+        tagged.groupBy(
+            "cohort_week", (F.col("event_week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 — TF-IDF-style term ranking: top-3 terms for the first 20 docs.
+# tf and df both derive from ONE tokenization (lower, split on non-[a-z],
+# tokens ≥ 3 chars); rarity weight = N/df instead of ln(N/df) — a monotone
+# transform, so rankings are textbook-identical, while ln() across engines
+# is not bit-stable (documented divergence). score = round(tf·N/df, 4)
+# with integer numerator and a single double division — deterministic.
+# df stays corpus-wide (the per-doc restriction applies only to tf), which
+# is what makes the weights meaningful and the plan scale-shaped: df is a
+# token-keyed aggregation, broadcast back onto the restricted tf table.
+@_register(
+    "q88_tfidf_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, tok
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+            FROM documents
+        )
+        WHERE length(tok) >= 3
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE doc_id < 20 GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               ROUND(CAST(tf.tf * n.n AS DOUBLE) / df.df, 4) AS score
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def q88_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(F.length("tok") >= 3)
+    df_t = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = toks.agg(F.count_distinct("doc_id").alias("n"))
+    tf = (
+        toks.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round((F.col("tf") * F.col("n")).cast("double") / F.col("df"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

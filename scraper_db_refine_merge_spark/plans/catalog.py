@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from . import (
+    analytics,
     curation,
     dq,
     multimodalq,
@@ -19,6 +20,6 @@ from . import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation, sketchq):
+for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation, sketchq, analytics):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

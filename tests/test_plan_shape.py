@@ -189,3 +189,29 @@ def test_bloom_build_partial_aggregates(spark):
     # the partial side of each runs before its Exchange
     assert p.count("HashAggregate") >= 3
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q84_scd2_single_user_exchange(spark, sf_dir):
+    """SCD2 island detection: the lag window, the running version sum, the
+    collapse aggregation, and the lead() that closes intervals all key on
+    user_id — the plan must reuse ONE user_id hash exchange, not shuffle
+    per step."""
+    p = _plan(QUERIES["q84_scd2_history"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_q86_funnel_stages_broadcast(spark, sf_dir):
+    """Funnel stages carry per-user one-row state; every stage join must
+    broadcast that state onto the filtered stream — a sort-merge join here
+    would shuffle the full event stream once per stage."""
+    p = _plan(QUERIES["q86_funnel_steps"](spark, sf_dir))
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_q87_cohorts_first_touch_broadcast(spark, sf_dir):
+    """First-touch per user is user-count-sized; it broadcasts back onto
+    the stream instead of shuffling the stream to meet it."""
+    p = _plan(QUERIES["q87_retention_cohorts"](spark, sf_dir))
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("BroadcastHashJoin") >= 1
