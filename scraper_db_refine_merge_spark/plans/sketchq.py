@@ -315,3 +315,68 @@ def q83_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est_count").desc(), F.col("user_id"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q89 — STREAMING count-min (streaming/sketch_stream.py): three JSON
+# batches of user ids replayed through foreachBatch SUM-merge with the
+# batch-id exactly-once guard (SUM is not idempotent — the guard, not the
+# algebra, is what makes replays safe; contrast q77's idempotent MAX).
+# The final register table must equal the batch-built CMS over the union —
+# the oracle states that batch semantics directly.
+@_register(
+    "q89_stream_cms",
+    f"""
+    WITH users AS (
+        SELECT doc_id AS user_id FROM documents WHERE doc_id < 100000
+        UNION ALL SELECT doc_id * 2 FROM documents WHERE doc_id < 100000
+        UNION ALL SELECT doc_id % 97 FROM documents WHERE doc_id < 100000
+    ),
+    rows_ AS (SELECT unnest([{", ".join(str(i) for i in range(CMS_DEPTH))}]) AS row),
+    cells AS (
+        SELECT i.row AS row,
+               CAST(('0x' || substring(md5(CAST(i.row AS VARCHAR) || ':' ||
+                    CAST(u.user_id AS VARCHAR)), 1, 8))::UBIGINT % {CMS_WIDTH}
+                    AS INTEGER) AS bucket
+        FROM users u CROSS JOIN rows_ i
+    )
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def q89_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from ..streaming.sketch_stream import stream_cms_registers
+    from .streamq import _harness_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = _harness_ids(d)
+
+    root = tempfile.mkdtemp(prefix="q89_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    batches = [ids, [m * 2 for m in ids], [m % 97 for m in ids]]
+    for i, users in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            for u in users:
+                f.write(json.dumps({"user_id": u}) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "registers")
+    q = stream_cms_registers(
+        spark,
+        landing,
+        target,
+        os.path.join(root, "ckpt"),
+        [],
+        "user_id",
+        schema="user_id long",
+    )
+    q.awaitTermination(300)
+
+    return spark.read.parquet(target).select("row", "bucket", "cnt")

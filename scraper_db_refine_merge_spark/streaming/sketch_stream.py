@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketches import HLL_M, hll_registers
+from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, HLL_M, cms_registers, hll_registers
 
 
 def merge_register_tables(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -65,6 +65,80 @@ def stream_hll_registers(
             )
         staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
         regs.write.mode("overwrite").parquet(staging)
+        backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
+        existed = os.path.exists(target_path)
+        if existed:
+            os.rename(target_path, backup)
+        os.rename(staging, target_path)
+        if existed:
+            shutil.rmtree(backup, ignore_errors=True)
+
+    return (
+        raw.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_cms_tables(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Element-wise SUM merge of two count-min register tables."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _applied_marker(target_path: str) -> str:
+    return os.path.join(target_path, "_applied_batch_id")
+
+
+def stream_cms_registers(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    key_col: str,
+    schema: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain a count-min register table over a JSON landing stream.
+
+    The deliberate contrast with ``stream_hll_registers``: CMS merge is
+    element-wise SUM, which is commutative but NOT idempotent — replaying a
+    micro-batch would double-count. Exactly-once therefore needs the
+    standard foreachBatch batch-id guard: the applied batch id is written
+    INTO the staging directory before the atomic swap, so "registers
+    updated" and "batch recorded as applied" commit together; on restart a
+    replayed batch sees its own id in the marker and becomes a no-op
+    (tested in tests/test_sketch_stream.py). State stays O(groups·d·w)
+    regardless of stream volume, same as the HLL sink.
+    """
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker = _applied_marker(target_path)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # at-least-once replay of an applied batch
+        regs = cms_registers(batch_df, group_cols, key_col, depth=depth, width=width)
+        if os.path.exists(target_path):
+            regs = merge_cms_tables(spark.read.parquet(target_path), regs, group_cols)
+        staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
+        regs.write.mode("overwrite").parquet(staging)
+        with open(_applied_marker(staging), "w") as f:
+            f.write(str(batch_id))
         backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
         existed = os.path.exists(target_path)
         if existed:

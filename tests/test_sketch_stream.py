@@ -53,3 +53,55 @@ def test_stream_registers_equal_batch_registers(spark, tmp_path):
     )
     expected = hll_registers(batch_df, ["event_type"], "user_id")
     assert _regs_set(spark.read.parquet(target)) == _regs_set(expected)
+
+
+def _cms_cells(spark, target):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(str(target)).select("row", "bucket", "cnt").collect()
+    )
+
+
+def test_stream_cms_equals_batch_and_replay_is_guarded(spark, tmp_path):
+    """SUM-merge is not idempotent, so the CMS sink's exactly-once comes
+    from the batch-id marker committed atomically with the registers:
+    (1) streamed registers equal the batch-built CMS over the union;
+    (2) re-running the same landing with a FRESH checkpoint (every batch
+    replays from id 0) must leave the registers unchanged — without the
+    guard each cell would double."""
+    from scraper_db_refine_merge_spark.operators.sketches import cms_registers
+    from scraper_db_refine_merge_spark.streaming.sketch_stream import stream_cms_registers
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [range(0, 100), range(50, 150), range(0, 30)]
+    all_users = []
+    for i, users in enumerate(batches):
+        with open(landing / f"b{i}.json", "w") as f:
+            for u in users:
+                f.write(json.dumps({"user_id": u}) + "\n")
+                all_users.append(u)
+        t = 1_700_000_000 + i * 60
+        os.utime(landing / f"b{i}.json", (t, t))
+
+    target = tmp_path / "registers"
+    q = stream_cms_registers(
+        spark, str(landing), str(target), str(tmp_path / "ckpt1"), [], "user_id",
+        schema="user_id long",
+    )
+    q.awaitTermination(300)
+
+    batch_df = spark.createDataFrame([(u,) for u in all_users], "user_id long")
+    expected = sorted(
+        tuple(r)
+        for r in cms_registers(batch_df, [], "user_id").select("row", "bucket", "cnt").collect()
+    )
+    streamed = _cms_cells(spark, target)
+    assert streamed == expected
+
+    # full replay: fresh checkpoint, same landing files
+    q2 = stream_cms_registers(
+        spark, str(landing), str(target), str(tmp_path / "ckpt2"), [], "user_id",
+        schema="user_id long",
+    )
+    q2.awaitTermination(300)
+    assert _cms_cells(spark, target) == expected
