@@ -1,6 +1,6 @@
 """Warehouse-analytics operators beyond the reference's query surface:
 SCD2 dimension history, funnel analysis, retention cohorts, TF-IDF term
-ranking. All oracle-gated (q84/q86/q87/q88).
+ranking. All oracle-gated (q84-q87).
 
 These are the standard workloads a user of a general analytics engine runs
 daily; each is expressed as windows/aggregations that shuffle once per
@@ -8,12 +8,12 @@ logical step and survive scale:
 
 - SCD2 (q84): run-collapse via the lag-change + cumulative-sum island
   trick — one window pass, one aggregation, one lead pass. No self-join.
-- Funnel (q86): staged conditional mins; each stage is a broadcast join of
+- Funnel (q85): staged conditional mins; each stage is a broadcast join of
   the (per-user, tiny) previous stage onto the filtered event stream.
-- Cohorts (q87): first-touch per user broadcast back over the stream,
+- Cohorts (q86): first-touch per user broadcast back over the stream,
   integer week arithmetic (no calendar-week functions — those differ
   between engines).
-- TF-IDF (q88): tf and df from the same token explode, rarity weight as
+- TF-IDF (q87): tf and df from the same token explode, rarity weight as
   N/df (a monotone transform of textbook idf; ln() is NOT cross-engine
   bit-stable, a documented divergence), deterministic per-doc top-k.
 """
@@ -116,13 +116,13 @@ def q84_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q86 — funnel analysis: signup → first click strictly after it → first
+# q85 — funnel analysis: signup → first click strictly after it → first
 # purchase strictly after that click, per user; one row of stage counts.
 # Each stage joins the (per-user, one-row) previous stage back onto the
 # filtered stream — broadcast-sized state per stage, the stream itself
 # never self-joins.
 @_register(
-    "q86_funnel_steps",
+    "q85_funnel_steps",
     """
     WITH s AS (
         SELECT user_id, MIN(ts) AS signup_ts
@@ -145,7 +145,7 @@ def q84_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM p) AS users_purchased_after
     """,
 )
-def q86_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     s = (
         e.filter(F.col("event_type") == "signup")
@@ -174,13 +174,13 @@ def q86_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q87 — retention cohorts: cohort = integer week of the user's first event
+# q86 — retention cohorts: cohort = integer week of the user's first event
 # since 2024-01-01, cell = distinct users from that cohort active in each
 # week offset. Week arithmetic is plain integer day division — calendar
 # week functions (weekofyear / ISO weeks) differ between engines and
 # locales, a classic cross-engine trap.
 @_register(
-    "q87_retention_cohorts",
+    "q86_retention_cohorts",
     """
     WITH first_touch AS (
         SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1
@@ -202,7 +202,7 @@ def q86_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
 )
-def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
 
@@ -223,7 +223,7 @@ def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q88 — TF-IDF-style term ranking: top-3 terms for the first 20 docs.
+# q87 — TF-IDF-style term ranking: top-3 terms for the first 20 docs.
 # tf and df both derive from ONE tokenization (lower, split on non-[a-z],
 # tokens ≥ 3 chars); rarity weight = N/df instead of ln(N/df) — a monotone
 # transform, so rankings are textbook-identical, while ln() across engines
@@ -233,7 +233,7 @@ def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is what makes the weights meaningful and the plan scale-shaped: df is a
 # token-keyed aggregation, broadcast back onto the restricted tf table.
 @_register(
-    "q88_tfidf_terms",
+    "q87_tfidf_terms",
     """
     WITH toks AS (
         SELECT doc_id, tok
@@ -267,7 +267,7 @@ def q87_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 3
     """,
 )
-def q88_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q87_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")

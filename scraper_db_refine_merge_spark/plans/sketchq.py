@@ -318,14 +318,14 @@ def q83_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q89 — STREAMING count-min (streaming/sketch_stream.py): three JSON
+# q88 — STREAMING count-min (streaming/sketch_stream.py): three JSON
 # batches of user ids replayed through foreachBatch SUM-merge with the
 # batch-id exactly-once guard (SUM is not idempotent — the guard, not the
 # algebra, is what makes replays safe; contrast q77's idempotent MAX).
 # The final register table must equal the batch-built CMS over the union —
 # the oracle states that batch semantics directly.
 @_register(
-    "q89_stream_cms",
+    "q88_stream_cms",
     f"""
     WITH users AS (
         SELECT doc_id AS user_id FROM documents WHERE doc_id < 100000
@@ -344,7 +344,7 @@ def q83_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cells GROUP BY 1, 2
     """,
 )
-def q89_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q88_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
     import tempfile

@@ -29,7 +29,7 @@ EAGER = {
     "q65_stream_session_windows",
     "q77_stream_hll",
     "q80_stream_stream_join",
-    "q89_stream_cms",
+    "q88_stream_cms",
 }
 
 LAZY = sorted(set(QUERIES) - EAGER)

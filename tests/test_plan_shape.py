@@ -204,7 +204,7 @@ def test_q86_funnel_stages_broadcast(spark, sf_dir):
     """Funnel stages carry per-user one-row state; every stage join must
     broadcast that state onto the filtered stream — a sort-merge join here
     would shuffle the full event stream once per stage."""
-    p = _plan(QUERIES["q86_funnel_steps"](spark, sf_dir))
+    p = _plan(QUERIES["q85_funnel_steps"](spark, sf_dir))
     assert p.count("SortMergeJoin") == 0
     assert p.count("BroadcastHashJoin") >= 2
 
@@ -212,6 +212,6 @@ def test_q86_funnel_stages_broadcast(spark, sf_dir):
 def test_q87_cohorts_first_touch_broadcast(spark, sf_dir):
     """First-touch per user is user-count-sized; it broadcasts back onto
     the stream instead of shuffling the stream to meet it."""
-    p = _plan(QUERIES["q87_retention_cohorts"](spark, sf_dir))
+    p = _plan(QUERIES["q86_retention_cohorts"](spark, sf_dir))
     assert p.count("SortMergeJoin") == 0
     assert p.count("BroadcastHashJoin") >= 1
