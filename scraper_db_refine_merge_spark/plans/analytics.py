@@ -296,3 +296,108 @@ def q87_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# q89 — anomaly detection: days whose event count deviates from their
+# event_type's mean by more than 2σ. The cross-engine trap here is
+# stddev(): both engines accumulate variance in floating point in data
+# order, which is not deterministic under partitioning. Instead mean and
+# variance derive from EXACT integer sums (Σn, Σn² as BIGINT — daily
+# counts are integers), converted to double once, in one fixed expression
+# order: var = (n·Σx² − (Σx)²) / (n·(n−1)). Same bits on any engine, any
+# partitioning — the engine's pattern for every moment-based statistic.
+@_register(
+    "q89_anomaly_days",
+    """
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS days,
+               CAST(SUM(n) AS BIGINT) AS sum_n,
+               CAST(SUM(n * n) AS BIGINT) AS sum_n2
+        FROM daily GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.event_type, d.day, d.n,
+               CAST(s.sum_n AS DOUBLE) / s.days AS mean_n,
+               sqrt(CAST(s.days * s.sum_n2 - s.sum_n * s.sum_n AS DOUBLE)
+                    / (CAST(s.days AS DOUBLE) * (s.days - 1))) AS std_n
+        FROM daily d JOIN stats s USING (event_type)
+    )
+    SELECT event_type, day, n,
+           ROUND(mean_n, 6) AS mean_n,
+           ROUND(std_n, 6) AS std_n,
+           ROUND(abs(n - mean_n) / std_n, 6) AS zscore
+    FROM scored
+    WHERE abs(n - mean_n) > 2 * std_n
+    """,
+)
+def q89_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("days"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean_n = F.col("sum_n").cast("double") / F.col("days")
+    std_n = F.sqrt(
+        (F.col("days") * F.col("sum_n2") - F.col("sum_n") * F.col("sum_n")).cast("double")
+        / (F.col("days").cast("double") * (F.col("days") - 1))
+    )
+    scored = j.select(
+        "event_type", "day", "n", mean_n.alias("mean_n"), std_n.alias("std_n")
+    )
+    return scored.filter(
+        F.abs(F.col("n") - F.col("mean_n")) > 2 * F.col("std_n")
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        F.round("mean_n", 6).alias("mean_n"),
+        F.round("std_n", 6).alias("std_n"),
+        F.round(F.abs(F.col("n") - F.col("mean_n")) / F.col("std_n"), 6).alias("zscore"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q90 — pivot report: days × event types as columns (the reference's
+# report scripts emit this shape; reporting engines must pivot). The
+# column set is FIXED (the 5 event types) — a dynamic pivot would make the
+# output schema data-dependent, which breaks both oracle comparison and
+# production schema contracts; fixed-column conditional aggregation is the
+# portable form both engines compile to a single pass.
+@_register(
+    "q90_daily_type_pivot",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q90_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def cnt(t):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")
+
+    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        cnt("view").alias("views"),
+        cnt("click").alias("clicks"),
+        cnt("purchase").alias("purchases"),
+        cnt("signup").alias("signups"),
+        cnt("error").alias("errors"),
+    )

@@ -134,3 +134,36 @@ def test_write_zordered_multi_dim_locality(spark, tmp_path):
     assert med_span(spath, "y") > grid // 2  # the 1D-sort failure mode
     # round-trip
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_file_skip_rate_trailing_dim_predicate(spark, tmp_path):
+    """Quantified file-skip: for a predicate on the TRAILING cluster
+    dimension only (y range, x unconstrained) — the query shape linear
+    (x, y) sort cannot serve — count the files whose min/max stats
+    intersect the predicate. Z-order must skip most files; the 1-D sort
+    skips none. This is the measurement behind choosing Z-order for
+    multi-dimension pruning at 100 TB: files touched IS the scan cost."""
+    from scraper_db_refine_merge_spark.operators.layout import write_zordered
+
+    n, grid, files = 16384, 128, 16
+    df = spark.range(n).select(
+        (F.col("id") % grid).alias("x"),
+        (F.col("id") / grid).cast("long").alias("y"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], num_files=files)
+    df.repartitionByRange(files, "x", "y").sortWithinPartitions("x", "y").write.parquet(spath)
+
+    lo, hi = 0, grid // 8 - 1  # y in [0, 15]: 1/8 of the domain
+
+    def files_touched(path):
+        spans = _file_spans(path, "y")
+        return sum(1 for mn, mx in spans if not (mx < lo or mn > hi)), len(spans)
+
+    z_touched, z_total = files_touched(zpath)
+    s_touched, s_total = files_touched(spath)
+    # z-order: the 16 files tile a 4x4 quadrant grid; y∈[0,15] clips the
+    # top row → ≤ 2/4 of files even with imperfect range boundaries
+    assert z_touched <= z_total // 2, (z_touched, z_total)
+    # 1-D sort: y is near-global in every file — nothing skips
+    assert s_touched == s_total, (s_touched, s_total)
