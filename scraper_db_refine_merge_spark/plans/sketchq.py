@@ -380,3 +380,71 @@ def q88_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
 
     return spark.read.parquet(target).select("row", "bucket", "cnt")
+
+
+# --------------------------------------------------------------------------
+# q91 — STREAMING KMV (streaming/sketch_stream.py): the third merge
+# algebra in the family — union+distinct+re-top-k is IDEMPOTENT like
+# HLL's MAX (no batch-id guard needed), unlike CMS's guarded SUM. The
+# final per-group k-smallest-hash state must equal the batch-built KMV
+# over the union of all three replayed batches; the oracle ranks the
+# distinct md5 hashes directly.
+@_register(
+    "q91_stream_kmv",
+    f"""
+    WITH users AS (
+        SELECT doc_id AS user_id FROM documents WHERE doc_id < 100000
+        UNION ALL SELECT doc_id * 2 FROM documents WHERE doc_id < 100000
+        UNION ALL SELECT doc_id % 97 FROM documents WHERE doc_id < 100000
+    ),
+    hashed AS (
+        SELECT DISTINCT
+               CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS event_type,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM users
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    )
+    SELECT event_type, h FROM ranked WHERE rn <= {KMV_K}
+    """,
+)
+def q91_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from ..streaming.sketch_stream import stream_kmv_hashes
+    from .streamq import _harness_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = _harness_ids(d)
+
+    root = tempfile.mkdtemp(prefix="q91_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    batches = [ids, [m * 2 for m in ids], [m % 97 for m in ids]]
+    for i, users in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            for u in users:
+                f.write(json.dumps({"user_id": u, "event_type": "a" if u % 2 == 0 else "b"}) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "kmv")
+    q = stream_kmv_hashes(
+        spark,
+        landing,
+        target,
+        os.path.join(root, "ckpt"),
+        ["event_type"],
+        "user_id",
+        schema="user_id long, event_type string",
+        k=KMV_K,
+    )
+    q.awaitTermination(300)
+
+    return spark.read.parquet(target).select("event_type", "h")

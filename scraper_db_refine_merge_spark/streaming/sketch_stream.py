@@ -153,3 +153,73 @@ def stream_cms_registers(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_kmv_tables(a: DataFrame, b: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """KMV state merge: union the per-group hash sets, dedup, re-take the k
+    smallest. Like HLL's MAX (and unlike CMS's SUM) this is idempotent —
+    re-merging a batch cannot change the k smallest distinct hashes — so
+    the sink is at-least-once safe with no batch-id guard."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def stream_kmv_hashes(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    schema: str,
+    k: int = 32,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain per-group KMV state (the k smallest md5 hashes) over a JSON
+    landing stream. State is O(groups·k); the estimate derives from the
+    k-th smallest exactly as the batch kmv_sketch does."""
+    from ..operators.sketches import _md5
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashes = batch_df.select(
+            *group_cols, _md5(F.col(value_col)).alias("h")
+        ).distinct()
+        if os.path.exists(target_path):
+            hashes = merge_kmv_tables(
+                spark.read.parquet(target_path), hashes, group_cols, k
+            )
+        else:
+            hashes = merge_kmv_tables(
+                hashes.limit(0), hashes, group_cols, k
+            )
+        staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
+        hashes.write.mode("overwrite").parquet(staging)
+        backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
+        existed = os.path.exists(target_path)
+        if existed:
+            os.rename(target_path, backup)
+        os.rename(staging, target_path)
+        if existed:
+            shutil.rmtree(backup, ignore_errors=True)
+
+    return (
+        raw.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -30,6 +30,7 @@ EAGER = {
     "q77_stream_hll",
     "q80_stream_stream_join",
     "q88_stream_cms",
+    "q91_stream_kmv",
 }
 
 LAZY = sorted(set(QUERIES) - EAGER)

@@ -105,3 +105,52 @@ def test_stream_cms_equals_batch_and_replay_is_guarded(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert _cms_cells(spark, target) == expected
+
+
+def test_stream_kmv_equals_batch_and_replay_is_noop(spark, tmp_path):
+    """KMV merge (union + distinct + re-top-k) is idempotent, so the sink
+    needs no batch-id guard: streamed state equals the batch KMV over the
+    union, and a full replay with a fresh checkpoint leaves it unchanged."""
+    from scraper_db_refine_merge_spark.operators.sketches import KMV_K, kmv_sketch
+    from scraper_db_refine_merge_spark.streaming.sketch_stream import stream_kmv_hashes
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [range(0, 100), range(50, 150), range(0, 30)]
+    all_users = []
+    for i, users in enumerate(batches):
+        with open(landing / f"b{i}.json", "w") as f:
+            for u in users:
+                f.write(json.dumps({"user_id": u, "event_type": "x"}) + "\n")
+                all_users.append(u)
+        t = 1_700_000_000 + i * 60
+        os.utime(landing / f"b{i}.json", (t, t))
+
+    target = tmp_path / "kmv"
+    q = stream_kmv_hashes(
+        spark, str(landing), str(target), str(tmp_path / "ck1"),
+        ["event_type"], "user_id", schema="user_id long, event_type string", k=KMV_K,
+    )
+    q.awaitTermination(300)
+
+    def state():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(str(target)).select("event_type", "h").collect()
+        )
+
+    streamed = state()
+    assert len(streamed) == KMV_K  # 120 distinct users > k
+
+    # batch equivalence: kth_hash of the batch sketch == max streamed hash
+    batch_df = spark.createDataFrame(
+        [(u, "x") for u in all_users], "user_id long, event_type string"
+    )
+    kth = kmv_sketch(batch_df, ["event_type"], "user_id", k=KMV_K).first()["kth_hash"]
+    assert max(h for _, h in streamed) == kth
+
+    q2 = stream_kmv_hashes(
+        spark, str(landing), str(target), str(tmp_path / "ck2"),
+        ["event_type"], "user_id", schema="user_id long, event_type string", k=KMV_K,
+    )
+    q2.awaitTermination(300)
+    assert state() == streamed
