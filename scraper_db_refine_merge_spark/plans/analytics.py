@@ -401,3 +401,123 @@ def q90_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("signup").alias("signups"),
         cnt("error").alias("errors"),
     )
+
+
+# --------------------------------------------------------------------------
+# q92 — table profiling: per-column null counts, distinct counts, min/max
+# (stringified) for the events table in ONE pass — the data-quality
+# reconnaissance every pipeline runs before trusting a source. Spark
+# computes all columns' stats in a single aggregation (no per-column
+# scans); the one-row-per-column shape comes from unpivoting the single
+# stats row, not from scanning per column.
+@_register(
+    "q92_table_profile",
+    """
+    SELECT 'event_id' AS col, COUNT(*) AS n,
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS distinct_n,
+           CAST(MIN(event_id) AS VARCHAR) AS min_s, CAST(MAX(event_id) AS VARCHAR) AS max_s
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), CAST(COUNT(*) - COUNT(value) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+    FROM events
+    """,
+)
+def q92_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = e.agg(*aggs)
+    # unpivot the single stats row into one row per column
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__nulls").alias("nulls"),
+                F.col(f"{c}__distinct").alias("distinct_n"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(structs).alias("s")).select("s.*")
+
+
+# --------------------------------------------------------------------------
+# q93 — winsorization: clip `value` to its event_type's [p01, p99] before
+# aggregating — the standard outlier treatment before a numeric column
+# feeds training or reporting. Quantiles are exact (Spark percentile() ≡
+# DuckDB quantile_cont() bit-for-bit, same linear interpolation — see
+# ROADMAP gotchas); the per-type bounds table is tiny and broadcasts back
+# onto the stream. Sums of clipped values go through exact DECIMAL.
+@_register(
+    "q93_winsorized_stats",
+    """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY 1
+    ),
+    clipped AS (
+        SELECT e.event_type,
+               CASE WHEN e.value < b.p01 THEN b.p01
+                    WHEN e.value > b.p99 THEN b.p99
+                    ELSE e.value END AS v,
+               CASE WHEN e.value < b.p01 OR e.value > b.p99 THEN 1 ELSE 0 END AS was_clipped
+        FROM events e JOIN bounds b USING (event_type)
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(was_clipped) AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_clipped_value
+    FROM clipped
+    GROUP BY event_type
+    """,
+)
+def q93_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    j = e.join(F.broadcast(bounds), "event_type")
+    v = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    was = F.when(
+        (F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")), 1
+    ).otherwise(0)
+    return (
+        j.select("event_type", v.alias("v"), was.alias("was_clipped"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("was_clipped").cast("long").alias("n_clipped"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_clipped_value"),
+        )
+    )

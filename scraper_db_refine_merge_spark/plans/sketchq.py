@@ -448,3 +448,70 @@ def q91_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
 
     return spark.read.parquet(target).select("event_type", "h")
+
+
+# --------------------------------------------------------------------------
+# q94 — STREAMING histogram sketch (quantile state): fixed-width bin
+# counts maintained by SUM-merge under the same batch-id guard as q88's
+# CMS (sum algebra ⇒ replays must be guarded). Three batches of
+# deterministic (event_type, value) rows derived from doc ids; the final
+# bin table must equal the batch-built histogram over the union.
+@_register(
+    "q94_stream_histogram",
+    """
+    WITH users AS (
+        SELECT doc_id AS user_id FROM documents WHERE doc_id < 100000
+        UNION ALL SELECT doc_id * 2 FROM documents WHERE doc_id < 100000
+        UNION ALL SELECT doc_id % 97 FROM documents WHERE doc_id < 100000
+    ),
+    vals AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS event_type,
+               ((user_id * 7) % 500) + 0.5 AS value
+        FROM users
+    )
+    SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM vals GROUP BY 1, 2
+    """,
+)
+def q94_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from ..streaming.sketch_stream import stream_histogram_sketch
+    from .streamq import _harness_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = _harness_ids(d)
+
+    root = tempfile.mkdtemp(prefix="q94_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    batches = [ids, [m * 2 for m in ids], [m % 97 for m in ids]]
+    for i, users in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            for u in users:
+                row = {
+                    "event_type": "a" if u % 2 == 0 else "b",
+                    "value": ((u * 7) % 500) + 0.5,
+                }
+                f.write(json.dumps(row) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "hist")
+    q = stream_histogram_sketch(
+        spark,
+        landing,
+        target,
+        os.path.join(root, "ckpt"),
+        ["event_type"],
+        "value",
+        schema="event_type string, value double",
+        width=25.0,
+    )
+    q.awaitTermination(300)
+
+    return spark.read.parquet(target).select("event_type", "bin", "n")

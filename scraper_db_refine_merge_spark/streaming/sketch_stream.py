@@ -124,31 +124,14 @@ def stream_cms_registers(
         .json(landing_dir)
     )
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        marker = _applied_marker(target_path)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                if batch_id <= int(f.read().strip()):
-                    return  # at-least-once replay of an applied batch
-        regs = cms_registers(batch_df, group_cols, key_col, depth=depth, width=width)
-        if os.path.exists(target_path):
-            regs = merge_cms_tables(spark.read.parquet(target_path), regs, group_cols)
-        staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
-        regs.write.mode("overwrite").parquet(staging)
-        with open(_applied_marker(staging), "w") as f:
-            f.write(str(batch_id))
-        backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
-        existed = os.path.exists(target_path)
-        if existed:
-            os.rename(target_path, backup)
-        os.rename(staging, target_path)
-        if existed:
-            shutil.rmtree(backup, ignore_errors=True)
+    def _build(batch_df: DataFrame) -> DataFrame:
+        return cms_registers(batch_df, group_cols, key_col, depth=depth, width=width)
+
+    def _merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        return merge_cms_tables(prev, cur, group_cols)
 
     return (
-        raw.writeStream.foreachBatch(_apply)
+        raw.writeStream.foreachBatch(_guarded_sum_sink(spark, target_path, _build, _merge))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -219,6 +202,80 @@ def stream_kmv_hashes(
 
     return (
         raw.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _guarded_sum_sink(spark, target_path, build, merge):
+    """foreachBatch body for NON-idempotent (sum-algebra) sketch sinks:
+    skip batches at-or-below the applied marker, merge, and commit the new
+    marker atomically with the registers (written into staging before the
+    swap). Shared by the CMS and histogram sinks."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        marker = _applied_marker(target_path)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return  # at-least-once replay of an applied batch
+        regs = build(batch_df)
+        if os.path.exists(target_path):
+            regs = merge(spark.read.parquet(target_path), regs)
+        staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
+        regs.write.mode("overwrite").parquet(staging)
+        with open(_applied_marker(staging), "w") as f:
+            f.write(str(batch_id))
+        backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
+        existed = os.path.exists(target_path)
+        if existed:
+            os.rename(target_path, backup)
+        os.rename(staging, target_path)
+        if existed:
+            shutil.rmtree(backup, ignore_errors=True)
+
+    return _apply
+
+
+def stream_histogram_sketch(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    schema: str,
+    width: float,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain a fixed-width histogram sketch (the mergeable quantile
+    state, operators/sketches.py histogram_sketch) over a JSON landing
+    stream. Bin counts merge by SUM — not idempotent, so it uses the same
+    batch-id guard as the CMS sink. Quantiles come from histogram_quantiles
+    over the maintained table at read time."""
+    from ..operators.sketches import histogram_sketch
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+    def _build(batch_df: DataFrame) -> DataFrame:
+        return histogram_sketch(batch_df, group_cols, value_col, width=width)
+
+    def _merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(cur)
+            .groupBy(*group_cols, "bin")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    return (
+        raw.writeStream.foreachBatch(_guarded_sum_sink(spark, target_path, _build, _merge))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -31,6 +31,7 @@ EAGER = {
     "q80_stream_stream_join",
     "q88_stream_cms",
     "q91_stream_kmv",
+    "q94_stream_histogram",
 }
 
 LAZY = sorted(set(QUERIES) - EAGER)
