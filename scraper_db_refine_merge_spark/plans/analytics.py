@@ -521,3 +521,55 @@ def q93_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_clipped_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q95 — geo under the gate (G1/G2/F14, previously pytest-only): derived
+# lon/lat columns (integer-mod arithmetic — exact doubles, so box
+# comparisons are engine-exact; haversine's trig is deliberately NOT in an
+# oracle-gated filter, transcendentals are not cross-engine bit-stable),
+# coordinate validation, and Ibiza bounding-box membership per nation.
+# Box predicates are sargable — at scale they prune partitions/row groups
+# the way the reference's 2dsphere index served $geoWithin.
+@_register(
+    "q95_geo_box_membership",
+    """
+    WITH located AS (
+        SELECT c_nationkey,
+               CASE WHEN c_custkey % 13 = 0 THEN -200.0
+                    ELSE 1.0 + (c_custkey % 100) / 100.0 END AS lon,
+               38.5 + (c_custkey % 80) / 100.0 AS lat
+        FROM customer
+    )
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN lon BETWEEN -180.0 AND 180.0
+                          AND lat BETWEEN -90.0 AND 90.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN lon BETWEEN 1.2 AND 1.6
+                          AND lat BETWEEN 38.8 AND 39.1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_ibiza
+    FROM located
+    GROUP BY 1
+    """,
+)
+def q95_geo_box_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geo import in_ibiza, valid_coordinates
+
+    c = load_table(spark, sf_dir, "customer")
+    lon = F.when(F.col("c_custkey") % 13 == 0, F.lit(-200.0)).otherwise(
+        1.0 + (F.col("c_custkey") % 100) / 100.0
+    )
+    lat = 38.5 + (F.col("c_custkey") % 80) / 100.0
+    located = c.select(
+        F.col("c_nationkey").alias("nationkey"), lon.alias("lon"), lat.alias("lat")
+    )
+    return located.groupBy("nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(
+            F.when(valid_coordinates(F.col("lon"), F.col("lat")), 1).otherwise(0)
+        ).cast("long").alias("n_valid"),
+        F.sum(F.when(in_ibiza(F.col("lon"), F.col("lat")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_in_ibiza"),
+    )

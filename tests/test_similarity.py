@@ -104,3 +104,38 @@ def test_simhash_near_pairs_exact_hamming(spark, sf_dir):
             d = bin(fps[a] ^ fps[b]).count("1")
             if d <= 6:
                 assert (a, b) in got or (b, a) in got, (a, b, d)
+
+
+def test_detect_fixed_dim_and_bucket_path_parity(spark):
+    """detect_fixed_dim: uniform → the dim, ragged → None; and the
+    literal-plane fast path must produce EXACTLY the buckets of the
+    dynamic md5-per-dim expression (same doubles, same signs)."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        detect_fixed_dim,
+        hyperplane_bucket,
+    )
+
+    uniform = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda d: (F.col("id") * 31 + d * 7 - 100).cast("double") / 37.0,
+        ).alias("embedding"),
+    )
+    assert detect_fixed_dim(uniform, "embedding") == 8
+
+    ragged = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.sequence(F.lit(0), (F.col("id") % 3 + 1).cast("int")).alias("embedding"),
+    )
+    assert detect_fixed_dim(ragged, "embedding") is None
+
+    fast = uniform.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), 6, table=1, dim=8).alias("b")
+    )
+    dyn = uniform.select(
+        "vec_id", hyperplane_bucket(F.col("embedding"), 6, table=1, dim=None).alias("b")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dyn.collect()))
