@@ -573,3 +573,96 @@ def q95_geo_box_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_in_ibiza"),
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — skew-salted join under the gate: the engine runs the SALTED
+# physical form (deterministic salt on the skewed side, ×n_salts
+# replication of the other side — the standard treatment when one key
+# dominates and the dim is too big/dynamic to broadcast) and must produce
+# row-for-row the plain logical join the oracle states. Gating the
+# equivalence is the point: salting is pure physical-plan surgery, and
+# any result drift is a bug.
+@_register(
+    "q96_salted_join",
+    """
+    SELECT e.event_type, o.label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (
+        SELECT 'view' AS event_type, 'browse' AS label
+        UNION ALL SELECT 'click', 'browse'
+        UNION ALL SELECT 'purchase', 'convert'
+        UNION ALL SELECT 'signup', 'convert'
+        UNION ALL SELECT 'error', 'ops'
+    ) o ON e.event_type = o.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q96_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    # event_type has 5 values over the whole table — maximal key skew
+    dim = spark.createDataFrame(
+        [
+            ("view", "browse"),
+            ("click", "browse"),
+            ("purchase", "convert"),
+            ("signup", "convert"),
+            ("error", "ops"),
+        ],
+        "event_type string, label string",
+    )
+    j = salted_join(e, dim, ["event_type"], n_salts=8, salt_from=["event_id"])
+    return j.groupBy("event_type", "label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — keyset pagination under the gate (P12's deep-page form): page 4 of
+# the event stream ordered by (ts, event_id), fetched by "strictly after
+# the last seen key" instead of OFFSET — O(limit) per page at any depth,
+# and the key predicate pushes to the scan. The composite key is encoded
+# as a single sortable string (µs timestamp || zero-padded id) so one
+# strictly-greater comparison expresses the lexicographic (ts, event_id)
+# order on both engines.
+@_register(
+    "q97_keyset_page",
+    """
+    WITH keyed AS (
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                   lpad(CAST(event_id AS VARCHAR), 12, '0') AS page_key
+        FROM events
+    ),
+    page3_last AS (
+        SELECT MAX(page_key) AS last_key
+        FROM (SELECT page_key FROM keyed ORDER BY page_key LIMIT 60)
+    )
+    SELECT k.event_id, k.user_id, k.event_type, k.page_key
+    FROM keyed k, page3_last
+    WHERE k.page_key > page3_last.last_key
+    ORDER BY k.page_key
+    LIMIT 20
+    """,
+)
+def q97_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagination import paginate_after
+
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.date_format("ts", _TS_FMT_SPARK),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    keyed = e.select("event_id", "user_id", "event_type", key.alias("page_key"))
+    # the harness derives last_seen the way an API client would: the tail
+    # of the previous page (3 pages × 20). Driver-side scalar, O(1).
+    last_key = (
+        keyed.orderBy("page_key").limit(60).agg(F.max("page_key")).first()[0]
+    )
+    return paginate_after(keyed, F.col("page_key"), last_key, 20)
