@@ -94,3 +94,54 @@ def dup_clusters(pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id") -> 
         F.col("component").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank with FIXED-POINT integer arithmetic — the engine's pattern
+    for putting an iterative algorithm under a cross-engine oracle.
+
+    Floating-point PageRank is not oracle-able: each iteration SUMs
+    contributions in partition order, and double addition is not
+    associative, so two engines (or two runs) drift in the last ulp and
+    the drift compounds per iteration. Here ranks are BIGINTs scaled by
+    ``scale``; per-edge contribution is ``rank div outdeg`` and the update
+    is ``(15·r0) div 100 + (85·Σcontrib) div 100`` — every operation is
+    exact integer arithmetic, so ANY execution order, partitioning, or
+    engine produces identical bits. (The div-truncation loses mass
+    vs. textbook PageRank — ranking order is preserved; documented
+    semantics.)
+
+    Iterations are unrolled DataFrame joins (rank ⋈ edges ⋈ outdeg →
+    re-aggregate); the driver never sees data, and each iteration is one
+    hash shuffle on node id. Dangling nodes contribute nothing (their mass
+    is dropped, like the contribution truncation). For near-dup /
+    interaction graphs symmetrize edges first and there are no danglers.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = nodes.count()  # one scalar on the driver — graph size, not data
+    r0 = F.lit(scale // n).cast("long")
+    base = F.lit((15 * (scale // n)) // 100).cast("long")
+
+    rank = nodes.withColumn("r", r0)
+    for _ in range(iterations):
+        contrib = (
+            e.join(rank, e.src == rank.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (base + F.expr(f"{damping_pct} * coalesce(contrib, 0) div 100").cast("long")).alias("r"),
+        )
+    return rank.select("node", F.col("r").alias("rank_scaled"))

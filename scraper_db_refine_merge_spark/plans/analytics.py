@@ -666,3 +666,73 @@ def q97_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.orderBy("page_key").limit(60).agg(F.max("page_key")).first()[0]
     )
     return paginate_after(keyed, F.col("page_key"), last_key, 20)
+
+
+# --------------------------------------------------------------------------
+# q98 — PageRank under the gate: an ITERATIVE algorithm oracle-checked
+# bit-for-bit. Floating-point PageRank cannot be gated (per-iteration sum
+# order drifts in the last ulp and compounds); operators/graph.py
+# pagerank_fixed_point runs in scaled BIGINT arithmetic (rank div outdeg,
+# (15·r0) div 100 + (85·Σ) div 100 — all exact integer ops), so any
+# engine/order produces identical bits. Graph: customer↔supplier
+# transaction edges (both directions, so no dangling nodes); 2 unrolled
+# iterations; top-20 by (rank, node).
+@_register(
+    "q98_pagerank_fixed_point",
+    """
+    WITH edges AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        UNION
+        SELECT DISTINCT 's' || CAST(l.l_suppkey AS VARCHAR),
+                        'c' || CAST(o.o_custkey AS VARCHAR)
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    c1 AS (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(1000000000000 // n.n AS BIGINT) // d.outdeg) AS BIGINT) AS contrib
+        FROM edges e JOIN deg d ON e.src = d.src, n
+        GROUP BY 1
+    ),
+    r1 AS (
+        SELECT nodes.node,
+               CAST((15 * (1000000000000 // n.n)) // 100
+                    + (85 * COALESCE(c1.contrib, 0)) // 100 AS BIGINT) AS r
+        FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, n
+    ),
+    c2 AS (
+        SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS contrib
+        FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r2 AS (
+        SELECT nodes.node,
+               CAST((15 * (1000000000000 // n.n)) // 100
+                    + (85 * COALESCE(c2.contrib, 0)) // 100 AS BIGINT) AS r
+        FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, n
+    )
+    SELECT node, r AS rank_scaled FROM r2 ORDER BY r DESC, node LIMIT 20
+    """,
+)
+def q98_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixed_point
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=2)
+    return ranks.orderBy(F.col("rank_scaled").desc(), F.col("node")).limit(20)

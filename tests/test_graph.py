@@ -54,3 +54,23 @@ def test_dup_clusters_rollup(spark):
     assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
     assert rows[1]["cluster_size"] == 3
     assert rows[7]["cluster_size"] == 2
+
+
+def test_pagerank_fixed_point_invariants(spark):
+    """Exact-integer PageRank on a known graph: run-to-run determinism
+    bit-for-bit, hubs outrank leaves, and total mass stays ≤ scale (div
+    truncation only ever loses mass, never creates it)."""
+    from scraper_db_refine_merge_spark.operators.graph import pagerank_fixed_point
+
+    # star: hub 0 ↔ leaves 1..9, plus a 10↔11 pendant pair
+    pairs = [(0, i) for i in range(1, 10)] + [(10, 11)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    r1 = {r["node"]: r["rank_scaled"] for r in pagerank_fixed_point(edges, iterations=3).collect()}
+    r2 = {r["node"]: r["rank_scaled"] for r in pagerank_fixed_point(edges, iterations=3).collect()}
+    assert r1 == r2  # bit-identical across runs
+    assert r1[0] > r1[1]  # the hub dominates its leaves
+    assert all(r1[1] == r1[i] for i in range(2, 10))  # symmetric leaves tie
+    assert sum(r1.values()) <= 1_000_000_000_000
