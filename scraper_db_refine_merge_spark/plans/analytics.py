@@ -736,3 +736,93 @@ def q98_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed_point(edges, iterations=2)
     return ranks.orderBy(F.col("rank_scaled").desc(), F.col("node")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# q99 — frame-based sliding aggregate: 7-day moving average of daily
+# revenue per event_type (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over
+# the dense daily series). Daily sums are exact DECIMAL (order-free); the
+# moving average is ONE double division of the exact frame sum — no
+# accumulated floating error, and the frame sum itself stays decimal so
+# the window is engine-exact.
+@_register(
+    "q99_moving_average",
+    """
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS rev
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER w AS DOUBLE) AS window_revenue,
+           CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS moving_avg
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q99_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(w).cast("double").alias("window_revenue"),
+        (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias("moving_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q100 — market-share capstone (TPC-H Q8 shape): each region's share of
+# global revenue per order-priority class — a conditional-aggregate ratio
+# over the full star join. Numerator and denominator are both exact
+# DECIMAL sums; the share is one double division, so the ratio is
+# engine-exact without any rounding fudge.
+@_register(
+    "q100_region_market_share",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN r.r_name = 'EUROPE'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS europe_share,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def q100_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    eu = F.when(F.col("r_name") == "EUROPE", price).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            (F.sum(eu).cast("double") / F.sum(price).cast("double")).alias("europe_share"),
+            F.sum(price).cast("double").alias("total_revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
