@@ -1,4 +1,5 @@
-"""Quality scoring engine as native column expressions (SURVEY D1/D2).
+"""Quality scoring engine as native column expressions
+(SURVEY D1/D2, D6, A10, A13, F18, F21, R1-R3).
 
 Re-implements the reference's QualityScorer (database/quality_scorer.py:15-452)
 branch-for-branch as JVM-side expressions — no UDFs — so scoring 10^9 events

@@ -1,5 +1,6 @@
 """The reference's read-API query surface as engine functions (SURVEY §3.1,
-Phase 4): each FastAPI endpoint (database/api_server.py) becomes a function
+Phase 4; SURVEY P1, P3-P10, O1, O3): each FastAPI endpoint
+(database/api_server.py) becomes a function
 ``(events_df, params) -> DataFrame``.
 
 The input is the unified events table (gold layer: nested structs + derived

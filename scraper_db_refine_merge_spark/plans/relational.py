@@ -1,7 +1,8 @@
 """Relational query catalog over the synthetic tables.
 
 Each query maps one or more SURVEY §2 operators onto the driver's TPC-H-ish
-tables; the paired DuckDB oracle SQL lives in ``ORACLES`` under the same key.
+tables (incl. SURVEY A1, O2 — q14 global stats, q19 multi-key sort); the
+paired DuckDB oracle SQL lives in ``ORACLES`` under the same key.
 Reference citations point into /root/reference for parity checking.
 
 Scale notes (100 TB discipline):

@@ -1,6 +1,7 @@
-"""Second wave of oracle-checked queries: lag/sessionization, rollup,
-set operations, smoothed-ratio ranking (O4), TTL freshness (S14), JSON field
-profiling (A11), and refine-function demos (F9/F13/F20) with SQL mirrors.
+"""Second wave of oracle-checked queries (SURVEY S14, A11, A12, O4):
+lag/sessionization, rollup, set operations, smoothed-ratio ranking (O4),
+TTL freshness (S14), JSON field profiling (A11), run metrics (A12), and
+refine-function demos (F9/F13/F20) with SQL mirrors.
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Report-script queries (SURVEY Phase 4: the 6 report scripts).
+"""Report-script queries (SURVEY P11; Phase 4: the 6 report scripts).
 
 Each reference report script becomes a DataFrame function over the unified
 events table; driver-side rendering (markdown/print) lives in

@@ -1,4 +1,5 @@
-"""The refine pipeline (SURVEY D3/D4): raw scraped rows → unified events.
+"""The refine pipeline (SURVEY D3/D4, R4-R7, W2, F19): raw scraped rows →
+unified events.
 
 Re-expresses the reference's ``map_to_unified_schema`` orchestration
 (schema_adapter_enhanced.py:429-471) as one declarative column pipeline:

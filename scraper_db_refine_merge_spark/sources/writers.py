@@ -1,5 +1,6 @@
-"""File sinks (SURVEY S9-S12): JSON, CSV with union-of-keys + JSON-stringified
-complex cells, markdown report rendering, filtered app export.
+"""File sinks (SURVEY S9-S12, P2, F22): JSON, CSV with union-of-keys +
+JSON-stringified complex cells (P2 exclude-projection, F22 serialize),
+markdown report rendering, filtered app export.
 
 The JSON/CSV writers are engine-side (distributed ``df.write``); the markdown
 renderer is an explicitly driver-side presentation layer over ``collect()``

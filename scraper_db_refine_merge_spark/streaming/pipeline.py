@@ -1,4 +1,4 @@
-"""Incremental / streaming ingestion (SURVEY §2.11 ST1-ST5).
+"""Incremental / streaming ingestion (SURVEY §2.11 ST1-ST5, S15).
 
 The reference is batch + incremental re-scrape with upsert semantics
 (data_migration.py:133-139, unified_scraper.py:622-642). Structured
