@@ -554,3 +554,83 @@ ORACLES["q80_stream_stream_join"] = """
     SELECT doc_id, '2025-06-01 05:10:00', '2025-06-01 05:40:00'
     FROM documents WHERE doc_id % 5 = 0 AND doc_id < 100000
 """
+
+
+# --------------------------------------------------------------------------
+# q101 — STREAM-STATIC join under the gate: the streaming doc feed is
+# enriched with the static documents dimension (doc_id → lang) BEFORE the
+# watermarked windowed aggregation — the standard in-stream dimension-
+# enrichment shape (Structured Streaming plans the static side as a batch
+# relation inside every micro-batch; no state is kept for it). Watermark
+# markers (-1, -2) are authored into the stream to advance event time but
+# never match the dimension, so the inner join drops them — they steer
+# window eviction without polluting the sink, which also proves the
+# watermark is tracked upstream of the join. Two data-less eviction
+# batches follow the data batch (the measured one-batch lag, see q60).
+def q101_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ids = _harness_ids(d)
+
+    root = tempfile.mkdtemp(prefix="q101_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+
+    def _row(m: int, hhmm: str) -> str:
+        return json.dumps({"ts": f"2025-06-01T{hhmm}:00+00:00", "doc_id": m})
+
+    batches = [
+        [_row(m, f"0{1 + m % 3}:00") for m in ids] + [_row(-1, "10:00")],
+        [_row(-2, "23:00")],
+    ]
+    for i, lines in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "counts")
+    raw = (
+        spark.readStream.schema("ts timestamp, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+    )
+    dim = d.select("doc_id", "lang")
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .join(dim, "doc_id")  # stream-static inner join, batch side per micro-batch
+        .groupBy(F.window("ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "lang",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    return spark.read.parquet(target)
+
+
+QUERIES["q101_stream_static_join"] = q101_stream_static_join
+# Expected closed windows: hour 1+h for docs with doc_id % 3 == h, joined
+# to each doc's lang; markers are dropped by the join and only advance
+# the watermark (final W = 21:00 closes all three data windows).
+ORACLES["q101_stream_static_join"] = """
+    SELECT CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN '2025-06-01 01:00:00'
+             WHEN 1 THEN '2025-06-01 02:00:00'
+             ELSE '2025-06-01 03:00:00' END AS window_start,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE doc_id < 100000
+    GROUP BY 1, 2
+"""

@@ -32,6 +32,7 @@ EAGER = {
     "q88_stream_cms",
     "q91_stream_kmv",
     "q94_stream_histogram",
+    "q101_stream_static_join",
 }
 
 LAZY = sorted(set(QUERIES) - EAGER)
