@@ -215,3 +215,23 @@ def test_q87_cohorts_first_touch_broadcast(spark, sf_dir):
     p = _plan(QUERIES["q86_retention_cohorts"](spark, sf_dir))
     assert p.count("SortMergeJoin") == 0
     assert p.count("BroadcastHashJoin") >= 1
+
+
+def test_q55_lsh_near_dup_no_pair_explosion(spark, sf_dir):
+    """The LSH near-dup pipeline must stay equi-join shaped: candidate
+    generation is a bucket-signature join over the persisted index
+    (InMemoryTableScan), never a cartesian / nested-loop pair explosion."""
+    p = _plan(QUERIES["q55_lsh_near_dup"](spark, sf_dir))
+    assert p.count("CartesianProduct") == 0
+    assert p.count("BroadcastNestedLoopJoin") == 0
+    assert p.count("InMemoryTableScan") >= 1  # the persisted bucket index
+
+
+def test_q25_minhash_verify_is_candidate_restricted(spark, sf_dir):
+    """The Jaccard verify stage must be candidate-restricted in the PLAN:
+    both shingle sides carry a broadcast semi-join against the candidate id
+    sets before the pair join, so the verify shuffle is O(candidate
+    shingles), not O(corpus shingles)."""
+    p = _plan(QUERIES["q25_minhash_lsh_pairs"](spark, sf_dir))
+    assert p.count("LeftSemi") >= 2, p
+    assert p.count("CartesianProduct") == 0
