@@ -168,3 +168,42 @@ def test_asof_matches_pandas_merge_asof(spark, left, right, direction):
         int(r.tag): (None if pd.isna(r.rid) else int(r.rid)) for r in exp_df.itertuples()
     }
     assert got == expected
+
+
+def test_asof_and_interval_join_tolerate_timestamp_ntz(spark):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (r1) and as
+    TIMESTAMP_NTZ (r3); load_table normalizes, but the temporal operators
+    themselves must also survive either flavor (_time_expr casts NTZ via
+    the UTC session). Same fixture through LTZ and NTZ inputs must give
+    identical matches."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators.temporal import asof_join, interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 09:00:00")],
+        "k long, t string",
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "a"), (1, "2024-01-01 11:30:00", "b"), (2, "2024-01-01 10:00:00", "c")],
+        "k long, rt string, payload string",
+    )
+
+    def run(cast_type):
+        l = left.select("k", F.col("t").cast(cast_type).alias("t"))
+        r = right.select("k", F.col("rt").cast(cast_type).alias("rt"), "payload")
+        out = asof_join(l, r, "k", "t", "rt").select("k", "payload")
+        return sorted(tuple(x) for x in out.collect())
+
+    assert run("timestamp") == run("timestamp_ntz") == [(1, "a"), (1, "b"), (2, None)]
+
+    def run_iv(cast_type):
+        pts = left.select("k", F.col("t").cast(cast_type).alias("t"))
+        ivs = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", "2024-01-01 11:00:00", "w1")],
+            "k long, s string, e string, tag string",
+        ).select("k", F.col("s").cast(cast_type).alias("s"), F.col("e").cast(cast_type).alias("e"), "tag")
+        out = interval_join(pts, ivs, "k", "t", "s", "e", bucket_width_us=3_600_000_000)
+        return sorted(tuple(r) for r in out.select("k", "tag").collect())
+
+    assert run_iv("timestamp") == run_iv("timestamp_ntz") == [(1, "w1")]
