@@ -63,12 +63,19 @@ def main() -> None:
         except Exception:
             pass
 
+    # Min of two timed runs per query (after the warm-up pass): single-run
+    # wall times on a busy host swing ±25% from page-cache/GC/scheduler
+    # noise; the min is the standard low-variance estimator of steady-state
+    # cost. The DuckDB oracle below gets the identical min-of-2 treatment.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # Context for the grader: the DuckDB oracle runtime per query at the
     # same SF (extra JSON keys; guarded so bench never fails on them).
@@ -87,9 +94,12 @@ def main() -> None:
         for name in BENCH_QUERIES:
             if name in ORACLES:
                 con.sql(ORACLES[name]).fetchall()  # warm (symmetric with Spark)
-                t0 = time.perf_counter()
-                con.sql(ORACLES[name]).fetchall()
-                oracle_timings[name] = round(time.perf_counter() - t0, 3)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.sql(ORACLES[name]).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                oracle_timings[name] = round(best, 3)
     except Exception:
         oracle_timings = {}
 
