@@ -233,11 +233,13 @@ def minhash_dedup_pairs(
     sh = word_shingles(df, id_col, text_col, k, max_shingle_freq)
     if persist_shingles is not None:
         sh = sh.persist(persist_shingles)
-    sig = minhash_signatures(sh, num_hashes)
-    # The candidate pair set feeds three consumers (two semi-join filters +
-    # the pair join) and its lineage includes the full signature aggregation
-    # — persist the (tiny, bucket-bounded) pair list so that pipeline runs
-    # once, not three times.
+    # The signature table is one row per doc (8 lane mins + count) — a
+    # sliver of the corpus — and feeds candidate generation AND both size
+    # lookups. persist it so the md5-per-shingle aggregation (the pipeline's
+    # dominant compute) runs exactly once; downstream consumers re-derive
+    # from the cached signatures. The candidate pair list is additionally
+    # persisted for its three consumers (two semi-join filters + pair join).
+    sig = minhash_signatures(sh, num_hashes).persist()
     cand = lsh_candidate_pairs(sig, num_hashes, band_size).persist()
 
     sizes = sig.select("doc", "n_shingles")
