@@ -145,3 +145,54 @@ def pagerank_fixed_point(
             (base + F.expr(f"{damping_pct} * coalesce(contrib, 0) div 100").cast("long")).alias("r"),
         )
     return rank.select("node", F.col("r").alias("rank_scaled"))
+
+
+def fold_components(
+    spark,
+    target_path: str,
+    new_pairs: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental connected components: fold a batch of new near-dup pairs
+    into a stored (node, component) assignment without re-reading historical
+    PAIRS.
+
+    The stored assignment is itself a spanning forest — each (node,
+    component) row is an edge to the cluster representative — so the union
+    of those star edges with the new batch's pairs has exactly the same
+    transitive closure as (all historical pairs + new pairs). Label
+    propagation then runs over |nodes| + |new pairs| edges instead of the
+    full pair history; cost per fold scales with the graph's NODE count and
+    the batch, not with the ever-growing pair log. (A batch that merges two
+    old clusters collapses them through their representatives in the first
+    hop.) The refreshed assignment replaces the store via staging + atomic
+    rename, same pattern as every other incremental sink here.
+
+    Equivalence with the from-scratch computation over the concatenated
+    pair history is the tested invariant (tests/test_graph.py).
+    """
+    import os
+    import shutil
+    import uuid
+
+    e = new_pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if os.path.exists(target_path):
+        prior = spark.read.parquet(target_path)
+        star = prior.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("s"), F.col("component").alias("d")
+        )
+        e = e.unionByName(star)
+    out = connected_components(e, "s", "d", max_iter=max_iter)
+
+    staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(staging)
+    backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
+    existed = os.path.exists(target_path)
+    if existed:
+        os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    if existed:
+        shutil.rmtree(backup, ignore_errors=True)
+    return spark.read.parquet(target_path)

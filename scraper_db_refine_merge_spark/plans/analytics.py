@@ -826,3 +826,63 @@ def q100_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — INCREMENTAL connected components under the gate
+# (operators/graph.py fold_components): three pair batches fold one at a
+# time into a stored (node, component) assignment — batch 2 bridges the
+# clusters created by batches 0 and 1, the hard merge case — and the final
+# assignment must equal the recursive-CTE closure over the concatenated
+# pair history. The store is a spanning forest, so each fold runs label
+# propagation over nodes + new pairs, never the full pair log.
+@_register(
+    "q102_incremental_components",
+    """
+    WITH RECURSIVE base AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 2
+        WHERE d1.doc_id % 10 = 0 AND d1.doc_id < 100000
+        UNION ALL
+        SELECT d1.doc_id + 4, d2.doc_id
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 6
+        WHERE d1.doc_id % 10 = 0 AND d1.doc_id < 100000
+        UNION ALL
+        SELECT d1.doc_id + 2, d2.doc_id
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 4
+        WHERE d1.doc_id % 10 = 0 AND d1.doc_id < 100000
+    ),
+    e AS (SELECT a AS s, b AS d FROM base UNION SELECT b, a FROM base),
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+    ),
+    lab AS (SELECT s AS node, least(s, MIN(d)) AS component FROM reach GROUP BY s)
+    SELECT node, component FROM lab
+    """,
+)
+def q102_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.graph import fold_components
+    from .streamq import _harness_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = set(_harness_ids(d))
+
+    def pairs(offset_a, offset_b):
+        return [
+            (m + offset_a, m + offset_b)
+            for m in ids
+            if m % 10 == 0 and m + offset_a in ids and m + offset_b in ids
+        ]
+
+    batches = [pairs(0, 2), pairs(4, 6), pairs(2, 4)]
+    target = os.path.join(tempfile.mkdtemp(prefix="q102_cc_"), "components")
+    out = None
+    for batch in batches:
+        df = spark.createDataFrame(batch, "a_id long, b_id long")
+        out = fold_components(spark, target, df)
+    return out.select("node", "component")

@@ -33,6 +33,7 @@ EAGER = {
     "q91_stream_kmv",
     "q94_stream_histogram",
     "q101_stream_static_join",
+    "q102_incremental_components",  # folds batches into a store at build time
 }
 
 LAZY = sorted(set(QUERIES) - EAGER)

@@ -74,3 +74,32 @@ def test_pagerank_fixed_point_invariants(spark):
     assert r1[0] > r1[1]  # the hub dominates its leaves
     assert all(r1[1] == r1[i] for i in range(2, 10))  # symmetric leaves tie
     assert sum(r1.values()) <= 1_000_000_000_000
+
+
+def test_fold_components_equals_full_recompute(spark, tmp_path):
+    """Incremental fold invariant: folding pair batches one at a time into
+    the stored assignment gives exactly the from-scratch components over
+    the concatenated pair history — including the hard case where a later
+    batch MERGES two previously-separate clusters through a bridge edge."""
+    from scraper_db_refine_merge_spark.operators.graph import (
+        connected_components,
+        fold_components,
+    )
+
+    batches = [
+        [(1, 2), (2, 3), (10, 11)],          # two clusters: {1,2,3}, {10,11}
+        [(20, 21), (21, 22)],                # a third cluster
+        [(3, 10), (22, 23)],                 # bridge merges {1,2,3}+{10,11}
+    ]
+    target = str(tmp_path / "components")
+    seen: list = []
+    for batch in batches:
+        seen += batch
+        df = spark.createDataFrame(batch, "a_id long, b_id long")
+        folded = fold_components(spark, target, df)
+        full = connected_components(
+            spark.createDataFrame(seen, "a_id long, b_id long"), "a_id", "b_id"
+        )
+        got = sorted(tuple(r) for r in folded.collect())
+        want = sorted(tuple(r) for r in full.select("node", "component").collect())
+        assert got == want, (batch, got, want)
