@@ -120,12 +120,18 @@ def pagerank_fixed_point(
 
     Iterations are unrolled DataFrame joins (rank ⋈ edges ⋈ outdeg →
     re-aggregate); the driver never sees data, and each iteration is one
-    hash shuffle on node id. Dangling nodes contribute nothing (their mass
-    is dropped, like the contribution truncation). For near-dup /
-    interaction graphs symmetrize edges first and there are no danglers.
+    hash shuffle on node id. The node universe is the union of src AND dst
+    (ADVICE r4: src-only silently dropped sink-only nodes from the output
+    and from n on general directed graphs), so dangling nodes get the base
+    rank; their outbound mass is dropped (like the contribution
+    truncation) — symmetrize edges first if that matters.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     n = nodes.count()  # one scalar on the driver — graph size, not data
     r0 = F.lit(scale // n).cast("long")
@@ -167,32 +173,24 @@ def fold_components(
     full pair history; cost per fold scales with the graph's NODE count and
     the batch, not with the ever-growing pair log. (A batch that merges two
     old clusters collapses them through their representatives in the first
-    hop.) The refreshed assignment replaces the store via staging + atomic
-    rename, same pattern as every other incremental sink here.
+    hop.) The refreshed assignment commits through the crash-safe versioned
+    store (streaming/store.py: immutable snapshot + one atomic pointer
+    replace; local/atomic-rename filesystems only).
 
     Equivalence with the from-scratch computation over the concatenated
     pair history is the tested invariant (tests/test_graph.py).
     """
-    import os
-    import shutil
-    import uuid
+    from ..streaming.store import store_commit, store_read
 
     e = new_pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    if os.path.exists(target_path):
-        prior = spark.read.parquet(target_path)
-        star = prior.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("s"), F.col("component").alias("d")
-        )
+    prior = store_read(spark, target_path)
+    if prior is not None:
+        # EVERY prior row becomes an edge — a singleton component (node ==
+        # component) yields a harmless self-edge, which keeps the node in
+        # the refreshed assignment. Filtering node != component here
+        # silently dropped singleton components on refresh (ADVICE r4).
+        star = prior.select(F.col("node").alias("s"), F.col("component").alias("d"))
         e = e.unionByName(star)
     out = connected_components(e, "s", "d", max_iter=max_iter)
-
-    staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(staging)
-    backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
-    existed = os.path.exists(target_path)
-    if existed:
-        os.rename(target_path, backup)
-    os.rename(staging, target_path)
-    if existed:
-        shutil.rmtree(backup, ignore_errors=True)
-    return spark.read.parquet(target_path)
+    committed = store_commit(out, target_path)
+    return spark.read.parquet(committed)

@@ -186,7 +186,14 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    dim = detect_fixed_dim(corpus, vec_col)
+    # The literal-plane fast path is only value-identical for vectors of
+    # EXACTLY the detected length: zip_with null-pads a shorter/longer side,
+    # making the projection NULL and silently mis-bucketing (ADVICE r4). So
+    # the dim must be detected on BOTH inputs and agree; any mismatch (or
+    # ragged side) falls back to the fully dynamic expression.
+    dim_c = detect_fixed_dim(corpus, vec_col)
+    dim_q = detect_fixed_dim(queries, vec_col)
+    dim = dim_c if (dim_c is not None and dim_c == dim_q) else None
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -504,8 +511,11 @@ def cosine_near_dup_pairs(
     # short strings per vector, a sliver of the corpus width. persist()
     # materializes it once instead of recomputing the projections on BOTH
     # sides of the self-join (exactly what a reusable on-disk index does at
-    # production scale).
-    b = df.select(F.col(id_col).alias("vid"), F.explode(sigs).alias("bucket")).persist()
+    # production scale). Tracked: callers release via _cache.release_caches()
+    # in long-lived sessions (ADVICE r4).
+    from ._cache import persist_tracked
+
+    b = persist_tracked(df.select(F.col(id_col).alias("vid"), F.explode(sigs).alias("bucket")))
     a = b.alias("a")
     c = b.alias("c")
     cand = (

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..streaming.store import store_read as _store_read
 from ..operators.sketches import (
     CMS_DEPTH,
     CMS_WIDTH,
@@ -205,7 +206,7 @@ def q77_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
 
-    return spark.read.parquet(target).select("event_type", "bucket", "max_rho")
+    return _store_read(spark, target).select("event_type", "bucket", "max_rho")
 
 
 # --------------------------------------------------------------------------
@@ -379,7 +380,7 @@ def q88_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
 
-    return spark.read.parquet(target).select("row", "bucket", "cnt")
+    return _store_read(spark, target).select("row", "bucket", "cnt")
 
 
 # --------------------------------------------------------------------------
@@ -447,7 +448,7 @@ def q91_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
 
-    return spark.read.parquet(target).select("event_type", "h")
+    return _store_read(spark, target).select("event_type", "h")
 
 
 # --------------------------------------------------------------------------
@@ -514,4 +515,4 @@ def q94_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
 
-    return spark.read.parquet(target).select("event_type", "bin", "n")
+    return _store_read(spark, target).select("event_type", "bin", "n")

@@ -10,21 +10,19 @@ trick that makes sketch maintenance trivially exactly-once-equivalent
 where a count-based metrics sink (ST5) needs idempotent writes.
 
 State size is O(groups × m) regardless of stream volume — the register
-table is re-written per batch via staging + atomic directory swap (same
-pattern as the MERGE fallback), which at 100 TB is a metadata-sized write,
-not a data rewrite.
+table is re-written per batch through the crash-safe versioned store
+(streaming/store.py: immutable snapshot + single atomic pointer commit;
+local/atomic-rename filesystems only — see that module's docstring), which
+at 100 TB is a metadata-sized write, not a data rewrite.
 """
 
 from __future__ import annotations
-
-import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, HLL_M, cms_registers, hll_registers
+from .store import store_commit, store_marker, store_read
 
 
 def merge_register_tables(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -59,19 +57,10 @@ def stream_hll_registers(
         if batch_df.isEmpty():
             return
         regs = hll_registers(batch_df, group_cols, value_col, m=m)
-        if os.path.exists(target_path):
-            regs = merge_register_tables(
-                spark.read.parquet(target_path), regs, group_cols
-            )
-        staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
-        regs.write.mode("overwrite").parquet(staging)
-        backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
-        existed = os.path.exists(target_path)
-        if existed:
-            os.rename(target_path, backup)
-        os.rename(staging, target_path)
-        if existed:
-            shutil.rmtree(backup, ignore_errors=True)
+        prev = store_read(spark, target_path)
+        if prev is not None:
+            regs = merge_register_tables(prev, regs, group_cols)
+        store_commit(regs, target_path)
 
     return (
         raw.writeStream.foreachBatch(_apply)
@@ -90,8 +79,7 @@ def merge_cms_tables(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataF
     )
 
 
-def _applied_marker(target_path: str) -> str:
-    return os.path.join(target_path, "_applied_batch_id")
+_APPLIED = "_applied_batch_id"
 
 
 def stream_cms_registers(
@@ -182,23 +170,11 @@ def stream_kmv_hashes(
         hashes = batch_df.select(
             *group_cols, _md5(F.col(value_col)).alias("h")
         ).distinct()
-        if os.path.exists(target_path):
-            hashes = merge_kmv_tables(
-                spark.read.parquet(target_path), hashes, group_cols, k
-            )
-        else:
-            hashes = merge_kmv_tables(
-                hashes.limit(0), hashes, group_cols, k
-            )
-        staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
-        hashes.write.mode("overwrite").parquet(staging)
-        backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
-        existed = os.path.exists(target_path)
-        if existed:
-            os.rename(target_path, backup)
-        os.rename(staging, target_path)
-        if existed:
-            shutil.rmtree(backup, ignore_errors=True)
+        prev = store_read(spark, target_path)
+        hashes = merge_kmv_tables(
+            prev if prev is not None else hashes.limit(0), hashes, group_cols, k
+        )
+        store_commit(hashes, target_path)
 
     return (
         raw.writeStream.foreachBatch(_apply)
@@ -211,31 +187,22 @@ def stream_kmv_hashes(
 def _guarded_sum_sink(spark, target_path, build, merge):
     """foreachBatch body for NON-idempotent (sum-algebra) sketch sinks:
     skip batches at-or-below the applied marker, merge, and commit the new
-    marker atomically with the registers (written into staging before the
-    swap). Shared by the CMS and histogram sinks."""
+    marker atomically with the registers — the marker is written INSIDE the
+    snapshot before the store's single pointer commit, so "registers
+    updated" and "batch recorded as applied" are one atomic event. Shared
+    by the CMS and histogram sinks."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        marker = _applied_marker(target_path)
-        if os.path.exists(marker):
-            with open(marker) as f:
-                if batch_id <= int(f.read().strip()):
-                    return  # at-least-once replay of an applied batch
+        applied = store_marker(target_path, _APPLIED)
+        if applied is not None and batch_id <= int(applied):
+            return  # at-least-once replay of an applied batch
         regs = build(batch_df)
-        if os.path.exists(target_path):
-            regs = merge(spark.read.parquet(target_path), regs)
-        staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
-        regs.write.mode("overwrite").parquet(staging)
-        with open(_applied_marker(staging), "w") as f:
-            f.write(str(batch_id))
-        backup = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
-        existed = os.path.exists(target_path)
-        if existed:
-            os.rename(target_path, backup)
-        os.rename(staging, target_path)
-        if existed:
-            shutil.rmtree(backup, ignore_errors=True)
+        prev = store_read(spark, target_path)
+        if prev is not None:
+            regs = merge(prev, regs)
+        store_commit(regs, target_path, markers={_APPLIED: str(batch_id)})
 
     return _apply
 

@@ -103,3 +103,21 @@ def test_fold_components_equals_full_recompute(spark, tmp_path):
         got = sorted(tuple(r) for r in folded.collect())
         want = sorted(tuple(r) for r in full.select("node", "component").collect())
         assert got == want, (batch, got, want)
+
+
+def test_fold_components_preserves_singletons(spark, tmp_path):
+    """A singleton component in the prior store (node == component, e.g.
+    from a self-pair) must survive a refresh that folds unrelated pairs
+    (ADVICE r4: the old node != component star filter silently dropped
+    them)."""
+    from scraper_db_refine_merge_spark.operators.graph import fold_components
+
+    target = str(tmp_path / "components")
+    # batch 1 includes a self-pair → node 99 is a singleton component
+    b1 = spark.createDataFrame([(1, 2), (99, 99)], "a_id long, b_id long")
+    folded = {r["node"]: r["component"] for r in fold_components(spark, target, b1).collect()}
+    assert folded[99] == 99
+    # batch 2 touches only other nodes — 99 must still be in the store
+    b2 = spark.createDataFrame([(5, 6)], "a_id long, b_id long")
+    folded = {r["node"]: r["component"] for r in fold_components(spark, target, b2).collect()}
+    assert folded == {1: 1, 2: 1, 5: 5, 6: 5, 99: 99}

@@ -200,21 +200,50 @@ def test_q84_scd2_single_user_exchange(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, p
 
 
-def test_q86_funnel_stages_broadcast(spark, sf_dir):
-    """Funnel stages carry per-user one-row state; every stage join must
-    broadcast that state onto the filtered stream — a sort-merge join here
-    would shuffle the full event stream once per stage."""
-    p = _plan(QUERIES["q85_funnel_steps"](spark, sf_dir))
-    assert p.count("SortMergeJoin") == 0
-    assert p.count("BroadcastHashJoin") >= 2
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
 
 
-def test_q87_cohorts_first_touch_broadcast(spark, sf_dir):
-    """First-touch per user is user-count-sized; it broadcasts back onto
-    the stream instead of shuffling the stream to meet it."""
-    p = _plan(QUERIES["q86_retention_cohorts"](spark, sf_dir))
-    assert p.count("SortMergeJoin") == 0
-    assert p.count("BroadcastHashJoin") >= 1
+def _final_adaptive_plan(df) -> str:
+    """Execute the frame and return the AQE-finalized physical plan."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q85_funnel_no_forced_user_broadcast(spark, sf_dir):
+    """Funnel stage state is one row PER USER — corpus-growing, so a forced
+    broadcast hint is an eventual OOM at scale (VERDICT r4 item 2). The plan
+    must carry NO broadcast hints; AQE is free to broadcast at runtime while
+    the stage tables are genuinely small (asserted on the finalized adaptive
+    plan at this SF)."""
+    df = QUERIES["q85_funnel_steps"](spark, sf_dir)
+    assert "strategy=broadcast" not in _analyzed(df)
+    p = _final_adaptive_plan(df)
+    assert "BroadcastHashJoin" in p  # AQE converted the small stage joins
+
+
+def test_q86_cohorts_no_forced_user_broadcast(spark, sf_dir):
+    """First-touch per user is user-count-sized (grows with the corpus): no
+    forced broadcast; AQE converts at runtime while it fits."""
+    df = QUERIES["q86_retention_cohorts"](spark, sf_dir)
+    assert "strategy=broadcast" not in _analyzed(df)
+    p = _final_adaptive_plan(df)
+    assert "BroadcastHashJoin" in p
+
+
+def test_neardup_verify_no_unbounded_broadcast(spark, sf_dir):
+    """The near-dup verify joins (per-doc sizes, candidate id sets, shingle
+    sides) all touch relations whose size grows with the corpus — NONE may
+    carry a forced broadcast hint (VERDICT r4 item 1). AQE picks broadcast
+    at runtime only while the relation is actually small."""
+    from scraper_db_refine_merge_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    for df in (
+        dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2),
+        dd.minhash_dedup_pairs(d, "doc_id", "text", k=5, threshold=0.2),
+    ):
+        assert "strategy=broadcast" not in _analyzed(df)
 
 
 def test_q55_lsh_near_dup_no_pair_explosion(spark, sf_dir):

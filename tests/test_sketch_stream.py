@@ -13,6 +13,7 @@ from scraper_db_refine_merge_spark.streaming.sketch_stream import (
     merge_register_tables,
     stream_hll_registers,
 )
+from scraper_db_refine_merge_spark.streaming.store import store_read
 
 
 def _regs_set(df):
@@ -52,12 +53,12 @@ def test_stream_registers_equal_batch_registers(spark, tmp_path):
         [(u, "x") for u in all_users], "user_id long, event_type string"
     )
     expected = hll_registers(batch_df, ["event_type"], "user_id")
-    assert _regs_set(spark.read.parquet(target)) == _regs_set(expected)
+    assert _regs_set(store_read(spark, target)) == _regs_set(expected)
 
 
 def _cms_cells(spark, target):
     return sorted(
-        tuple(r) for r in spark.read.parquet(str(target)).select("row", "bucket", "cnt").collect()
+        tuple(r) for r in store_read(spark, str(target)).select("row", "bucket", "cnt").collect()
     )
 
 
@@ -135,7 +136,7 @@ def test_stream_kmv_equals_batch_and_replay_is_noop(spark, tmp_path):
 
     def state():
         return sorted(
-            tuple(r) for r in spark.read.parquet(str(target)).select("event_type", "h").collect()
+            tuple(r) for r in store_read(spark, str(target)).select("event_type", "h").collect()
         )
 
     streamed = state()
@@ -154,3 +155,45 @@ def test_stream_kmv_equals_batch_and_replay_is_noop(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert state() == streamed
+
+
+def test_store_commit_is_atomic_and_crash_safe(spark, tmp_path):
+    """The versioned store's only committing operation is the pointer
+    replace: a writer dying at ANY earlier point (simulated by a fully
+    written but never-committed snapshot dir) leaves the previous state
+    live, and the next successful commit garbage-collects the orphan."""
+    import os
+
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_commit,
+        store_read,
+        store_version_dir,
+    )
+
+    target = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    store_commit(df1, target)
+    assert [tuple(r) for r in store_read(spark, target).collect()] == [(1, "a")]
+
+    # simulate a crash mid-write: snapshot exists, pointer never moved
+    orphan = os.path.join(target, "v-deadbeefdead")
+    spark.createDataFrame([(9, "x")], "k long, v string").write.parquet(orphan)
+    assert [tuple(r) for r in store_read(spark, target).collect()] == [(1, "a")]
+
+    # next real commit wins and GCs the orphan
+    store_commit(spark.createDataFrame([(2, "b")], "k long, v string"), target)
+    assert [tuple(r) for r in store_read(spark, target).collect()] == [(2, "b")]
+    assert not os.path.exists(orphan)
+    assert store_version_dir(target) is not None
+
+
+def test_store_marker_commits_with_snapshot(spark, tmp_path):
+    from scraper_db_refine_merge_spark.streaming.store import store_commit, store_marker
+
+    target = str(tmp_path / "store")
+    assert store_marker(target, "_applied_batch_id") is None
+    store_commit(
+        spark.createDataFrame([(1,)], "k long"), target,
+        markers={"_applied_batch_id": "7"},
+    )
+    assert store_marker(target, "_applied_batch_id") == "7"
