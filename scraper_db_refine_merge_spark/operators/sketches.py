@@ -259,3 +259,144 @@ def kmv_sketch(
         .otherwise(F.lit(float(k - 1)) / kth_frac)
         .alias("est_distinct"),
     )
+
+
+# ----------------------------------------------------------------------
+# q-digest: a mergeable RANK-ACCURATE quantile sketch (VERDICT r4 item 6).
+#
+# The fixed-width histogram_sketch above is mergeable but its rank error is
+# tied to the bin width you guessed up front. The q-digest (Shrivastava et
+# al., "Medians and Beyond", SenSys'04) adapts: it is a set of dyadic
+# intervals over an integer universe [0, 2^L) — a sparse cut of the
+# complete binary tree — where dense regions keep fine (leaf-level) nodes
+# and sparse regions collapse into coarse ancestors, holding the node
+# count near O(k) while rank error stays ≤ L·⌈N/k⌉ (each of the ≤L
+# ancestors of a query point can hide at most one sub-threshold count).
+#
+# This implementation is the BOTTOM-UP SIBLING-MERGE variant: L
+# deterministic rounds, round for level lv merging each sibling pair whose
+# combined count is ≤ ⌈N/k⌉ into its parent. Everything is exact integer
+# arithmetic over md5-free keys, so the sketch CONTENT — not just the
+# estimates — is engine-reproducible bit-for-bit and the DuckDB oracle
+# (plans/sketchq.py q106, 16 unrolled compression rounds) hash-matches it.
+#
+# Merge algebra: counts are conserved through compression (nodes move UP
+# the tree, they are never dropped), so merging two sketches = SUM counts
+# per node + one recompression under the combined N. Invariants are pinned
+# in tests/test_sketches.py: partitioning-independence, count conservation,
+# size bound, rank-error bound, and merge≈whole-data agreement.
+
+QD_LEVELS = 16
+QD_U = 1 << QD_LEVELS  # integer universe [0, 65536)
+QD_K = 256  # compression parameter: sketch ~O(k) nodes, error ≤ L·⌈N/k⌉
+
+
+def _qd_level(node: Column, levels: int = QD_LEVELS) -> Column:
+    """floor(log2(node)) as a pure-integer CASE ladder (no floating log,
+    no bin()-padding assumptions — the same 17-branch expression is
+    emitted in the DuckDB oracle via ``_qd_level_sql``)."""
+    out = F.lit(0)
+    for lv in range(1, levels + 1):
+        out = F.when(node >= F.lit(1 << lv), F.lit(lv)).otherwise(out)
+    return out
+
+
+def qdigest_compress(
+    state: DataFrame, group_cols: list[str], levels: int = QD_LEVELS, k: int = QD_K
+) -> DataFrame:
+    """Compress a (group..., node, cnt) table into q-digest form: L rounds
+    bottom-up; round lv merges sibling pairs at level lv whose combined
+    count ≤ ⌈N/k⌉ into their parent. N is the per-group total (counts are
+    conserved, so it can be re-derived from any state). Deterministic:
+    integer-only, order-independent."""
+    totals = state.groupBy(*group_cols).agg(F.sum("cnt").alias("__n"))
+    st = state.join(totals, group_cols) if group_cols else state.crossJoin(totals)
+    thr = F.greatest(F.lit(1), F.expr(f"(__n + {k} - 1) div {k}"))
+    for lv in range(levels, 0, -1):
+        at_lv = (F.col("node") >= F.lit(1 << lv)) & (F.col("node") < F.lit(1 << (lv + 1)))
+        w = Window.partitionBy(*group_cols, F.expr("node div 2"))
+        sib_sum = F.sum(F.when(at_lv, F.col("cnt"))).over(w)
+        st = (
+            st.withColumn(
+                "node",
+                F.when(at_lv & (sib_sum <= thr), F.expr("node div 2")).otherwise(F.col("node")),
+            )
+            .groupBy(*group_cols, "__n", "node")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    return st.select(*group_cols, "node", "cnt")
+
+
+def qdigest_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    levels: int = QD_LEVELS,
+    k: int = QD_K,
+) -> DataFrame:
+    """(group..., node, cnt) q-digest over an integer value column already
+    mapped into [0, 2^levels). The ONLY corpus-scale shuffle is the leaf
+    aggregation (groupBy value — partial-aggregated map-side); the L
+    compression rounds run over ≤2^levels sketch rows per group."""
+    u = 1 << levels
+    leaves = (
+        df.select(*group_cols, (F.lit(u) + F.col(value_col).cast("long")).alias("node"))
+        .groupBy(*group_cols, "node")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return qdigest_compress(leaves, group_cols, levels, k)
+
+
+def qdigest_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], levels: int = QD_LEVELS, k: int = QD_K
+) -> DataFrame:
+    """Merge two q-digests: SUM counts per node, recompress under the
+    combined per-group N. Counts are conserved by compression, so the
+    merged sketch summarizes exactly N_a + N_b observations."""
+    summed = (
+        a.unionByName(b)
+        .groupBy(*group_cols, "node")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return qdigest_compress(summed, group_cols, levels, k)
+
+
+def qdigest_quantiles(
+    sk: DataFrame, group_cols: list[str], qpcts: list[int], levels: int = QD_LEVELS
+) -> DataFrame:
+    """Per-group quantile estimates from a q-digest: nodes sorted by
+    interval upper bound, first node whose running count reaches
+    ⌈qpct·N/100⌉ reports its upper bound (the classic q-digest query —
+    estimates are ≥ the true quantile by at most the rank error). Output:
+    (group..., qpct, est_scaled, n_total) — all integers, bit-reproducible."""
+    lv = _qd_level(F.col("node"), levels)
+    h = sk.withColumn("__lv", lv).withColumn(
+        "__hi",
+        (F.col("node") - F.expr("shiftleft(1L, __lv)") + 1)
+        * F.expr(f"shiftleft(1L, {levels} - __lv)")
+        - 1,
+    )
+    w_cum = Window.partitionBy(*group_cols).orderBy("__hi", "node")
+    w_all = Window.partitionBy(*group_cols)
+    c = h.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "__n", F.sum("cnt").over(w_all)
+    )
+    qdf = c.select(
+        *group_cols, "__hi", "cum", "__n",
+        F.explode(F.array(*[F.lit(q) for q in qpcts])).alias("qpct"),
+    )
+    target = F.expr("(qpct * __n + 99) div 100")
+    return (
+        qdf.filter(F.col("cum") >= target)
+        .groupBy(*group_cols, "qpct")
+        .agg(F.min("__hi").alias("est_scaled"), F.max("__n").alias("n_total"))
+    )
+
+
+def _qd_level_sql(col: str, levels: int = QD_LEVELS) -> str:
+    """The 17-branch integer CASE ladder for floor(log2(node)) — shared
+    between the Spark expression builder and the DuckDB oracle text."""
+    branches = " ".join(
+        f"WHEN {col} >= {1 << lv} THEN {lv}" for lv in range(levels, 0, -1)
+    )
+    return f"(CASE {branches} ELSE 0 END)"

@@ -516,3 +516,126 @@ def q94_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
 
     return _store_read(spark, target).select("event_type", "bin", "n")
+
+
+# --------------------------------------------------------------------------
+# q106/q107 — q-digest: the mergeable RANK-ACCURATE quantile sketch
+# (operators/sketches.py qdigest_*, VERDICT r4 item 6). Unlike the
+# fixed-width histogram sketch (q79/q94) whose error is tied to an up-front
+# bin width, the q-digest adapts: dense regions keep leaf-level nodes,
+# sparse regions collapse into dyadic ancestors, size ~O(k) per group with
+# rank error ≤ L·⌈N/k⌉. The whole pipeline is exact integer arithmetic, so
+# the oracle mirrors the sketch CONTENT bit-for-bit (q106) — the 16
+# deterministic bottom-up compression rounds are UNROLLED as 16 chained
+# CTEs below — and the quantile estimates on top (q107).
+from ..operators.sketches import (  # noqa: E402
+    QD_K,
+    QD_LEVELS,
+    QD_U,
+    _qd_level_sql,
+    qdigest_quantiles,
+    qdigest_sketch,
+)
+
+
+def _qd_sketch_cte(levels: int = QD_LEVELS, k: int = QD_K) -> str:
+    """WITH-clause body computing the q-digest of events.value per
+    event_type into CTE ``sk`` — shared by the q106 and q107 oracles."""
+    parts = [
+        f"""
+    s0raw AS (
+        SELECT event_type,
+               {1 << levels} + LEAST({(1 << levels) - 1},
+                   GREATEST(0, CAST(floor(value * 100) AS BIGINT))) AS node,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS __n FROM s0raw GROUP BY 1),
+    s0 AS (SELECT s0raw.event_type, __n, node, cnt FROM s0raw JOIN tot USING (event_type))"""
+    ]
+    prev = "s0"
+    for j, lv in enumerate(range(levels, 0, -1), start=1):
+        cur = f"s{j}"
+        lo, hi = 1 << lv, 1 << (lv + 1)
+        parts.append(f"""
+    {cur} AS (
+        SELECT event_type, __n,
+               CASE WHEN (node >= {lo} AND node < {hi}) AND sib_sum <= thr
+                    THEN node // 2 ELSE node END AS node,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM (
+            SELECT event_type, __n, node, cnt,
+                   SUM(CASE WHEN node >= {lo} AND node < {hi} THEN cnt END)
+                       OVER (PARTITION BY event_type, node // 2) AS sib_sum,
+                   GREATEST(1, (__n + {k} - 1) // {k}) AS thr
+            FROM {prev}
+        )
+        GROUP BY 1, 2, 3
+    )""")
+        prev = cur
+    parts.append(f"""
+    sk AS (SELECT event_type, __n, node, cnt FROM {prev})""")
+    return ",".join(parts)
+
+
+def _q106_spark_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scaled = e.select(
+        "event_type",
+        F.least(
+            F.lit(QD_U - 1),
+            F.greatest(F.lit(0), F.floor(F.col("value") * 100).cast("long")),
+        ).alias("v"),
+    )
+    return qdigest_sketch(scaled, ["event_type"], "v")
+
+
+@_register(
+    "q106_qdigest_sketch",
+    f"""
+    WITH {_qd_sketch_cte()}
+    SELECT event_type, node, cnt FROM sk
+    """,
+)
+def q106_qdigest_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q106_spark_sketch(spark, sf_dir)
+
+
+@_register(
+    "q107_qdigest_quantiles",
+    f"""
+    WITH {_qd_sketch_cte()},
+    lvl AS (
+        SELECT event_type, node, cnt, __n, {_qd_level_sql('node')} AS lv FROM sk
+    ),
+    his AS (
+        SELECT event_type, node, cnt, __n,
+               (node - (1::BIGINT << lv) + 1) * (1::BIGINT << ({QD_LEVELS} - lv)) - 1 AS hi
+        FROM lvl
+    ),
+    cum AS (
+        SELECT event_type, node, cnt, __n, hi,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY hi, node) AS c
+        FROM his
+    ),
+    sel AS (
+        SELECT cum.event_type, qs.qpct, MIN(cum.hi) AS est_scaled, MIN(cum.__n) AS n_total
+        FROM cum, (SELECT unnest([50, 95]) AS qpct) qs
+        WHERE cum.c >= (qs.qpct * cum.__n + 99) // 100
+        GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(qpct AS DOUBLE) / 100 AS q,
+           CAST(est_scaled AS DOUBLE) / 100 AS est_value,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM sel
+    """,
+)
+def q107_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = _q106_spark_sketch(spark, sf_dir)
+    est = qdigest_quantiles(sk, ["event_type"], [50, 95])
+    return est.select(
+        "event_type",
+        (F.col("qpct").cast("double") / 100).alias("q"),
+        (F.col("est_scaled").cast("double") / 100).alias("est_value"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )

@@ -191,7 +191,12 @@ def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q24 — n-gram Jaccard near-dup pairs. Training-data near-dedup baseline.
+# q24 — n-gram Jaccard near-dup pairs. EXACT-BASELINE entry point: no
+# shingle-frequency cap, so a shingle shared by 1M docs would explode the
+# pair join — correct by definition, validation-only at corpus scale. The
+# corpus-scale exact path is q105 (same algorithm under the standard
+# stop-shingle cap, VERDICT r4 items 3/7); the sub-quadratic scale path is
+# q25 (MinHash/LSH).
 @_register(
     "q24_ngram_jaccard_pairs",
     f"""
@@ -202,6 +207,82 @@ def q23_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2)
+
+
+# --------------------------------------------------------------------------
+# q105 — capped-shingle exact Jaccard: the corpus-scale EXACT path. Hot
+# shingles (doc frequency > cap) are dropped BEFORE the pair join — the
+# standard stop-shingle skew guard, since one shingle shared by f docs
+# contributes f² candidate pairs. The cap changes the answer (similarity
+# is computed over the capped shingle sets — stated here and mirrored in
+# the oracle), which is why it is gated separately instead of silently
+# folded into q24.
+_Q105_CAP = 10
+
+
+@_register(
+    "q105_capped_jaccard_pairs",
+    f"""
+    WITH {_SQL_SHINGLES},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_Q105_CAP}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+        SELECT i.a_id, i.b_id, i.intersection,
+               ROUND(CAST(i.intersection AS DOUBLE)
+                     / CAST(sa.n + sb.n - i.intersection AS DOUBLE), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+    )
+    SELECT a_id, b_id, intersection, jaccard FROM jac WHERE jaccard >= 0.2
+    """,
+)
+def q105_capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2, max_shingle_freq=_Q105_CAP)
+
+
+# --------------------------------------------------------------------------
+# q103 — substring-level (token-window) decontamination: training docs
+# sharing any verbatim 8-token span with an "eval" doc (doc_id % 7 = 0
+# simulates the benchmark suite). The modality q49 (doc hash) and q70
+# (chunk hash) miss: a pasted benchmark answer inside an otherwise-unique
+# page. Equi-join on md5(window) — the suffix-array pass in joinable form
+# (operators/dedup.py window_decontaminate).
+@_register(
+    "q103_window_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    widx AS (
+        SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i FROM toks
+    ),
+    wins AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS wh FROM widx
+    ),
+    ew AS (
+        SELECT wh, MIN(doc_id) AS first_eval_doc
+        FROM wins WHERE doc_id % 7 = 0 GROUP BY wh
+    ),
+    hits AS (
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_windows,
+               MIN(ew.first_eval_doc) AS first_eval_doc
+        FROM wins w JOIN ew USING (wh)
+        WHERE w.doc_id % 7 <> 0
+        GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_shared_windows, first_eval_doc FROM hits
+    """,
+)
+def q103_window_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    eval_ids = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return dd.window_decontaminate(d, "doc_id", "text", eval_ids, window=8)
 
 
 # --------------------------------------------------------------------------

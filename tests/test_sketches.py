@@ -154,3 +154,119 @@ def test_cms_estimate_upper_bias_and_heavy_hitter(spark):
     assert all(est[k] >= true[k] for k in true)  # one-sided error
     top = max(est, key=lambda k: (est[k], -k))
     assert top == 7
+
+
+# ----------------------------------------------------------------------
+# q-digest (mergeable rank-accurate quantile sketch)
+
+
+def _qd_data(spark, n=3000, seed_mod=977):
+    from pyspark.sql import functions as F
+
+    # deterministic skewed-ish integer values in [0, 2^16)
+    return spark.range(n).select(
+        F.when(F.col("id") % 3 == 0, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        ((F.col("id") * F.col("id")) % seed_mod + (F.col("id") % 50) * 700).alias("v"),
+    )
+
+
+def _quants(sk, groups=("g",)):
+    from scraper_db_refine_merge_spark.operators.sketches import qdigest_quantiles
+
+    return {
+        (r["g"], r["qpct"]): (r["est_scaled"], r["n_total"])
+        for r in qdigest_quantiles(sk, list(groups), [25, 50, 95]).collect()
+    }
+
+
+def test_qdigest_partitioning_independent_and_counts_conserved(spark):
+    """The sketch CONTENT must be identical bits no matter how the input
+    was partitioned (integer-only, order-independent compression), and
+    compression must conserve the total count per group."""
+    from scraper_db_refine_merge_spark.operators.sketches import qdigest_sketch
+
+    df = _qd_data(spark)
+    s1 = qdigest_sketch(df.repartition(1), ["g"], "v")
+    s13 = qdigest_sketch(df.repartition(13, "v"), ["g"], "v")
+    rows1 = sorted(tuple(r) for r in s1.collect())
+    rows13 = sorted(tuple(r) for r in s13.collect())
+    assert rows1 == rows13
+    totals = {r["g"]: r["t"] for r in s1.groupBy("g").agg(F.sum("cnt").alias("t")).collect()}
+    exact = {r["g"]: r["t"] for r in df.groupBy("g").agg(F.count("*").alias("t")).collect()}
+    assert totals == exact
+
+
+def test_qdigest_size_bound_and_rank_error(spark):
+    """Size stays O(k) per group, and every quantile estimate's TRUE rank
+    is within L·⌈N/k⌉ of the target — the q-digest guarantee."""
+    from scraper_db_refine_merge_spark.operators.sketches import (
+        QD_K,
+        QD_LEVELS,
+        qdigest_sketch,
+    )
+
+    df = _qd_data(spark)
+    sk = qdigest_sketch(df, ["g"], "v")
+    sizes = {r["g"]: r["n"] for r in sk.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 * QD_K for n in sizes.values()), sizes
+
+    vals = {g: sorted(r["v"] for r in df.filter(F.col("g") == g).collect()) for g in ("a", "b")}
+    for (g, qpct), (est, n_total) in _quants(sk).items():
+        assert n_total == len(vals[g])
+        target = -(-qpct * n_total // 100)  # ceil
+        true_rank = sum(1 for v in vals[g] if v <= est)
+        max_err = QD_LEVELS * -(-n_total // QD_K)
+        assert true_rank >= target, (g, qpct, est)  # upper-bound estimate
+        assert true_rank - target <= max_err, (g, qpct, true_rank, target, max_err)
+
+
+def test_qdigest_merge_equals_recompressed_union(spark):
+    """Merge algebra: merging the sketches of two halves must summarize
+    N_a+N_b observations exactly (counts conserved) and give quantile
+    estimates within the same rank-error bound as the whole-data sketch."""
+    from scraper_db_refine_merge_spark.operators.sketches import (
+        QD_K,
+        QD_LEVELS,
+        qdigest_merge,
+        qdigest_sketch,
+    )
+
+    df = _qd_data(spark)
+    half_a = df.filter(F.col("v") % 2 == 0)
+    half_b = df.filter(F.col("v") % 2 == 1)
+    merged = qdigest_merge(
+        qdigest_sketch(half_a, ["g"], "v"),
+        qdigest_sketch(half_b, ["g"], "v"),
+        ["g"],
+    )
+    whole_n = {r["g"]: r["t"] for r in df.groupBy("g").agg(F.count("*").alias("t")).collect()}
+    merged_n = {r["g"]: r["t"] for r in merged.groupBy("g").agg(F.sum("cnt").alias("t")).collect()}
+    assert merged_n == whole_n
+
+    vals = {g: sorted(r["v"] for r in df.filter(F.col("g") == g).collect()) for g in ("a", "b")}
+    for (g, qpct), (est, n_total) in _quants(merged).items():
+        target = -(-qpct * n_total // 100)
+        true_rank = sum(1 for v in vals[g] if v <= est)
+        max_err = QD_LEVELS * -(-n_total // QD_K)
+        assert true_rank >= target
+        assert true_rank - target <= max_err
+
+
+def test_qdigest_exact_when_uncompressed(spark):
+    """With thr=1-ish data (every leaf count above threshold never merges
+    only when > thr; here distinct values are few and counts large), the
+    sketch keeps exact leaves and quantiles are the exact value bounds."""
+    from pyspark.sql import functions as F2
+
+    from scraper_db_refine_merge_spark.operators.sketches import qdigest_sketch
+
+    df = spark.range(1000).select(
+        F2.lit("x").alias("g"), (F2.col("id") % 4 * 100).alias("v")
+    )  # 250 each of {0, 100, 200, 300}; thr = ceil(1000/256) = 4 << 250
+    sk = qdigest_sketch(df, ["g"], "v")
+    got = sorted((r["node"], r["cnt"]) for r in sk.collect())
+    assert got == [(65536 + v, 250) for v in (0, 100, 200, 300)]
+    q = _quants(sk)
+    assert q[("x", 25)][0] == 0
+    assert q[("x", 50)][0] == 100
+    assert q[("x", 95)][0] == 300
