@@ -53,10 +53,11 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 # cumulative sum to number versions, one aggregation, and a lead() to close
 # intervals — no self-joins, shuffle is one hash exchange on user_id reused
 # by every window (same partition key).
-@_register(
-    "q84_scd2_history",
-    f"""
-    WITH banded AS (
+# The SCD2 history CTE (shared by the q84 oracle and the q104 streaming
+# as-of enrichment oracle in plans/streamq.py): ``hist`` has raw interval
+# bounds vf/vt, NULL vt = current version.
+SCD2_HIST_CTE = """
+    banded AS (
         SELECT user_id, ts, event_id,
                CAST(floor(value / 100) AS INTEGER) AS band
         FROM events
@@ -79,17 +80,43 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
         SELECT user_id, version, band,
                MIN(ts) AS vf, COUNT(*) AS n_events
         FROM versioned GROUP BY 1, 2, 3
+    ),
+    hist AS (
+        SELECT user_id, version, band, vf,
+               LEAD(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt,
+               n_events
+        FROM collapsed
     )
+"""
+
+
+@_register(
+    "q84_scd2_history",
+    f"""
+    WITH {SCD2_HIST_CTE}
     SELECT user_id, version, band,
            strftime(vf, '{_TS_FMT_DUCK}') AS valid_from,
-           strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY version),
-                    '{_TS_FMT_DUCK}') AS valid_to,
+           strftime(vt, '{_TS_FMT_DUCK}') AS valid_to,
            n_events
-    FROM collapsed
+    FROM hist
     """,
 )
 def q84_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    return scd2_history_raw(e).select(
+        "user_id",
+        "version",
+        "band",
+        F.date_format("vf", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("vt", _TS_FMT_SPARK).alias("valid_to"),
+        "n_events",
+    )
+
+
+def scd2_history_raw(e: DataFrame) -> DataFrame:
+    """The SCD2 version table with RAW timestamp bounds ``vf``/``vt``
+    (NULL vt = current version) — shared by q84 (formatted output) and the
+    streaming as-of enrichment (q104), which joins against the raw bounds."""
     band = F.floor(F.col("value") / 100).cast("int")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     banded = e.select("user_id", "ts", "event_id", band.alias("band"))
@@ -106,12 +133,8 @@ def q84_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wv = Window.partitionBy("user_id").orderBy("version")
     return collapsed.select(
-        "user_id",
-        "version",
-        "band",
-        F.date_format("vf", _TS_FMT_SPARK).alias("valid_from"),
-        F.date_format(F.lead("vf").over(wv), _TS_FMT_SPARK).alias("valid_to"),
-        "n_events",
+        "user_id", "version", "band", "vf",
+        F.lead("vf").over(wv).alias("vt"), "n_events",
     )
 
 

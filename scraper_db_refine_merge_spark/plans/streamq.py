@@ -634,3 +634,83 @@ ORACLES["q101_stream_static_join"] = """
     FROM documents WHERE doc_id < 100000
     GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# q104 — STREAMING SCD2 / as-of dimension enrichment (VERDICT r4 item 5):
+# three probe batches stream through foreachBatch and join the q84 SCD2
+# history table AS-OF each probe's event time (version valid at that
+# instant: vf <= pts < vt, NULL vt = current). The append sink is
+# non-idempotent, so it runs under the same atomically-committed batch-id
+# guard as the CMS sink (streaming/joins.py stream_asof_enrich →
+# sketch_stream.guarded_merge_sink). The oracle replays the identical
+# as-of join in SQL over the shared SCD2 CTE — batch equivalence is the
+# gated invariant.
+from .analytics import SCD2_HIST_CTE  # noqa: E402
+
+_Q104_PROBE_DAYS = ["2024-01-05", "2024-01-15", "2024-01-25"]
+
+
+def q104_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import stream_asof_enrich
+    from ..streaming.store import store_read
+    from .analytics import scd2_history_raw
+
+    e = load_table(spark, sf_dir, "events")
+    uids = sorted(
+        r[0]
+        for r in e.select("user_id")
+        .filter(F.col("user_id") < HARNESS_ID_CAP)
+        .distinct()
+        .collect()
+    )
+
+    root = tempfile.mkdtemp(prefix="q104_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for i, day in enumerate(_Q104_PROBE_DAYS):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            for u in uids:
+                f.write(json.dumps({"user_id": u, "pts": f"{day}T12:00:00+00:00"}) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "enriched")
+    q = stream_asof_enrich(
+        spark,
+        landing,
+        scd2_history_raw(e),
+        target,
+        os.path.join(root, "ckpt"),
+        schema="user_id long, pts timestamp",
+    )
+    q.awaitTermination(300)
+
+    return store_read(spark, target).select(
+        "user_id",
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
+        "version",
+        "band",
+    )
+
+
+QUERIES["q104_stream_scd2_enrich"] = q104_stream_scd2_enrich
+_Q104_PROBES_SQL = ", ".join(
+    f"TIMESTAMP '{d} 12:00:00'" for d in _Q104_PROBE_DAYS
+)
+ORACLES["q104_stream_scd2_enrich"] = f"""
+    WITH {SCD2_HIST_CTE},
+    probes AS (
+        SELECT user_id, pts
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < {HARNESS_ID_CAP}),
+             (SELECT unnest([{_Q104_PROBES_SQL}]) AS pts)
+    )
+    SELECT p.user_id,
+           strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+           h.version, h.band
+    FROM probes p JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.vf <= p.pts
+     AND (h.vt IS NULL OR p.pts < h.vt)
+"""

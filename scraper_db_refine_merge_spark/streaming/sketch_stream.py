@@ -119,7 +119,7 @@ def stream_cms_registers(
         return merge_cms_tables(prev, cur, group_cols)
 
     return (
-        raw.writeStream.foreachBatch(_guarded_sum_sink(spark, target_path, _build, _merge))
+        raw.writeStream.foreachBatch(guarded_merge_sink(spark, target_path, _build, _merge))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -184,8 +184,9 @@ def stream_kmv_hashes(
     )
 
 
-def _guarded_sum_sink(spark, target_path, build, merge):
-    """foreachBatch body for NON-idempotent (sum-algebra) sketch sinks:
+def guarded_merge_sink(spark, target_path, build, merge):
+    """foreachBatch body for NON-idempotent merge algebras (SUM-merged
+    sketches, append-union sinks):
     skip batches at-or-below the applied marker, merge, and commit the new
     marker atomically with the registers — the marker is written INSIDE the
     snapshot before the store's single pointer commit, so "registers
@@ -242,7 +243,7 @@ def stream_histogram_sketch(
         )
 
     return (
-        raw.writeStream.foreachBatch(_guarded_sum_sink(spark, target_path, _build, _merge))
+        raw.writeStream.foreachBatch(guarded_merge_sink(spark, target_path, _build, _merge))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

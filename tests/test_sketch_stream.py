@@ -197,3 +197,60 @@ def test_store_marker_commits_with_snapshot(spark, tmp_path):
         markers={"_applied_batch_id": "7"},
     )
     assert store_marker(target, "_applied_batch_id") == "7"
+
+
+def test_stream_asof_enrich_replay_is_guarded(spark, tmp_path):
+    """The as-of enrichment sink appends (non-idempotent), so a full
+    replay with a fresh checkpoint must be a no-op via the batch-id
+    guard — and each probe matches exactly its as-of version."""
+    import json as _json
+
+    from pyspark.sql import functions as F2
+
+    from scraper_db_refine_merge_spark.streaming.joins import stream_asof_enrich
+
+    # two-version history for user 1, one version for user 2
+    hist = spark.createDataFrame(
+        [
+            (1, 0, 10, "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+            (1, 1, 20, "2024-01-10 00:00:00", None),
+            (2, 0, 30, "2024-01-03 00:00:00", None),
+        ],
+        "user_id long, version int, band int, vf string, vt string",
+    ).select(
+        "user_id", "version", "band",
+        F2.to_timestamp("vf").alias("vf"), F2.to_timestamp("vt").alias("vt"),
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        [(1, "2024-01-05T00:00:00+00:00"), (2, "2024-01-05T00:00:00+00:00")],
+        [(1, "2024-01-15T00:00:00+00:00"), (2, "2024-01-02T00:00:00+00:00")],  # 2nd pre-history: dropped
+    ]
+    for i, rows in enumerate(batches):
+        with open(landing / f"b{i}.json", "w") as f:
+            for u, ts in rows:
+                f.write(_json.dumps({"user_id": u, "pts": ts}) + "\n")
+        os.utime(landing / f"b{i}.json", (1_700_000_000 + i * 60,) * 2)
+
+    target = str(tmp_path / "enriched")
+
+    def run(ck):
+        q = stream_asof_enrich(
+            spark, str(landing), hist, target, str(tmp_path / ck),
+            schema="user_id long, pts timestamp",
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (r["user_id"], str(r["pts"]), r["version"], r["band"])
+            for r in store_read(spark, target).collect()
+        )
+
+    got = run("ck1")
+    assert got == [
+        (1, "2024-01-05 00:00:00", 0, 10),
+        (1, "2024-01-15 00:00:00", 1, 20),
+        (2, "2024-01-05 00:00:00", 0, 30),
+    ]
+    assert run("ck2") == got  # full replay, fresh checkpoint → no-op
