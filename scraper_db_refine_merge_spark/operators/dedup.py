@@ -252,9 +252,8 @@ def minhash_dedup_pairs(
     sig = persist_tracked(minhash_signatures(sh, num_hashes))
     cand = persist_tracked(lsh_candidate_pairs(sig, num_hashes, band_size))
 
-    # Candidate-restriction made physical: each shingle side is semi-joined
-    # to its candidate id set BEFORE the pair join, so the (b_id, shingle)
-    # shuffle carries only candidate docs' shingles — at corpus scale the
+    # Candidate-restriction made physical: each shingle side carries only
+    # candidate docs' shingles into the pair join, so at corpus scale the
     # verify cost is O(candidate shingles), not O(all shingles). The size
     # lookups are restricted the same way. NO forced broadcasts anywhere in
     # the verify stage (VERDICT r4 item 1): the candidate id sets and the
@@ -263,8 +262,25 @@ def minhash_dedup_pairs(
     # genuinely small and switches to hash-partitioned joins beyond that.
     a_ids = cand.select("a_id").distinct()
     b_ids = cand.select("b_id").distinct()
-    sh_a = sh.select(F.col("doc").alias("a_id"), "shingle").join(a_ids, "a_id", "semi")
-    sh_b = sh.select(F.col("doc").alias("b_id"), "shingle").join(b_ids, "b_id", "semi")
+    if persist_shingles is not None or max_shingle_freq is not None:
+        # Materialized shingles (reuse the cache), or a frequency cap
+        # (whose counts must come from the FULL corpus shingle set):
+        # semi-join AFTER shingling.
+        sh_a = sh.select(F.col("doc").alias("a_id"), "shingle").join(a_ids, "a_id", "semi")
+        sh_b = sh.select(F.col("doc").alias("b_id"), "shingle").join(b_ids, "b_id", "semi")
+    else:
+        # No materialized shingles → push the restriction UPSTREAM of the
+        # explode: semi-join the RAW docs to candidate ids, then shingle
+        # only those (candidates are a sliver of the corpus, so this skips
+        # two full tokenize+explode passes — measured ~2× on q25 at sf0.1).
+        da = df.join(a_ids.select(F.col("a_id").alias(id_col)), id_col, "semi")
+        db = df.join(b_ids.select(F.col("b_id").alias(id_col)), id_col, "semi")
+        sh_a = word_shingles(da, id_col, text_col, k).select(
+            F.col("doc").alias("a_id"), "shingle"
+        )
+        sh_b = word_shingles(db, id_col, text_col, k).select(
+            F.col("doc").alias("b_id"), "shingle"
+        )
     inter = (
         cand.join(sh_a, "a_id")
         .join(sh_b, ["b_id", "shingle"])
