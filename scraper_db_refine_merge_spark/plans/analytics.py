@@ -172,7 +172,12 @@ def scd2_history_raw(e: DataFrame) -> DataFrame:
     """,
 )
 def q85_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return funnel_steps(load_table(spark, sf_dir, "events"))
+
+
+def funnel_steps(e: DataFrame) -> DataFrame:
+    """The q85 funnel over an arbitrary events frame (also driven at
+    replicated scale by tools/scale_smoke.py)."""
     s = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -229,7 +234,12 @@ def q85_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q86_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def retention_cohorts(e: DataFrame) -> DataFrame:
+    """The q86 cohort grid over an arbitrary events frame (also driven at
+    replicated scale by tools/scale_smoke.py)."""
     first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
 
     def week(col):

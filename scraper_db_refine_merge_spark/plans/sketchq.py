@@ -538,27 +538,30 @@ from ..operators.sketches import (  # noqa: E402
 )
 
 
-def _qd_sketch_cte(levels: int = QD_LEVELS, k: int = QD_K) -> str:
-    """WITH-clause body computing the q-digest of events.value per
-    event_type into CTE ``sk`` — shared by the q106 and q107 oracles."""
+def _qd_compress_ctes(
+    prefix: str, src: str, levels: int = QD_LEVELS, k: int = QD_K
+) -> tuple[list[str], str]:
+    """The q-digest compression as SQL text: per-group totals of ``src``
+    (a (event_type, node, cnt) relation), then the L bottom-up sibling-merge
+    rounds, all CTE names carrying ``prefix``. Returns (cte_list,
+    final_name) where final has (event_type, __n, node, cnt). Mirrors
+    operators/sketches.py qdigest_compress expression-for-expression."""
     parts = [
         f"""
-    s0raw AS (
-        SELECT event_type,
-               {1 << levels} + LEAST({(1 << levels) - 1},
-                   GREATEST(0, CAST(floor(value * 100) AS BIGINT))) AS node,
-               CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1, 2
+    {prefix}tot AS MATERIALIZED (
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS __n FROM {src} GROUP BY 1
     ),
-    tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS __n FROM s0raw GROUP BY 1),
-    s0 AS (SELECT s0raw.event_type, __n, node, cnt FROM s0raw JOIN tot USING (event_type))"""
+    {prefix}s0 AS MATERIALIZED (
+        SELECT {src}.event_type, __n, node, cnt
+        FROM {src} JOIN {prefix}tot USING (event_type)
+    )"""
     ]
-    prev = "s0"
+    prev = f"{prefix}s0"
     for j, lv in enumerate(range(levels, 0, -1), start=1):
-        cur = f"s{j}"
+        cur = f"{prefix}s{j}"
         lo, hi = 1 << lv, 1 << (lv + 1)
         parts.append(f"""
-    {cur} AS (
+    {cur} AS MATERIALIZED (
         SELECT event_type, __n,
                CASE WHEN (node >= {lo} AND node < {hi}) AND sib_sum <= thr
                     THEN node // 2 ELSE node END AS node,
@@ -573,8 +576,26 @@ def _qd_sketch_cte(levels: int = QD_LEVELS, k: int = QD_K) -> str:
         GROUP BY 1, 2, 3
     )""")
         prev = cur
+    return parts, prev
+
+
+def _qd_sketch_cte(levels: int = QD_LEVELS, k: int = QD_K) -> str:
+    """WITH-clause body computing the q-digest of events.value per
+    event_type into CTE ``sk`` — shared by the q106 and q107 oracles."""
+    parts = [
+        f"""
+    s0raw AS (
+        SELECT event_type,
+               {1 << levels} + LEAST({(1 << levels) - 1},
+                   GREATEST(0, CAST(floor(value * 100) AS BIGINT))) AS node,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    )"""
+    ]
+    rounds, final = _qd_compress_ctes("", "s0raw", levels, k)
+    parts += rounds
     parts.append(f"""
-    sk AS (SELECT event_type, __n, node, cnt FROM {prev})""")
+    sk AS (SELECT event_type, __n, node, cnt FROM {final})""")
     return ",".join(parts)
 
 
@@ -639,3 +660,91 @@ def q107_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_scaled").cast("double") / 100).alias("est_value"),
         F.col("n_total").cast("long").alias("n_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# q108 — STREAMING q-digest (streaming/sketch_stream.py stream_qdigest):
+# the fourth merge algebra in the streaming sketch family — per-node count
+# SUM + deterministic recompression, guarded like CMS/histogram (SUM is not
+# idempotent). The oracle replays the EXACT fold the guarded sink performs:
+# compress(leaf(b0)); then for each later batch, compress its leaves,
+# SUM-merge with the state, recompress — five full 16-round compressions,
+# all machine-generated as chained CTEs, hash-matching the final sketch
+# CONTENT bit-for-bit.
+def _q108_oracle() -> str:
+    parts = [
+        f"""
+    ids AS (SELECT doc_id AS m FROM documents WHERE doc_id < 100000),
+    u0 AS (SELECT m AS u FROM ids),
+    u1 AS (SELECT m * 2 AS u FROM ids),
+    u2 AS (SELECT m % 97 AS u FROM ids)"""
+    ]
+    for i in range(3):
+        parts.append(f"""
+    leaf{i} AS MATERIALIZED (
+        SELECT CASE WHEN u % 2 = 0 THEN 'a' ELSE 'b' END AS event_type,
+               CAST({QD_U} + ((u * 7) % 500) * 100 + 50 AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM u{i} GROUP BY 1, 2
+    )""")
+    ctes, state = _qd_compress_ctes("b0", "leaf0")
+    parts += ctes
+    for i in (1, 2):
+        ci, fi = _qd_compress_ctes(f"b{i}", f"leaf{i}")
+        parts += ci
+        parts.append(f"""
+    m{i} AS MATERIALIZED (
+        SELECT event_type, node, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM (SELECT event_type, node, cnt FROM {state}
+              UNION ALL SELECT event_type, node, cnt FROM {fi})
+        GROUP BY 1, 2
+    )""")
+        gi, state = _qd_compress_ctes(f"g{i}", f"m{i}")
+        parts += gi
+    return f"""
+    WITH {",".join(parts)}
+    SELECT event_type, node, cnt FROM {state}
+    """
+
+
+@_register("q108_stream_qdigest", _q108_oracle())
+def q108_stream_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    from ..streaming.sketch_stream import stream_qdigest
+    from .streamq import _harness_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = _harness_ids(d)
+
+    root = tempfile.mkdtemp(prefix="q108_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    batches = [ids, [m * 2 for m in ids], [m % 97 for m in ids]]
+    for i, users in enumerate(batches):
+        path = os.path.join(landing, f"batch_{i}.json")
+        with open(path, "w") as f:
+            for u in users:
+                row = {
+                    "event_type": "a" if u % 2 == 0 else "b",
+                    "v": ((u * 7) % 500) * 100 + 50,
+                }
+                f.write(json.dumps(row) + "\n")
+        t = 1_700_000_000 + i * 60  # strict mtime order → batch order
+        os.utime(path, (t, t))
+
+    target = os.path.join(root, "qdigest")
+    q = stream_qdigest(
+        spark,
+        landing,
+        target,
+        os.path.join(root, "ckpt"),
+        ["event_type"],
+        "v",
+        schema="event_type string, v long",
+    )
+    q.awaitTermination(300)
+
+    return _store_read(spark, target).select("event_type", "node", "cnt")

@@ -248,3 +248,50 @@ def stream_histogram_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_qdigest(
+    spark: SparkSession,
+    landing_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    schema: str,
+    levels: int | None = None,
+    k: int | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Maintain a q-digest quantile sketch (operators/sketches.py) over a
+    JSON landing stream of pre-scaled integer values in [0, 2^levels).
+
+    The fourth merge algebra in the streaming sketch family: per-node
+    count SUM + deterministic recompression. SUM is not idempotent, so the
+    sink runs under the atomically-committed batch-id guard like the CMS
+    and histogram sinks; recompression after every merge keeps state ~O(k)
+    per group forever. Unlike the fixed-width histogram sink (whose error
+    is locked to the authored bin width), the maintained q-digest adapts
+    its resolution to the accumulated distribution.
+    """
+    from ..operators.sketches import QD_K, QD_LEVELS, qdigest_merge, qdigest_sketch
+
+    lv = QD_LEVELS if levels is None else levels
+    kk = QD_K if k is None else k
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+
+    def _build(batch_df: DataFrame) -> DataFrame:
+        return qdigest_sketch(batch_df, group_cols, value_col, lv, kk)
+
+    def _merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        return qdigest_merge(prev, cur, group_cols, lv, kk)
+
+    return (
+        raw.writeStream.foreachBatch(guarded_merge_sink(spark, target_path, _build, _merge))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scraper_db_refine_merge_spark.operators import dedup as dd  # noqa: E402
 from scraper_db_refine_merge_spark.operators.graph import dup_clusters  # noqa: E402
+from scraper_db_refine_merge_spark.plans.analytics import (  # noqa: E402
+    funnel_steps,
+    retention_cohorts,
+)
 from scraper_db_refine_merge_spark.operators.rollup import fold_rollup  # noqa: E402
 from scraper_db_refine_merge_spark.operators.sketches import hll_registers  # noqa: E402
 from scraper_db_refine_merge_spark.plans.curation import (  # noqa: E402
@@ -62,10 +66,42 @@ def timed(label, fn):
     return dt
 
 
+# The r4 weak set (VERDICT items 1-2): queries whose plans once carried a
+# forced broadcast of a corpus-growing relation. The smoke asserts the
+# class of bug stays dead: NO broadcast hint anywhere in their analyzed
+# plans (AQE alone decides, by runtime size).
+HINT_FREE_QUERIES = [
+    "q24_ngram_jaccard_pairs",
+    "q25_minhash_lsh_pairs",
+    "q55_lsh_near_dup",
+    "q73_dup_clusters",
+    "q85_funnel_steps",
+    "q86_retention_cohorts",
+    "q105_capped_jaccard_pairs",
+]
+
+
+def assert_no_forced_broadcast(spark):
+    from scraper_db_refine_merge_spark.plans.catalog import QUERIES
+
+    bad = []
+    for name in HINT_FREE_QUERIES:
+        plan = QUERIES[name](spark, BASE)._jdf.queryExecution().analyzed().toString()
+        if "strategy=broadcast" in plan:
+            bad.append(name)
+    if bad:
+        raise SystemExit(
+            f"forced broadcast hint reintroduced in corpus-growing plans: {bad}"
+        )
+    print(f"broadcast-hint check: {len(HINT_FREE_QUERIES)} weak-set plans hint-free\n")
+
+
 def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale-smoke")
     os.makedirs(SCRATCH, exist_ok=True)
+
+    assert_no_forced_broadcast(spark)
 
     docs_path, n_docs = replicate(spark, "documents", "doc_id", factor)
     vecs_path, n_vecs = replicate(spark, "embeddings", "vec_id", factor)
@@ -165,6 +201,36 @@ def main():
             lambda: hll_registers(evts, ["event_type"], "user_id").count(),
         ),
         (
+            # the corpus-scale EXACT jaccard path (q105): stop-shingle cap
+            # bounds the pair join; replicated copies make every shingle
+            # hit frequency ≥ factor, so the cap path is truly exercised
+            "jaccard_pairs(capped)",
+            lambda: dd.jaccard_pairs(base_docs, "doc_id", "text", max_shingle_freq=1000).count(),
+            lambda: dd.jaccard_pairs(docs, "doc_id", "text", max_shingle_freq=1000).count(),
+        ),
+        (
+            # q73's clustering stage over capped-jaccard pairs
+            "dup_clusters(jaccard capped)",
+            lambda: dup_clusters(
+                dd.jaccard_pairs(base_docs, "doc_id", "text", max_shingle_freq=1000).select("a_id", "b_id")
+            ).count(),
+            lambda: dup_clusters(
+                dd.jaccard_pairs(docs, "doc_id", "text", max_shingle_freq=1000).select("a_id", "b_id")
+            ).count(),
+        ),
+        (
+            # q85: per-user stage state grows with the corpus — must stay
+            # linear now that AQE (not a forced hint) picks the join side
+            "funnel_steps",
+            lambda: funnel_steps(base_evts).count(),
+            lambda: funnel_steps(evts).count(),
+        ),
+        (
+            "retention_cohorts",
+            lambda: retention_cohorts(base_evts).count(),
+            lambda: retention_cohorts(evts).count(),
+        ),
+        (
             # pair OUTPUT grows ~quadratically in the replication factor
             # (exact copies form ever-larger dup cliques); what must stay
             # tame is clustering them — CC rounds are O(log diameter)
@@ -185,6 +251,12 @@ def main():
     print("\ngrowth factors (time@Nx / time@1x; corpus grew {}x):".format(factor))
     for label, g in results.items():
         print(f"  {label:40s} {g:5.1f}x")
+    print(
+        "\nnote: replication makes every doc an exact {0}-clique, so the PAIR"
+        "\nOUTPUT of the near-dup finders grows ~{0}^2/2 x by construction —"
+        "\nfor those rows compare time growth against ~{1}x output growth,"
+        "\nnot against the {0}x input growth.".format(factor, (factor * factor) // 2)
+    )
 
     shutil.rmtree(SCRATCH, ignore_errors=True)
     spark.stop()
