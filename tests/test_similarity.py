@@ -139,3 +139,63 @@ def test_detect_fixed_dim_and_bucket_path_parity(spark):
         "vec_id", hyperplane_bucket(F.col("embedding"), 6, table=1, dim=None).alias("b")
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dyn.collect()))
+
+
+def test_lsh_topk_ragged_query_uses_dynamic_buckets(spark):
+    """ADVICE r4 (medium): with a uniform-dim corpus and a query of a
+    DIFFERENT length, the literal-plane fast path must be abandoned on
+    both sides — under the old code the ragged query's zip_with null-padded
+    and every bit fell to the '0' branch, silently bucketing it as
+    '000…'. The reference result recomputes the join with the dynamic
+    (dim=None) bucket expression for both sides, which is the defined
+    semantics for mixed dimensions."""
+    from pyspark.sql import Window
+
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        cosine,
+        hyperplane_bucket,
+        lsh_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7) % 5) - 2.0, float((i * 3) % 7) - 3.0, 1.0, -0.5])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, -1.0, 0.5])],  # dim 3 vs corpus dim 4
+        "vec_id long, embedding array<double>",
+    )
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in lsh_topk(corpus, queries, k=3).collect()
+    )
+
+    # reference: dynamic buckets on BOTH sides (the mixed-dim semantics)
+    cb = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        hyperplane_bucket(F.col("embedding"), 8, dim=None).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        hyperplane_bucket(F.col("embedding"), 8, dim=None).alias("bucket"),
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 5).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    assert got == want
