@@ -326,7 +326,7 @@ def qdigest_compress(
     )
     out_schema = (schema_prefix + ", " if schema_prefix else "") + "node long, cnt long"
 
-    def _compress(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _compress(key, pdf):
         counts: dict[int, int] = {}
         for node, c in zip(pdf["node"], pdf["cnt"]):
             counts[int(node)] = counts.get(int(node), 0) + int(c)

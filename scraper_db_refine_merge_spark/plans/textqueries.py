@@ -498,3 +498,93 @@ def q73_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2).select("a_id", "b_id")
     return dup_clusters(pairs)
+
+
+# --------------------------------------------------------------------------
+# q109 — the END-TO-END dedup pipeline as one gated query: exact dedup
+# (content-hash groups, q23) + MinHash/LSH near-dup pairs (q25) + transitive
+# clusters (q73's closure) + keep-smallest-id canonical election, reported
+# as per-lang corpus composition (total / dropped / surviving). This is the
+# query a curation user actually runs — the per-stage entries gate the
+# pieces; this gates their composition. The oracle recomputes the whole
+# pipeline in SQL (shingles → signatures → banded candidates → verified
+# pairs → recursive-CTE closure → anti-joined survivors).
+@_register(
+    "q109_dedup_pipeline",
+    f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    mh AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_MH_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    {_SQL_PAIR_JACCARD.lstrip()},
+    p AS (
+        SELECT j.a_id, j.b_id
+        FROM jac j JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
+        WHERE j.jaccard >= 0.2
+    ),
+    e AS (SELECT a_id AS s, b_id AS d FROM p UNION SELECT b_id, a_id FROM p),
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+    ),
+    lab AS (SELECT s AS node, least(s, MIN(d)) AS cluster_id FROM reach GROUP BY s),
+    near_drop AS (SELECT node AS doc_id FROM lab WHERE node <> cluster_id),
+    hashes AS (SELECT doc_id, lang, md5({_SQL_NORM}) AS ch FROM documents),
+    canon AS (SELECT ch, MIN(doc_id) AS canonical_id FROM hashes GROUP BY ch),
+    exact_drop AS (
+        SELECT h.doc_id FROM hashes h JOIN canon c ON h.ch = c.ch
+        WHERE h.doc_id <> c.canonical_id
+    ),
+    dropped AS (
+        SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near_drop
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(dr.doc_id) AS BIGINT) AS n_surviving
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q109_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    groups = dd.exact_dedup_groups(d, "doc_id", "text")
+    withh = d.select(
+        "doc_id", "lang", F.md5(dd.normalized_text(F.col("text"))).alias("content_hash")
+    )
+    exact_drop = (
+        withh.join(groups.select("content_hash", "canonical_id"), "content_hash")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", k=5, threshold=0.2).select(
+        "a_id", "b_id"
+    )
+    near_drop = (
+        dup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    dropped = exact_drop.unionByName(near_drop).distinct().withColumn("__d", F.lit(1))
+    return (
+        d.select("doc_id", "lang")
+        .join(dropped, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("__d").alias("n_dropped"),
+            (F.count("*") - F.count("__d")).alias("n_surviving"),
+        )
+    )

@@ -34,6 +34,8 @@ EAGER = {
     "q94_stream_histogram",
     "q101_stream_static_join",
     "q102_incremental_components",  # folds batches into a store at build time
+    "q104_stream_scd2_enrich",
+    "q108_stream_qdigest",
 }
 
 LAZY = sorted(set(QUERIES) - EAGER)
