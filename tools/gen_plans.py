@@ -1,0 +1,48 @@
+"""Generate PLANS_r{N}.md: the committed physical-plan audit for the
+headline bench set, the r4 weak set, and the round's new queries.
+
+Usage: PYTHONPATH=. python tools/gen_plans.py > PLANS_rNN.md  # or edit OUT
+
+Plan SHAPE is SF-independent (AQE re-plans sizes at runtime), so plans are
+taken at sf0.001. Review checklist per plan: PushedFilters/ReadSchema on
+scans, BroadcastHashJoin only where AQE chose it (no forced hints on
+corpus-growing relations), partial HashAggregates before exchanges, no
+CartesianProduct/BNLJ outside deliberate broadcast probe sets.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NAMES = [
+    "q01_pricing_summary", "q04_region_revenue", "q08_latest_event_per_user",
+    "q12_daily_event_counts", "q16_props_json_decode", "q21_text_search",
+    "q22_doc_text_stats", "q23_exact_dedup", "q25_minhash_lsh_pairs",
+    "q28_cosine_topk", "q55_lsh_near_dup", "q47_train_val_test_split",
+    "q24_ngram_jaccard_pairs", "q73_dup_clusters", "q85_funnel_steps",
+    "q86_retention_cohorts", "q103_window_decontaminate",
+    "q105_capped_jaccard_pairs", "q106_qdigest_sketch", "q109_dedup_pipeline",
+]
+
+
+def main() -> None:
+    from scraper_db_refine_merge_spark.plans.catalog import QUERIES
+    from scraper_db_refine_merge_spark.session import get_spark
+
+    spark = get_spark("plans")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    print(__doc__.split("Usage:")[0].strip().replace(
+        "Generate PLANS_r{N}.md: the", "# Physical-plan audit — the"
+    ))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for name in NAMES:
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().explainString(mode)
+        print(f"\n## {name}\n\n```\n{plan}\n```")
+
+
+if __name__ == "__main__":
+    main()
