@@ -545,8 +545,15 @@ def q73_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT h.doc_id FROM hashes h JOIN canon c ON h.ch = c.ch
         WHERE h.doc_id <> c.canonical_id
     ),
+    -- explicit DISTINCT: inside a WITH RECURSIVE clause DuckDB executed
+    -- this two-branch UNION with append (ALL) semantics — 8 docs in both
+    -- drop sets came out twice at sf0.1 and double-counted through the
+    -- LEFT JOIN (found by the sf0.1 artifact run; sf0.01 has no exact
+    -- dups so the overlap was empty there)
     dropped AS (
-        SELECT doc_id FROM exact_drop UNION SELECT doc_id FROM near_drop
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id FROM exact_drop UNION ALL SELECT doc_id FROM near_drop
+        )
     )
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_total,
