@@ -160,6 +160,7 @@ def fold_components(
     src: str = "a_id",
     dst: str = "b_id",
     max_iter: int = 25,
+    keep_versions: int = 1,
 ) -> DataFrame:
     """Incremental connected components: fold a batch of new near-dup pairs
     into a stored (node, component) assignment without re-reading historical
@@ -192,5 +193,8 @@ def fold_components(
         star = prior.select(F.col("node").alias("s"), F.col("component").alias("d"))
         e = e.unionByName(star)
     out = connected_components(e, "s", "d", max_iter=max_iter)
-    committed = store_commit(out, target_path)
+    # keep_versions > 1 retains prior assignment snapshots for time travel
+    # (store_read_version) — "which cluster was this doc in before batch N
+    # folded?" is the provenance question canonical-selection audits ask.
+    committed = store_commit(out, target_path, keep=keep_versions)
     return spark.read.parquet(committed)

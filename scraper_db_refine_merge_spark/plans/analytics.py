@@ -924,3 +924,59 @@ def q102_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.createDataFrame(batch, "a_id long, b_id long")
         out = fold_components(spark, target, df)
     return out.select("node", "component")
+
+
+# --------------------------------------------------------------------------
+# q110 — TIME TRAVEL on the versioned component store: q102's three pair
+# batches fold with keep_versions=3, then the query reads snapshot 2 —
+# the assignment as it stood BEFORE the bridging batch merged the
+# {m, m+2} and {m+4, m+6} clusters. Store snapshots are immutable dirs
+# selected by one pointer (streaming/store.py), so "as of commit N" is a
+# directory read, never a log replay; the oracle is the closure over the
+# first two batches only.
+@_register(
+    "q110_component_store_time_travel",
+    """
+    WITH RECURSIVE base AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 2
+        WHERE d1.doc_id % 10 = 0 AND d1.doc_id < 100000
+        UNION ALL
+        SELECT d1.doc_id + 4, d2.doc_id
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 6
+        WHERE d1.doc_id % 10 = 0 AND d1.doc_id < 100000
+    ),
+    e AS (SELECT a AS s, b AS d FROM base UNION SELECT b, a FROM base),
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+    ),
+    lab AS (SELECT s AS node, least(s, MIN(d)) AS component FROM reach GROUP BY s)
+    SELECT node, component FROM lab
+    """,
+)
+def q110_component_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.graph import fold_components
+    from ..streaming.store import store_read_version
+    from .streamq import _harness_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = set(_harness_ids(d))
+
+    def pairs(offset_a, offset_b):
+        return [
+            (m + offset_a, m + offset_b)
+            for m in ids
+            if m % 10 == 0 and m + offset_a in ids and m + offset_b in ids
+        ]
+
+    batches = [pairs(0, 2), pairs(4, 6), pairs(2, 4)]
+    target = os.path.join(tempfile.mkdtemp(prefix="q110_cc_"), "components")
+    for batch in batches:
+        df = spark.createDataFrame(batch, "a_id long, b_id long")
+        fold_components(spark, target, df, keep_versions=3)
+    return store_read_version(spark, target, 2).select("node", "component")

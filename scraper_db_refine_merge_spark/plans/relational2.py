@@ -408,3 +408,80 @@ def q61_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         p(0.99).alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q111 — the full ranking-function family over one window: ntile quartiles,
+# percent_rank, cume_dist, dense_rank on per-user spend. Spark and DuckDB
+# implement the same SQL-standard definitions (percent_rank = (rank-1)/
+# (n-1), cume_dist = peers≤/n), so a ROUND(…, 6) on the two ratio columns
+# gates them bit-for-bit; the tie-break on user_id makes row-dependent
+# ntile deterministic.
+@_register(
+    "q111_ranking_family",
+    """
+    WITH spend AS (
+        SELECT user_id, CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT user_id, cents,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM spend
+    WINDOW w AS (ORDER BY cents DESC, user_id)
+    """,
+)
+def q111_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
+    return spend.select(
+        "user_id",
+        "cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q112 — CUBE with grouping_id: every aggregation granularity of
+# (event_type, value band) in one pass, the grouping id disambiguating
+# which dimensions each row aggregates away (q34 covers ROLLUP; CUBE
+# completes the grouping-sets surface). Spark's grouping_id() bit order
+# (first listed column = MOST significant bit) matches DuckDB's
+# GROUPING(a, b).
+@_register(
+    "q112_cube_grouping_id",
+    """
+    SELECT event_type,
+           CAST(floor(value / 100) AS INTEGER) AS band,
+           CAST(GROUPING(event_type, CAST(floor(value / 100) AS INTEGER)) AS BIGINT)
+               AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY CUBE (event_type, band)
+    """,
+)
+def q112_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    band = F.floor(F.col("value") / 100).cast("int")
+    return (
+        e.cube(F.col("event_type"), band.alias("band"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100)).alias("cents"),
+        )
+        .select("event_type", "band", "gid", "n", "cents")
+    )

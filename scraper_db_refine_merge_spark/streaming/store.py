@@ -73,16 +73,61 @@ def store_marker(target_path: str, name: str) -> str | None:
         return f.read().strip()
 
 
+def store_versions(target_path: str) -> list[tuple[int, str]]:
+    """Committed snapshots as (seq, dirname), ascending — the time-travel
+    index. Only snapshots at-or-below the current pointer count as
+    committed (a newer orphan from a crashed writer is never listed)."""
+    cur = store_version_dir(target_path)
+    if cur is None:
+        return []
+    cur_seq = _seq_of(os.path.basename(cur))
+    if cur_seq is None:  # pre-retention-format store: no time-travel index
+        return []
+    out = []
+    for name in os.listdir(target_path):
+        if name.startswith("v-") and os.path.isdir(os.path.join(target_path, name)):
+            seq = _seq_of(name)
+            if seq is not None and seq <= cur_seq:
+                out.append((seq, name))
+    return sorted(out)
+
+
+def store_read_version(spark: SparkSession, target_path: str, seq: int) -> DataFrame | None:
+    """Time travel: snapshot ``seq`` (1-based commit number), or None if it
+    was garbage-collected or never committed."""
+    for s, name in store_versions(target_path):
+        if s == seq:
+            return spark.read.parquet(os.path.join(target_path, name))
+    return None
+
+
+def _seq_of(version_name: str) -> int | None:
+    parts = version_name.split("-")
+    try:
+        return int(parts[1])
+    except (IndexError, ValueError):
+        return None
+
+
 def store_commit(
-    df: DataFrame, target_path: str, markers: dict[str, str] | None = None
+    df: DataFrame,
+    target_path: str,
+    markers: dict[str, str] | None = None,
+    keep: int = 1,
 ) -> str:
     """Write ``df`` as a new snapshot and atomically point CURRENT at it.
 
     Returns the committed snapshot dir. Marker filenames should start with
     ``_`` so Spark's parquet reader ignores them as metadata files.
+    ``keep``: how many committed snapshots to retain (newest-first,
+    current always included) — retention >1 enables time travel via
+    ``store_read_version`` (snapshots are immutable, so an old reader and
+    the GC never race on content, only on whole-directory lifetime).
     """
     os.makedirs(target_path, exist_ok=True)
-    version = f"v-{uuid.uuid4().hex[:12]}"
+    prior = store_version_dir(target_path)
+    seq = (_seq_of(os.path.basename(prior)) or 0) + 1 if prior else 1
+    version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
     vd = os.path.join(target_path, version)
     df.write.mode("overwrite").parquet(vd)
     for name, value in (markers or {}).items():
@@ -96,11 +141,15 @@ def store_commit(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(target_path, _POINTER))
-    # GC superseded/orphaned snapshots and stale pointer tmps (best-effort —
-    # a concurrent reader holding the old dir open on POSIX keeps its fds).
+    # GC snapshots beyond the retention window, crashed-writer orphans
+    # (seq > committed current), and stale pointer tmps (best-effort — a
+    # concurrent reader holding an old dir open on POSIX keeps its fds).
+    keep_names = {version} | {
+        name for _, name in sorted(store_versions(target_path), reverse=True)[:keep]
+    }
     for name in os.listdir(target_path):
         full = os.path.join(target_path, name)
-        if name.startswith("v-") and name != version:
+        if name.startswith("v-") and name not in keep_names:
             shutil.rmtree(full, ignore_errors=True)
         elif name.startswith(f".{_POINTER}.tmp."):
             try:

@@ -36,6 +36,7 @@ EAGER = {
     "q102_incremental_components",  # folds batches into a store at build time
     "q104_stream_scd2_enrich",
     "q108_stream_qdigest",
+    "q110_component_store_time_travel",  # folds batches into a store at build time
 }
 
 LAZY = sorted(set(QUERIES) - EAGER)

@@ -254,3 +254,23 @@ def test_stream_asof_enrich_replay_is_guarded(spark, tmp_path):
         (2, "2024-01-05 00:00:00", 0, 30),
     ]
     assert run("ck2") == got  # full replay, fresh checkpoint → no-op
+
+
+def test_store_retention_and_time_travel(spark, tmp_path):
+    """keep>1 retains immutable snapshots; store_read_version reads any
+    retained commit; GC drops commits beyond the window; the pointer
+    always serves the newest."""
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_commit,
+        store_read_version,
+        store_versions,
+    )
+
+    target = str(tmp_path / "store")
+    for i in (1, 2, 3):
+        store_commit(spark.createDataFrame([(i,)], "k long"), target, keep=2)
+
+    assert [s for s, _ in store_versions(target)] == [2, 3]
+    assert store_read_version(spark, target, 1) is None  # GC'd
+    assert [tuple(r) for r in store_read_version(spark, target, 2).collect()] == [(2,)]
+    assert [tuple(r) for r in store_read(spark, target).collect()] == [(3,)]
