@@ -460,3 +460,125 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ----------------------------------------------------------------------
+# Incremental MinHash index
+
+
+def fold_minhash_index(
+    spark,
+    target_root: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    band_size: int = MINHASH_BAND_SIZE,
+) -> DataFrame:
+    """Fold a batch of NEW documents into a persistent MinHash near-dup
+    index and return the accumulated pair log.
+
+    The 100 TB ingestion shape: when data lands, its near-dups are found
+    against the existing corpus WITHOUT recomputing it — the batch's
+    signatures band-join the STORED band index, and exact-Jaccard verify
+    reads only candidate docs' stored shingle sets. Each qualifying pair is
+    discovered exactly once, when its later member arrives (old–old pairs
+    never re-join), so the accumulated pair log after folding batches
+    b0..bn equals ``minhash_dedup_pairs`` over the concatenated corpus —
+    the invariant q113 gates against the whole-corpus oracle.
+
+    Index layout under ``target_root`` (each a crash-safe versioned store,
+    streaming/store.py): ``shingles`` (doc, shingle — the verify side),
+    ``sigs`` (doc, lane mins, n_shingles — the band side), ``pairs`` (the
+    accumulated result log). State grows with the corpus, as any dedup
+    index must; every join here is id-/band-keyed with no broadcast hints.
+    """
+    import os
+
+    from ..streaming.store import store_commit, store_read
+
+    sh_new = word_shingles(new_docs, id_col, text_col, k)
+    sig_new = minhash_signatures(sh_new, num_hashes).persist()
+
+    sh_path = os.path.join(target_root, "shingles")
+    sig_path = os.path.join(target_root, "sigs")
+    pair_path = os.path.join(target_root, "pairs")
+    sh_old = store_read(spark, sh_path)
+    sig_old = store_read(spark, sig_path)
+    sig_all = sig_new if sig_old is None else sig_old.unionByName(sig_new)
+    sh_all = sh_new if sh_old is None else sh_old.unionByName(sh_new)
+
+    def bands(sig):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_size + i}") for i in range(band_size)]
+                    ).alias("band_sig"),
+                )
+                for b in range(num_hashes // band_size)
+            ]
+        )
+        return sig.select("doc", F.explode(arr).alias("b")).select(
+            "doc", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
+        )
+
+    # candidates: NEW docs vs the whole (old ∪ new) band index; pair once,
+    # unordered-normalized so cross-batch arrival order cannot flip ids
+    bn = bands(sig_new).alias("n")
+    ba = bands(sig_all).alias("a")
+    cand = (
+        bn.join(
+            ba,
+            (F.col("n.band") == F.col("a.band"))
+            & (F.col("n.band_sig") == F.col("a.band_sig"))
+            & (F.col("n.doc") != F.col("a.doc")),
+        )
+        .select(
+            F.least(F.col("n.doc"), F.col("a.doc")).alias("a_id"),
+            F.greatest(F.col("n.doc"), F.col("a.doc")).alias("b_id"),
+        )
+        .distinct()
+        .persist()
+    )
+    a_ids = cand.select("a_id").distinct()
+    b_ids = cand.select("b_id").distinct()
+    sh_a = sh_all.select(F.col("doc").alias("a_id"), "shingle").join(a_ids, "a_id", "semi")
+    sh_b = sh_all.select(F.col("doc").alias("b_id"), "shingle").join(b_ids, "b_id", "semi")
+    sizes = sig_all.select("doc", "n_shingles")
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_shingles").alias("na")).join(
+        a_ids, "a_id", "semi"
+    )
+    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_shingles").alias("nb")).join(
+        b_ids, "b_id", "semi"
+    )
+    new_pairs = (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("intersection"))
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("intersection")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "intersection", "jaccard")
+    )
+
+    pairs_old = store_read(spark, pair_path)
+    pairs_all = new_pairs if pairs_old is None else pairs_old.unionByName(new_pairs)
+    committed = store_commit(pairs_all, pair_path)
+    store_commit(sh_all, sh_path)
+    store_commit(sig_all, sig_path)
+    sig_new.unpersist()
+    cand.unpersist()
+    return spark.read.parquet(committed)

@@ -595,3 +595,31 @@ def q109_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("__d")).alias("n_surviving"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q113 — INCREMENTAL MinHash near-dup index (operators/dedup.py
+# fold_minhash_index): documents arrive in three batches (doc_id % 3);
+# each fold finds the new batch's near-dups against the stored index only
+# (band-join against stored signatures, verify against stored shingle
+# sets) — never recomputing the corpus. Every pair is discovered exactly
+# once, when its later member arrives, so the accumulated pair log must
+# equal the whole-corpus q25 computation — the oracle IS q25's, verbatim.
+def q113_incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="q113_mh_")
+    target = os.path.join(root, "index")
+    out = None
+    for i in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == i)
+        out = dd.fold_minhash_index(
+            spark, target, batch, "doc_id", "text", k=5, threshold=0.2
+        )
+    return out
+
+
+QUERIES["q113_incremental_minhash_index"] = q113_incremental_minhash_index
+ORACLES["q113_incremental_minhash_index"] = ORACLES["q25_minhash_lsh_pairs"]
