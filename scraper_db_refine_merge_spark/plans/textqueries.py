@@ -623,3 +623,45 @@ def q113_incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES["q113_incremental_minhash_index"] = q113_incremental_minhash_index
 ORACLES["q113_incremental_minhash_index"] = ORACLES["q25_minhash_lsh_pairs"]
+
+
+# --------------------------------------------------------------------------
+# q114 — token accounting, both tokenizers: whitespace tokens (the q22
+# counter) vs the BPE-ish regex tokenizer (alphanumeric runs + individual
+# symbols — functions/text.py regex_token_count), rolled up per lang with
+# the tokens-per-doc inflation ratio. Training-data budgeting runs exactly
+# this query before a tokenizer decision; the regex count is what tracks
+# real subword budgets (punctuation splits) where whitespace undercounts.
+@_register(
+    "q114_token_stats",
+    r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS ws_toks,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS re_toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
+           CAST(SUM(re_toks) AS BIGINT) AS regex_tokens,
+           ROUND(CAST(SUM(re_toks) AS DOUBLE) / SUM(ws_toks), 4) AS inflation
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def q114_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import regex_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        token_count(F.col("text")).alias("ws_toks"),
+        regex_token_count(F.col("text")).alias("re_toks"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_toks").alias("ws_tokens"),
+        F.sum("re_toks").alias("regex_tokens"),
+        F.round(F.sum("re_toks").cast("double") / F.sum("ws_toks"), 4).alias("inflation"),
+    )
