@@ -55,6 +55,11 @@ def run(sf_dir: str, names: list[str] | None = None) -> dict[str, dict]:
             spdf = sdf.toPandas()
             rec["spark_rows"] = len(spdf)
             rec["spark_cols"] = sorted(spdf.columns)
+            # this session runs the whole catalog: release operator-internal
+            # persisted indexes between queries (operators/_cache.py —
+            # callers own the cache lifecycle)
+            from scraper_db_refine_merge_spark.operators._cache import release_caches
+            release_caches()
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"spark: {type(e).__name__}: {e}"
             results[name] = rec
