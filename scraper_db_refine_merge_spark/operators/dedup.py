@@ -293,13 +293,13 @@ def minhash_dedup_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("intersection"))
     )
+    # size lookups join the persisted signature table directly — the inner
+    # join IS the candidate restriction (no pre-semi-join stage needed):
+    # `inter` is candidate-sized, so AQE broadcasts it and the sizes side
+    # streams without shuffling at any scale.
     sizes = sig.select("doc", "n_shingles")
-    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_shingles").alias("na")).join(
-        a_ids, "a_id", "semi"
-    )
-    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_shingles").alias("nb")).join(
-        b_ids, "b_id", "semi"
-    )
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_shingles").alias("nb"))
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
