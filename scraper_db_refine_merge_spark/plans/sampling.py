@@ -676,3 +676,66 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int) -> Data
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# q115 — STRATIFIED weighted sampling: q78's exact-parity max-of-uniforms
+# priority (max of w hash-uniforms ~ u^(1/w), no pow/ln), ranked WITHIN
+# each stratum — top-10 per lang, weight ∝ document length band. The
+# per-stratum window replaces q78's global top-k; same dyadic-rational
+# comparisons, so the sample is identical on any engine/partitioning.
+@_register(
+    "q115_stratified_weighted_sample",
+    """
+    WITH w AS (SELECT doc_id, lang, n_chars % 5 + 1 AS weight FROM documents),
+    e AS (SELECT doc_id, lang, weight, unnest(range(1, weight + 1)) AS j FROM w),
+    k AS (
+        SELECT doc_id, lang, weight,
+               MAX(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(j AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0)
+                   AS sample_key
+        FROM e GROUP BY 1, 2, 3
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS rn
+        FROM k
+    )
+    SELECT doc_id, lang, CAST(weight AS INT) AS weight, sample_key
+    FROM r WHERE rn <= 10
+    """,
+)
+def q115_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", (F.col("n_chars") % 5 + 1).alias("weight"))
+    key_j = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    keyed = (
+        w.select(
+            "doc_id", "lang", "weight",
+            F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("j"),
+        )
+        .select("doc_id", "lang", "weight", key_j.alias("kj"))
+        .groupBy("doc_id", "lang", "weight")
+        .agg(F.max("kj").alias("sample_key"))
+    )
+    win = Window.partitionBy("lang").orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang", F.col("weight").cast("int").alias("weight"), "sample_key")
+    )
