@@ -489,24 +489,23 @@ def fold_minhash_index(
     b0..bn equals ``minhash_dedup_pairs`` over the concatenated corpus —
     the invariant q113 gates against the whole-corpus oracle.
 
-    Index layout under ``target_root`` (each a crash-safe versioned store,
-    streaming/store.py): ``shingles`` (doc, shingle — the verify side),
-    ``sigs`` (doc, lane mins, n_shingles — the band side), ``pairs`` (the
-    accumulated result log). State grows with the corpus, as any dedup
-    index must; every join here is id-/band-keyed with no broadcast hints.
+    Index layout: ONE crash-safe versioned store (streaming/store.py) whose
+    snapshot holds three tables committed atomically together —
+    ``shingles`` (doc, shingle — the verify side), ``sigs`` (doc, lane
+    mins, n_shingles — the band side), ``pairs`` (the accumulated result
+    log) — so the pair log can never run ahead of the index that
+    discovered it. State grows with the corpus, as any dedup index must;
+    every join here is id-/band-keyed with no broadcast hints.
     """
     import os
 
-    from ..streaming.store import store_commit, store_read
+    from ..streaming.store import store_commit_many, store_read_part
 
     sh_new = word_shingles(new_docs, id_col, text_col, k)
     sig_new = minhash_signatures(sh_new, num_hashes).persist()
 
-    sh_path = os.path.join(target_root, "shingles")
-    sig_path = os.path.join(target_root, "sigs")
-    pair_path = os.path.join(target_root, "pairs")
-    sh_old = store_read(spark, sh_path)
-    sig_old = store_read(spark, sig_path)
+    sh_old = store_read_part(spark, target_root, "shingles")
+    sig_old = store_read_part(spark, target_root, "sigs")
     sig_all = sig_new if sig_old is None else sig_old.unionByName(sig_new)
     sh_all = sh_new if sh_old is None else sh_old.unionByName(sh_new)
 
@@ -574,11 +573,16 @@ def fold_minhash_index(
         .select("a_id", "b_id", "intersection", "jaccard")
     )
 
-    pairs_old = store_read(spark, pair_path)
+    pairs_old = store_read_part(spark, target_root, "pairs")
     pairs_all = new_pairs if pairs_old is None else pairs_old.unionByName(new_pairs)
-    committed = store_commit(pairs_all, pair_path)
-    store_commit(sh_all, sh_path)
-    store_commit(sig_all, sig_path)
+    # ONE atomic commit for all three tables: pairs acknowledged, the
+    # signature index that discovered them, and the shingle sets that
+    # verified them move together — a crash can never leave the pair log
+    # ahead of the index (which would re-discover the batch's pairs on the
+    # next fold and duplicate them).
+    committed = store_commit_many(
+        {"pairs": pairs_all, "shingles": sh_all, "sigs": sig_all}, target_root
+    )
     sig_new.unpersist()
     cand.unpersist()
-    return spark.read.parquet(committed)
+    return spark.read.parquet(os.path.join(committed, "pairs"))

@@ -109,6 +109,44 @@ def _seq_of(version_name: str) -> int | None:
         return None
 
 
+def _new_version(target_path: str) -> str:
+    os.makedirs(target_path, exist_ok=True)
+    prior = store_version_dir(target_path)
+    seq = (_seq_of(os.path.basename(prior)) or 0) + 1 if prior else 1
+    return f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+
+
+def _write_markers(vd: str, markers: dict[str, str] | None) -> None:
+    for name, value in (markers or {}).items():
+        with open(os.path.join(vd, name), "w") as f:
+            f.write(value)
+
+
+def _commit_pointer(target_path: str, version: str, keep: int) -> None:
+    """THE commit: one atomic pointer replace, then GC of snapshots beyond
+    the retention window, crashed-writer orphans (seq above the committed
+    pointer), and stale pointer tmps (best-effort — a concurrent reader
+    holding an old dir open on POSIX keeps its fds)."""
+    tmp = os.path.join(target_path, f".{_POINTER}.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(target_path, _POINTER))
+    keep_names = {version} | {
+        name for _, name in sorted(store_versions(target_path), reverse=True)[:keep]
+    }
+    for name in os.listdir(target_path):
+        full = os.path.join(target_path, name)
+        if name.startswith("v-") and name not in keep_names:
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(f".{_POINTER}.tmp."):
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+
+
 def store_commit(
     df: DataFrame,
     target_path: str,
@@ -124,36 +162,39 @@ def store_commit(
     ``store_read_version`` (snapshots are immutable, so an old reader and
     the GC never race on content, only on whole-directory lifetime).
     """
-    os.makedirs(target_path, exist_ok=True)
-    prior = store_version_dir(target_path)
-    seq = (_seq_of(os.path.basename(prior)) or 0) + 1 if prior else 1
-    version = f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
+    version = _new_version(target_path)
     vd = os.path.join(target_path, version)
     df.write.mode("overwrite").parquet(vd)
-    for name, value in (markers or {}).items():
-        with open(os.path.join(vd, name), "w") as f:
-            f.write(value)
-    # THE commit: one atomic pointer replace. Everything before this line
-    # is invisible to readers; a crash before it leaves the old state live.
-    tmp = os.path.join(target_path, f".{_POINTER}.tmp.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(target_path, _POINTER))
-    # GC snapshots beyond the retention window, crashed-writer orphans
-    # (seq > committed current), and stale pointer tmps (best-effort — a
-    # concurrent reader holding an old dir open on POSIX keeps its fds).
-    keep_names = {version} | {
-        name for _, name in sorted(store_versions(target_path), reverse=True)[:keep]
-    }
-    for name in os.listdir(target_path):
-        full = os.path.join(target_path, name)
-        if name.startswith("v-") and name not in keep_names:
-            shutil.rmtree(full, ignore_errors=True)
-        elif name.startswith(f".{_POINTER}.tmp."):
-            try:
-                os.remove(full)
-            except OSError:
-                pass
+    _write_markers(vd, markers)
+    _commit_pointer(target_path, version, keep)
     return vd
+
+
+def store_commit_many(
+    dfs: dict[str, DataFrame],
+    target_path: str,
+    markers: dict[str, str] | None = None,
+    keep: int = 1,
+) -> str:
+    """Commit SEVERAL named tables as ONE atomic snapshot (one version dir
+    with a parquet subdir per name, one pointer replace). The primitive
+    for multi-table state that must stay mutually consistent — e.g. the
+    incremental MinHash index's signatures + shingle sets + pair log,
+    where a crash between separate per-table commits would leave pairs
+    acknowledged that the signature index doesn't know about."""
+    version = _new_version(target_path)
+    vd = os.path.join(target_path, version)
+    for name, df in dfs.items():
+        df.write.mode("overwrite").parquet(os.path.join(vd, name))
+    _write_markers(vd, markers)
+    _commit_pointer(target_path, version, keep)
+    return vd
+
+
+def store_read_part(spark: SparkSession, target_path: str, part: str) -> DataFrame | None:
+    """Read one named table of the live multi-part snapshot, or None."""
+    d = store_version_dir(target_path)
+    if d is None:
+        return None
+    p = os.path.join(d, part)
+    return spark.read.parquet(p) if os.path.isdir(p) else None

@@ -274,3 +274,40 @@ def test_store_retention_and_time_travel(spark, tmp_path):
     assert store_read_version(spark, target, 1) is None  # GC'd
     assert [tuple(r) for r in store_read_version(spark, target, 2).collect()] == [(2,)]
     assert [tuple(r) for r in store_read(spark, target).collect()] == [(3,)]
+
+
+def test_store_commit_many_is_one_atomic_snapshot(spark, tmp_path):
+    """Multi-part commits: all named tables land in ONE version dir behind
+    one pointer; a partially-written never-committed snapshot is invisible
+    for every part."""
+    import os
+
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_commit_many,
+        store_read_part,
+    )
+
+    target = str(tmp_path / "store")
+    store_commit_many(
+        {
+            "a": spark.createDataFrame([(1,)], "k long"),
+            "b": spark.createDataFrame([(10,)], "k long"),
+        },
+        target,
+    )
+    # orphan snapshot with only part "a" written (simulated crash)
+    orphan = os.path.join(target, "v-000099-deadbeef")
+    spark.createDataFrame([(99,)], "k long").write.parquet(os.path.join(orphan, "a"))
+    assert [tuple(r) for r in store_read_part(spark, target, "a").collect()] == [(1,)]
+    assert [tuple(r) for r in store_read_part(spark, target, "b").collect()] == [(10,)]
+    # next commit updates both parts together and GCs the orphan
+    store_commit_many(
+        {
+            "a": spark.createDataFrame([(2,)], "k long"),
+            "b": spark.createDataFrame([(20,)], "k long"),
+        },
+        target,
+    )
+    assert [tuple(r) for r in store_read_part(spark, target, "a").collect()] == [(2,)]
+    assert [tuple(r) for r in store_read_part(spark, target, "b").collect()] == [(20,)]
+    assert not os.path.exists(orphan)
