@@ -980,3 +980,104 @@ def q110_component_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFr
         df = spark.createDataFrame(batch, "a_id long, b_id long")
         fold_components(spark, target, df, keep_versions=3)
     return store_read_version(spark, target, 2).select("node", "component")
+
+
+# --------------------------------------------------------------------------
+# q116 — CDC over store snapshots: the change feed between two committed
+# versions of the incremental component store (q110's retention makes both
+# readable). Fold batch 3 bridges two clusters, so the diff of v2 → v3 is
+# exactly the set of nodes whose component changed (op U) plus nodes that
+# batch 3 introduced (op I). A FULL OUTER join of two immutable snapshot
+# dirs — CDC without a log, the complement of q104's apply-side. The
+# oracle diffs the two recursive closures.
+@_register(
+    "q116_component_store_cdc",
+    """
+    WITH RECURSIVE base2 AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 2
+        WHERE d1.doc_id % 10 = 0 AND d1.doc_id < 100000
+        UNION ALL
+        SELECT d1.doc_id + 4, d2.doc_id
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 6
+        WHERE d1.doc_id % 10 = 0 AND d1.doc_id < 100000
+    ),
+    base3 AS (
+        SELECT a, b FROM base2
+        UNION ALL
+        SELECT d1.doc_id + 2, d2.doc_id
+        FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 4
+        WHERE d1.doc_id % 10 = 0 AND d1.doc_id < 100000
+    ),
+    e2 AS (SELECT a AS s, b AS d FROM base2 UNION SELECT b, a FROM base2),
+    e3 AS (SELECT a AS s, b AS d FROM base3 UNION SELECT b, a FROM base3),
+    reach2 AS (
+        SELECT s, d FROM e2
+        UNION
+        SELECT r.s, x.d FROM reach2 r JOIN e2 x ON r.d = x.s
+    ),
+    reach3 AS (
+        SELECT s, d FROM e3
+        UNION
+        SELECT r.s, x.d FROM reach3 r JOIN e3 x ON r.d = x.s
+    ),
+    lab2 AS (SELECT s AS node, least(s, MIN(d)) AS component FROM reach2 GROUP BY s),
+    lab3 AS (SELECT s AS node, least(s, MIN(d)) AS component FROM reach3 GROUP BY s)
+    SELECT COALESCE(lab3.node, lab2.node) AS node,
+           CASE WHEN lab2.node IS NULL THEN 'I'
+                WHEN lab3.node IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           lab2.component AS old_component,
+           lab3.component AS new_component
+    FROM lab2 FULL OUTER JOIN lab3 ON lab2.node = lab3.node
+    WHERE lab2.node IS NULL OR lab3.node IS NULL
+       OR lab2.component IS DISTINCT FROM lab3.component
+    """,
+)
+def q116_component_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.graph import fold_components
+    from ..streaming.store import store_read_version
+    from .streamq import _harness_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = set(_harness_ids(d))
+
+    def pairs(offset_a, offset_b):
+        return [
+            (m + offset_a, m + offset_b)
+            for m in ids
+            if m % 10 == 0 and m + offset_a in ids and m + offset_b in ids
+        ]
+
+    batches = [pairs(0, 2), pairs(4, 6), pairs(2, 4)]
+    target = os.path.join(tempfile.mkdtemp(prefix="q116_cc_"), "components")
+    for batch in batches:
+        df = spark.createDataFrame(batch, "a_id long, b_id long")
+        fold_components(spark, target, df, keep_versions=3)
+
+    old = store_read_version(spark, target, 2).select(
+        F.col("node"), F.col("component").alias("old_component")
+    )
+    new = store_read_version(spark, target, 3).select(
+        F.col("node"), F.col("component").alias("new_component")
+    )
+    j = old.join(new, "node", "full_outer")
+    return (
+        j.filter(
+            F.col("old_component").isNull()
+            | F.col("new_component").isNull()
+            | ~F.col("old_component").eqNullSafe(F.col("new_component"))
+        )
+        .select(
+            "node",
+            F.when(F.col("old_component").isNull(), "I")
+            .when(F.col("new_component").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            "old_component",
+            "new_component",
+        )
+    )

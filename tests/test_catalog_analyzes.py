@@ -38,6 +38,7 @@ EAGER = {
     "q108_stream_qdigest",
     "q110_component_store_time_travel",  # folds batches into a store at build time
     "q113_incremental_minhash_index",  # folds batches into a store at build time
+    "q116_component_store_cdc",  # folds batches into a store at build time
 }
 
 LAZY = sorted(set(QUERIES) - EAGER)
