@@ -276,17 +276,20 @@ def minhash_dedup_pairs(
         sh_b = sh.select(F.col("doc").alias("b_id"), "shingle").join(b_ids, "b_id", "semi")
     else:
         # No materialized shingles → push the restriction UPSTREAM of the
-        # explode: semi-join the RAW docs to candidate ids, then shingle
-        # only those (candidates are a sliver of the corpus, so this skips
-        # two full tokenize+explode passes — measured ~2× on q25 at sf0.1).
-        da = df.join(a_ids.select(F.col("a_id").alias(id_col)), id_col, "semi")
-        db = df.join(b_ids.select(F.col("b_id").alias(id_col)), id_col, "semi")
-        sh_a = word_shingles(da, id_col, text_col, k).select(
-            F.col("doc").alias("a_id"), "shingle"
+        # explode: semi-join the RAW docs to the union of candidate ids,
+        # tokenize+explode ONCE (candidates are a sliver of the corpus),
+        # and persist that small table for both sides of the pair join —
+        # one restricted pass instead of two full corpus passes (measured
+        # ~2× on q25 at sf0.1).
+        cand_ids = (
+            a_ids.select(F.col("a_id").alias(id_col))
+            .unionByName(b_ids.select(F.col("b_id").alias(id_col)))
+            .distinct()
         )
-        sh_b = word_shingles(db, id_col, text_col, k).select(
-            F.col("doc").alias("b_id"), "shingle"
-        )
+        dc = df.join(cand_ids, id_col, "semi")
+        sh_c = persist_tracked(word_shingles(dc, id_col, text_col, k))
+        sh_a = sh_c.select(F.col("doc").alias("a_id"), "shingle")
+        sh_b = sh_c.select(F.col("doc").alias("b_id"), "shingle")
     inter = (
         cand.join(sh_a, "a_id")
         .join(sh_b, ["b_id", "shingle"])

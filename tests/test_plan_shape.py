@@ -258,9 +258,9 @@ def test_q55_lsh_near_dup_no_pair_explosion(spark, sf_dir):
 
 def test_q25_minhash_verify_is_candidate_restricted(spark, sf_dir):
     """The Jaccard verify stage must be candidate-restricted in the PLAN:
-    both shingle sides carry a broadcast semi-join against the candidate id
-    sets before the pair join, so the verify shuffle is O(candidate
-    shingles), not O(corpus shingles)."""
+    the raw docs semi-join the candidate id set BEFORE the tokenize+explode
+    (one restricted pass feeds both pair-join sides), so the verify shuffle
+    is O(candidate shingles), not O(corpus shingles)."""
     p = _plan(QUERIES["q25_minhash_lsh_pairs"](spark, sf_dir))
-    assert p.count("LeftSemi") >= 2, p
+    assert p.count("LeftSemi") >= 1, p
     assert p.count("CartesianProduct") == 0
