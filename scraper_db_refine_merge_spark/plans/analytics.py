@@ -1081,3 +1081,174 @@ def q116_component_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_component",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q117 — triangle counting on the near-dup graph (the density diagnostic
+# for dup clusters: triangles/cliques mean hard duplicates, stars mean
+# template boilerplate). Canonical oriented form: each triangle a<b<c is
+# counted ONCE by joining the a<b edge list to itself twice — two
+# edge-keyed equi-joins, no explosion beyond true wedges.
+@_register(
+    "q117_neardup_triangles",
+    """
+    WITH toks AS (SELECT doc_id,
+                         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+                  FROM documents),
+    shidx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM shidx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS intersection
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT i.a_id AS a, i.b_id AS b FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE ROUND(CAST(i.intersection AS DOUBLE)
+                    / CAST(sa.n + sb.n - i.intersection AS DOUBLE), 4) >= 0.2
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+)
+def q117_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    e = jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q118 — ordered-sequence funnel: users with click → error → purchase IN
+# ORDER (not merely all three types present). The per-user event-type
+# sequence is built ONCE as a deterministically ordered array
+# (sort_array over (ts, event_id, type) structs — collect_list alone has
+# no order guarantee), and the in-order match is a single pass with
+# aggregate() carrying the stage index — the relational form of sequence
+# pattern matching (MATCH_RECOGNIZE's simple case) with one shuffle.
+@_register(
+    "q118_ordered_funnel",
+    """
+    WITH seq AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS path
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(0,
+                       list_transform(path, x ->
+                           CASE x WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                                  WHEN 'purchase' THEN 3 ELSE 0 END)),
+                   (acc, x) -> CASE
+                       WHEN acc = 0 AND x = 1 THEN 1
+                       WHEN acc = 1 AND x = 2 THEN 2
+                       WHEN acc = 2 AND x = 3 THEN 3
+                       ELSE acc END
+               ) AS stage
+        FROM seq
+    )
+    SELECT CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_error_after,
+           CAST(SUM(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase_after
+    FROM m
+    """,
+)
+def q118_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.transform(F.col("evs"), lambda s: s["event_type"]).alias("path"),
+        )
+    )
+    coded = F.transform(
+        F.col("path"),
+        lambda x: F.when(x == "click", 1)
+        .when(x == "error", 2)
+        .when(x == "purchase", 3)
+        .otherwise(0),
+    )
+    stage = F.aggregate(
+        coded,
+        F.lit(0),
+        lambda acc, x: F.when((acc == 0) & (x == 1), 1)
+        .when((acc == 1) & (x == 2), 2)
+        .when((acc == 2) & (x == 3), 3)
+        .otherwise(acc),
+    )
+    m = seq.select("user_id", stage.alias("stage"))
+    return m.agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("reached_click"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("reached_error_after"),
+        F.sum(F.when(F.col("stage") == 3, 1).otherwise(0)).alias("reached_purchase_after"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q119 — top event paths: the product-analytics "what do users actually
+# do" query — per (user, day) the deterministically ordered event-type
+# sequence joined into a path string, counted, top-20. Path construction
+# shuffles once on the session key; the count is a second keyed
+# aggregation on the (bounded-cardinality) path string.
+@_register(
+    "q119_top_event_paths",
+    """
+    WITH paths AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+        FROM events GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q119_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    paths = (
+        e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("evs"), lambda s: s["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
