@@ -485,3 +485,49 @@ def q112_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "band", "gid", "n", "cents")
     )
+
+
+# --------------------------------------------------------------------------
+# q120 — equi-DEPTH histogram: decile cut points from exact percentiles
+# (Spark percentile() ≡ DuckDB quantile_cont() bit-for-bit — same linear
+# interpolation, a proven parity), then every purchase value binned by
+# "number of cuts strictly below it" (pure comparisons, no rounding
+# games). The one-row cut array broadcasts; binning stays a narrow map;
+# the count is one keyed aggregation. Complements the equi-WIDTH sketch
+# family (q79/q94), which guesses a bin width up front.
+_Q120_PCTS = [i / 10 for i in range(1, 10)]
+
+
+@_register(
+    "q120_equidepth_bins",
+    f"""
+    WITH v AS (SELECT value FROM events WHERE event_type = 'purchase'),
+    cuts AS (SELECT quantile_cont(value, {_Q120_PCTS}) AS qs FROM v),
+    b AS (
+        SELECT CAST(1 + len(list_filter(cuts.qs, q -> v.value > q)) AS INTEGER) AS bin,
+               v.value
+        FROM v CROSS JOIN cuts
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM b GROUP BY bin
+    """,
+)
+def q120_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "purchase").select("value")
+    cuts = v.agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in _Q120_PCTS])).alias("qs")
+    )
+    binned = v.crossJoin(F.broadcast(cuts)).select(
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("qs"), lambda q: F.col("value") > q))
+        ).cast("int").alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
