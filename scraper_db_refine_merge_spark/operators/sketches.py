@@ -425,3 +425,48 @@ def _qd_level_sql(col: str, levels: int = QD_LEVELS) -> str:
         f"WHEN {col} >= {1 << lv} THEN {lv}" for lv in range(levels, 0, -1)
     )
     return f"(CASE {branches} ELSE 0 END)"
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV state: distinct-count
+    estimates for A ∪ B and A ∩ B from the k smallest hashes of the union.
+
+    U = the k smallest md5 hashes of A ∪ B (one merged KMV); union_est is
+    the usual (k-1)/frac(kth); rho = |{h ∈ U : h ∈ A and h ∈ B}| and
+    intersection_est = rho/k · union_est — the uniform-sample argument
+    that powers theta sketches. Everything md5-exact, so sketch content
+    AND estimates are engine-reproducible. Falls back to exact counts when
+    the union has fewer than k distinct hashes (kth undefined).
+
+    One shuffle per side to build distinct hash sets; the top-k is a
+    single ordered window over their (small, pre-distinct) union."""
+    ha = a.select(_md5(F.col(value_col)).alias("h")).distinct().withColumn("__a", F.lit(1))
+    hb = b.select(_md5(F.col(value_col)).alias("h")).distinct().withColumn("__b", F.lit(1))
+    u = (
+        ha.join(hb, "h", "full_outer")
+        .select("h", F.coalesce("__a", F.lit(0)).alias("in_a"), F.coalesce("__b", F.lit(0)).alias("in_b"))
+    )
+    w = Window.orderBy("h")
+    ranked = u.withColumn("rn", F.row_number().over(w))
+    kset = ranked.filter(F.col("rn") <= k)
+    agg = kset.agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+    ).crossJoin(u.agg(F.count("*").alias("n_union_hashes")))
+    kth_frac = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double") / F.pow(
+        F.lit(2.0), F.lit(60)
+    )
+    union_est = F.when(
+        F.col("kth_hash").isNull(), F.col("n_union_hashes").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / kth_frac)
+    return agg.select(
+        "n_union_hashes",
+        "kth_hash",
+        union_est.alias("est_union"),
+        F.col("rho").cast("long").alias("rho"),
+        F.when(F.col("kth_hash").isNull(), F.col("rho").cast("double"))
+        .otherwise(F.col("rho").cast("double") / F.lit(float(k)) * (F.lit(float(k - 1)) / kth_frac))
+        .alias("est_intersection"),
+    )

@@ -748,3 +748,54 @@ def q108_stream_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
 
     return _store_read(spark, target).select("event_type", "node", "cnt")
+
+
+# --------------------------------------------------------------------------
+# q121 — KMV SET OPERATIONS (operators/sketches.py kmv_set_estimates):
+# theta-sketch-style union/intersection distinct estimates for click vs
+# purchase users from ONE merged k-smallest-hash sample — rho/k of the
+# uniform hash sample lands in both sets, so intersection_est =
+# rho/k · union_est. Sketch content (k-th hash, rho) and the IEEE
+# estimate arithmetic are both mirrored exactly.
+@_register(
+    "q121_kmv_set_ops",
+    f"""
+    WITH ha AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+                FROM events WHERE event_type = 'click'),
+    hb AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+           FROM events WHERE event_type = 'purchase'),
+    u AS (
+        SELECT COALESCE(ha.h, hb.h) AS h,
+               CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS in_a,
+               CASE WHEN hb.h IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM ha FULL OUTER JOIN hb ON ha.h = hb.h
+    ),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM u),
+    kset AS (SELECT * FROM ranked WHERE rn <= {KMV_K}),
+    agg AS (
+        SELECT MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth_hash,
+               SUM(in_a * in_b) AS rho,
+               (SELECT COUNT(*) FROM u) AS n_union_hashes
+        FROM kset
+    )
+    SELECT CAST(n_union_hashes AS BIGINT) AS n_union_hashes, kth_hash,
+           CASE WHEN kth_hash IS NULL THEN CAST(n_union_hashes AS DOUBLE)
+                ELSE {float(KMV_K - 1)!r} /
+                     (CAST(('0x' || substr(kth_hash, 1, 15))::UBIGINT AS DOUBLE)
+                      / power(2.0, 60)) END AS est_union,
+           CAST(rho AS BIGINT) AS rho,
+           CASE WHEN kth_hash IS NULL THEN CAST(rho AS DOUBLE)
+                ELSE CAST(rho AS DOUBLE) / {float(KMV_K)!r}
+                     * ({float(KMV_K - 1)!r} /
+                        (CAST(('0x' || substr(kth_hash, 1, 15))::UBIGINT AS DOUBLE)
+                         / power(2.0, 60))) END AS est_intersection
+    FROM agg
+    """,
+)
+def q121_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_set_estimates
+
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return kmv_set_estimates(a, b, "user_id", k=KMV_K)

@@ -270,3 +270,25 @@ def test_qdigest_exact_when_uncompressed(spark):
     assert q[("x", 25)][0] == 0
     assert q[("x", 50)][0] == 100
     assert q[("x", 95)][0] == 300
+
+
+def test_kmv_set_estimates_exact_when_small_and_sane_when_sketched(spark):
+    from pyspark.sql import functions as F2
+
+    from scraper_db_refine_merge_spark.operators.sketches import kmv_set_estimates
+
+    # small: union (20 distinct) < k=32 → exact fallback
+    a = spark.range(0, 15).select(F2.col("id").alias("v"))
+    b = spark.range(10, 20).select(F2.col("id").alias("v"))
+    r = kmv_set_estimates(a, b, "v", k=32).first()
+    assert r["kth_hash"] is None
+    assert r["est_union"] == 20.0
+    assert r["rho"] == 5 and r["est_intersection"] == 5.0
+
+    # sketched: 600 union / 200 intersection with k=64 — estimates within
+    # a loose relative band (the KMV guarantee, not a tight constant)
+    a = spark.range(0, 400).select(F2.col("id").alias("v"))
+    b = spark.range(200, 600).select(F2.col("id").alias("v"))
+    r = kmv_set_estimates(a, b, "v", k=64).first()
+    assert abs(r["est_union"] - 600) / 600 < 0.5
+    assert abs(r["est_intersection"] - 200) / 200 < 0.8
