@@ -1252,3 +1252,77 @@ def q119_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q122 — gap-session PATHS: q33's 30-minute-gap sessionization (lag +
+# running-sum session numbering, one user_id exchange reused by both
+# windows) composed with q119's ordered path strings — the real form of
+# the product-analytics path query, where "session" is behavioral, not a
+# calendar day. Output: top-20 session paths with session counts and the
+# mean session length in events (exact integer ratio rounded once).
+@_register(
+    "q122_session_paths",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        FROM gaps
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q122_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    numbered = e.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("evs"), lambda s: s["event_type"]), ">"
+            ).alias("path"),
+            "n_events",
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.sum("n_events").cast("double") / F.count("*"), 4).alias("avg_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
