@@ -25,6 +25,10 @@ NAMES = [
     "q24_ngram_jaccard_pairs", "q73_dup_clusters", "q85_funnel_steps",
     "q86_retention_cohorts", "q103_window_decontaminate",
     "q105_capped_jaccard_pairs", "q106_qdigest_sketch", "q109_dedup_pipeline",
+    "q111_ranking_family", "q112_cube_grouping_id", "q114_token_stats",
+    "q115_stratified_weighted_sample", "q117_neardup_triangles",
+    "q118_ordered_funnel", "q119_top_event_paths", "q120_equidepth_bins",
+    "q121_kmv_set_ops", "q122_session_paths",
 ]
 
 
@@ -34,9 +38,15 @@ def main() -> None:
 
     spark = get_spark("plans")
     spark.conf.set("spark.sql.maxMetadataStringLength", "500")
-    print(__doc__.split("Usage:")[0].strip().replace(
-        "Generate PLANS_r{N}.md: the", "# Physical-plan audit — the"
-    ))
+    doc = "\n".join(
+        ln for ln in __doc__.strip().splitlines() if not ln.startswith("Usage:")
+    )
+    print(doc.replace("Generate PLANS_r{N}.md: the", "# Physical-plan audit — the"))
+    print(
+        "\nDeliberate 1-row-side crossJoins (q85/q117/q120/q121 final"
+        "\naggregate assembly, cosine-topk broadcast probe set) are the only"
+        "\nexpected BroadcastNestedLoop/Cartesian sites."
+    )
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     for name in NAMES:
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
