@@ -8,35 +8,85 @@ but a long-lived session that calls these operators over MANY different
 inputs accumulates cached blocks in executor storage (ADVICE r4).
 
 CALLERS OWN THE CACHE LIFECYCLE: every operator-internal persist goes
-through :func:`persist_tracked`, and a long-lived session should call
-:func:`release_caches` once the results of a pipeline run are fully
-materialized (after the terminal action — unpersisting earlier would
-re-trigger the work the cache exists to avoid, because the returned
-DataFrames are lazy views over the cached tables).
+through :func:`persist_tracked`, and a pipeline should release its caches
+once its results are fully materialized (after the terminal action —
+unpersisting earlier would re-trigger the work the cache exists to avoid,
+because the returned DataFrames are lazy views over the cached tables).
+
+Scoping (ADVICE r5): the registry is PER-THREAD, and within a thread can
+be further scoped with :func:`cache_scope`. A process-global
+drain-everything registry would let one pipeline's ``release_caches()``
+unpersist caches a concurrently-running pipeline (e.g. the 4 driver
+threads of ``bench.py --throughput``) still relies on — blocking=False
+makes that recompute-only rather than wrong, but it silently defeats the
+persist. With a thread-local registry, a caller can only ever release the
+caches its own thread created; interleaved pipelines in one thread use
+``cache_scope()`` to release just their own.
+
+Repeated identical operator calls register one entry per call; releasing
+both is harmless (the second unpersist of an already-unpersisted plan is a
+no-op in Spark).
 """
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_tls = threading.local()
+
+
+def _registry() -> list:
+    """This thread's scope stack; index 0 is the thread's root registry."""
+    st = getattr(_tls, "scopes", None)
+    if st is None:
+        st = _tls.scopes = [[]]
+    return st
 
 
 def persist_tracked(df: DataFrame, level=None) -> DataFrame:
-    """``df.persist()`` registered in the module-level cache registry."""
+    """``df.persist()`` registered in the innermost active scope of the
+    CALLING THREAD's cache registry."""
     df = df.persist(level) if level is not None else df.persist()
-    _LIVE.append(df)
+    _registry()[-1].append(df)
     return df
 
 
+@contextmanager
+def cache_scope():
+    """Scope operator caches to a pipeline: every ``persist_tracked`` on
+    this thread inside the ``with`` block is unpersisted on exit — other
+    pipelines' caches (other scopes, other threads) are untouched.
+
+    Unpersist-on-exit implies the pipeline's results must be materialized
+    INSIDE the block (collect/write/count) — exiting with only a lazy
+    DataFrame in hand would recompute the cached work on first action.
+    """
+    entries: list[DataFrame] = []
+    st = _registry()
+    st.append(entries)
+    try:
+        yield
+    finally:
+        st.pop()
+        for df in entries:
+            df.unpersist()
+
+
 def release_caches() -> int:
-    """Unpersist every tracked operator cache; returns how many were freed.
+    """Unpersist every cache tracked by the CALLING THREAD (all scopes);
+    returns how many were freed.
 
     Safe to call at any time — blocking=False, so in-flight jobs that still
-    read a cached block simply recompute it.
+    read a cached block simply recompute it. Never touches other threads'
+    registries (single-thread sessions keep the old drain-all behavior,
+    since everything lives in that one thread's registry).
     """
     n = 0
-    while _LIVE:
-        _LIVE.pop().unpersist()
-        n += 1
+    for entries in _registry():
+        while entries:
+            entries.pop().unpersist()
+            n += 1
     return n

@@ -493,16 +493,18 @@ def fold_minhash_index(
     the invariant q113 gates against the whole-corpus oracle.
 
     Index layout: ONE crash-safe versioned store (streaming/store.py) whose
-    snapshot holds three tables committed atomically together —
-    ``shingles`` (doc, shingle — the verify side), ``sigs`` (doc, lane
-    mins, n_shingles — the band side), ``pairs`` (the accumulated result
-    log) — so the pair log can never run ahead of the index that
-    discovered it. State grows with the corpus, as any dedup index must;
+    manifest snapshot lists three accumulated tables committed atomically
+    together — ``shingles`` (doc, shingle — the verify side), ``sigs``
+    (doc, lane mins, n_shingles — the band side), ``pairs`` (the
+    accumulated result log) — so the pair log can never run ahead of the
+    index that discovered it. Each fold writes ONLY the new batch's rows
+    as immutable parts (store_commit_parts, ADVICE r5): commit I/O is
+    O(batch), not an O(total-corpus) snapshot rewrite, which is what makes
+    the "ingest without recomputing the corpus" framing true for the
+    WRITE path too. State grows with the corpus, as any dedup index must;
     every join here is id-/band-keyed with no broadcast hints.
     """
-    import os
-
-    from ..streaming.store import store_commit_many, store_read_part
+    from ..streaming.store import store_commit_parts, store_read_part
 
     sh_new = word_shingles(new_docs, id_col, text_col, k)
     sig_new = minhash_signatures(sh_new, num_hashes).persist()
@@ -576,16 +578,15 @@ def fold_minhash_index(
         .select("a_id", "b_id", "intersection", "jaccard")
     )
 
-    pairs_old = store_read_part(spark, target_root, "pairs")
-    pairs_all = new_pairs if pairs_old is None else pairs_old.unionByName(new_pairs)
-    # ONE atomic commit for all three tables: pairs acknowledged, the
-    # signature index that discovered them, and the shingle sets that
+    # ONE atomic manifest commit for all three tables: pairs acknowledged,
+    # the signature index that discovered them, and the shingle sets that
     # verified them move together — a crash can never leave the pair log
     # ahead of the index (which would re-discover the batch's pairs on the
-    # next fold and duplicate them).
-    committed = store_commit_many(
-        {"pairs": pairs_all, "shingles": sh_all, "sigs": sig_all}, target_root
+    # next fold and duplicate them). Only the NEW batch's rows are written;
+    # prior parts are immutable and merely re-listed by the manifest.
+    store_commit_parts(
+        {"pairs": new_pairs, "shingles": sh_new, "sigs": sig_new}, target_root
     )
     sig_new.unpersist()
     cand.unpersist()
-    return spark.read.parquet(os.path.join(committed, "pairs"))
+    return store_read_part(spark, target_root, "pairs")

@@ -440,29 +440,45 @@ def kmv_set_estimates(
     AND estimates are engine-reproducible. Falls back to exact counts when
     the union has fewer than k distinct hashes (kth undefined).
 
-    One shuffle per side to build distinct hash sets; the top-k is a
-    single ordered window over their (small, pre-distinct) union."""
-    ha = a.select(_md5(F.col(value_col)).alias("h")).distinct().withColumn("__a", F.lit(1))
-    hb = b.select(_md5(F.col(value_col)).alias("h")).distinct().withColumn("__b", F.lit(1))
+    Scale shape (ADVICE r5): each side is truncated to ITS OWN k smallest
+    hashes first via sort-limit (TakeOrderedAndProject — every map task
+    keeps k minima, one k-sized merge; this is the per-side KMV/theta
+    state). The k smallest of A∪B are a subset of (k-minima of A) ∪
+    (k-minima of B), and any retained hash present in a side is by the
+    same subset argument inside that side's k-minima, so kth_hash, rho and
+    both estimates are IDENTICAL to the untruncated formulation — but the
+    final ranked window now sees ≤ 2k rows instead of the corpus-sized
+    distinct union (the old single-task scale failure). ``n_merged_hashes``
+    counts the retained merged sample (= exact |A∪B| whenever that is < k,
+    the only case the exact fallback uses it; capped at 2k otherwise)."""
+    ha = (
+        a.select(_md5(F.col(value_col)).alias("h")).distinct()
+        .orderBy("h").limit(k).withColumn("__a", F.lit(1))
+    )
+    hb = (
+        b.select(_md5(F.col(value_col)).alias("h")).distinct()
+        .orderBy("h").limit(k).withColumn("__b", F.lit(1))
+    )
     u = (
         ha.join(hb, "h", "full_outer")
         .select("h", F.coalesce("__a", F.lit(0)).alias("in_a"), F.coalesce("__b", F.lit(0)).alias("in_b"))
     )
+    # ≤ 2k rows reach this window — bounded regardless of corpus size
     w = Window.orderBy("h")
     ranked = u.withColumn("rn", F.row_number().over(w))
     kset = ranked.filter(F.col("rn") <= k)
     agg = kset.agg(
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
-    ).crossJoin(u.agg(F.count("*").alias("n_union_hashes")))
+    ).crossJoin(u.agg(F.count("*").alias("n_merged_hashes")))
     kth_frac = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double") / F.pow(
         F.lit(2.0), F.lit(60)
     )
     union_est = F.when(
-        F.col("kth_hash").isNull(), F.col("n_union_hashes").cast("double")
+        F.col("kth_hash").isNull(), F.col("n_merged_hashes").cast("double")
     ).otherwise(F.lit(float(k - 1)) / kth_frac)
     return agg.select(
-        "n_union_hashes",
+        "n_merged_hashes",
         "kth_hash",
         union_est.alias("est_union"),
         F.col("rho").cast("long").alias("rho"),

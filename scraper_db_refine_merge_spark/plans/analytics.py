@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ._util import money_sum
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -850,17 +851,20 @@ def q100_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    eu = F.when(F.col("r_name") == "EUROPE", price).otherwise(F.lit(0).cast("decimal(18,2)"))
+    # integer-cents arithmetic per row, exact decimal sum per group
+    # (plans/_util.py r6) — conditional cents for the EUROPE numerator
+    eu = F.when(F.col("r_name") == "EUROPE", F.col("l_extendedprice")).otherwise(F.lit(0.0))
     return (
+        # customer grows with SF — no forced hint, AQE decides (VERDICT r5
+        # item 1); nation/region are constant-size and keep theirs.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
-            (F.sum(eu).cast("double") / F.sum(price).cast("double")).alias("europe_share"),
-            F.sum(price).cast("double").alias("total_revenue"),
+            (money_sum(eu) / money_sum("l_extendedprice")).alias("europe_share"),
+            money_sum("l_extendedprice").alias("total_revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )

@@ -6,8 +6,12 @@ paired DuckDB oracle SQL lives in ``ORACLES`` under the same key.
 Reference citations point into /root/reference for parity checking.
 
 Scale notes (100 TB discipline):
-- dimension joins (region/nation/customer/supplier/part) are explicitly
-  ``broadcast()`` — at production scale the fact side never shuffles for them;
+- CONSTANT-size dimension joins (region: 5 rows, nation: 25 rows) are
+  explicitly ``broadcast()`` — at production scale the fact side never
+  shuffles for them. SF-growing relations (customer/supplier/part/orders)
+  carry NO forced hint: AQE broadcasts while the measured size fits
+  autoBroadcastJoinThreshold and falls back to a shuffle join beyond, so the
+  same plan survives a 1000× scale-up (VERDICT r5 item 1);
 - window dedup / top-k shuffles once on its partition key, the minimum possible;
 - every aggregate uses exact decimal sums (see plans/_util.py) which is both
   the deterministic-parity choice and the no-drift choice for money at 1e12 rows.
@@ -20,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.pagination import paginate
 from ..sources.tables import load_table
-from ._util import DEC, money_avg, money_sum, sql_money_avg, sql_money_sum
+from ._util import DEC, disc_price_sum, money_avg, money_sum, sql_money_avg, sql_money_sum
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -58,14 +62,13 @@ def _register(name: str, oracle: str | None = None):
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_sum("l_quantity").alias("sum_qty"),
             money_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            disc_price_sum("l_extendedprice", "l_discount").alias("sum_disc_price"),
             money_avg("l_quantity").alias("avg_qty"),
             money_avg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -74,8 +77,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q02 — revenue per nation: fact ⨝ broadcast dims. SURVEY J5/J6 equi-join + A7
-# grouped multi-agg (reference api_server.py:353-385 venue rollup shape).
+# q02 — revenue per nation. SURVEY J5/J6 equi-join + A7 grouped multi-agg
+# (reference api_server.py:353-385 venue rollup shape). `customer` grows
+# linearly with SF (~2-3% of corpus bytes — multi-TB at 100 TB), so it gets
+# NO forced broadcast hint: AQE broadcasts while it fits and falls back to a
+# shuffle join beyond (VERDICT r5 item 1). `nation` (25 rows) is genuinely
+# constant-size and keeps the hint.
 @_register(
     "q02_nation_revenue",
     """
@@ -95,7 +102,7 @@ def q02_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -133,7 +140,11 @@ def q03_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q04 — region revenue, 5-way star join (lineitem⨝orders⨝customer⨝nation⨝region).
-# All dims broadcast; only orders⨝lineitem shuffles. SURVEY J5/J6/A7.
+# Constant-size dims (nation 25 rows, region 5 rows) broadcast; `customer`
+# grows with SF so it carries NO forced hint — AQE decides per-SF (VERDICT r5
+# item 1). At 100 TB the plan degrades gracefully to a shuffle join on
+# o_custkey instead of OOMing the driver with a multi-TB broadcast.
+# SURVEY J5/J6/A7.
 @_register(
     "q04_region_revenue",
     """
@@ -156,15 +167,14 @@ def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    revenue = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            disc_price_sum("l_extendedprice", "l_discount").alias("revenue"),
             F.count("*").alias("lineitem_count"),
         )
     )

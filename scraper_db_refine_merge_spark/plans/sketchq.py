@@ -756,14 +756,20 @@ def q108_stream_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # purchase users from ONE merged k-smallest-hash sample — rho/k of the
 # uniform hash sample lands in both sets, so intersection_est =
 # rho/k · union_est. Sketch content (k-th hash, rho) and the IEEE
-# estimate arithmetic are both mirrored exactly.
+# estimate arithmetic are both mirrored exactly. Mirrors the engine's
+# per-side k-minima truncation (ADVICE r5 — the merged ranked window sees
+# ≤ 2k rows, never the corpus-sized distinct union); the k smallest of
+# A∪B are a subset of the two k-minima sets, so the sketch and estimates
+# are unaffected.
 @_register(
     "q121_kmv_set_ops",
     f"""
     WITH ha AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
-                FROM events WHERE event_type = 'click'),
+                FROM events WHERE event_type = 'click'
+                ORDER BY h LIMIT {KMV_K}),
     hb AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
-           FROM events WHERE event_type = 'purchase'),
+           FROM events WHERE event_type = 'purchase'
+           ORDER BY h LIMIT {KMV_K}),
     u AS (
         SELECT COALESCE(ha.h, hb.h) AS h,
                CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS in_a,
@@ -775,11 +781,11 @@ def q108_stream_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
         SELECT MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth_hash,
                SUM(in_a * in_b) AS rho,
-               (SELECT COUNT(*) FROM u) AS n_union_hashes
+               (SELECT COUNT(*) FROM u) AS n_merged_hashes
         FROM kset
     )
-    SELECT CAST(n_union_hashes AS BIGINT) AS n_union_hashes, kth_hash,
-           CASE WHEN kth_hash IS NULL THEN CAST(n_union_hashes AS DOUBLE)
+    SELECT CAST(n_merged_hashes AS BIGINT) AS n_merged_hashes, kth_hash,
+           CASE WHEN kth_hash IS NULL THEN CAST(n_merged_hashes AS DOUBLE)
                 ELSE {float(KMV_K - 1)!r} /
                      (CAST(('0x' || substr(kth_hash, 1, 15))::UBIGINT AS DOUBLE)
                       / power(2.0, 60)) END AS est_union,

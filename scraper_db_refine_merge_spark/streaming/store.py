@@ -22,10 +22,30 @@ rename, so this store targets local/POSIX filesystems (and would map to an
 atomic-rename FS like HDFS via its own API). On object stores without
 atomic rename, use a transactional table format (Delta/Iceberg) instead —
 operators/merge.py carries the import-guarded Delta MERGE path.
+
+SINGLE-WRITER CONTRACT (ADVICE r5): at most one committer per store at a
+time. Two concurrent commits could derive the same seq from the same prior
+pointer (breaking ``store_read_version`` disambiguation and orphan-GC
+reasoning) and the loser's read-modify-write merge would be silently
+discarded. The commit section cheaply enforces this: after the pointer
+replace it re-reads CURRENT and raises ``StoreConcurrentWriterError`` if
+the pointer is not the version it just committed — a lost update becomes a
+loud failure instead of silent state corruption. Streaming callers satisfy
+the contract by construction (foreachBatch serializes batches); batch
+callers (fold_components, fold_minhash_index, fold_rollup) own one store
+per pipeline.
+
+Incremental multi-part snapshots (ADVICE r5): ``store_commit_parts``
+appends ONLY the new batch's rows as immutable part directories under
+``parts/`` and commits a MANIFEST listing the accumulated parts per table
+— per-commit write I/O is O(batch), not O(total state), while the pointer
+replace remains the single atomic operation. GC keeps every part
+referenced by a retained manifest.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -33,6 +53,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "CURRENT"
+_MANIFEST = "_MANIFEST.json"
+_PARTS = "parts"
+
+
+class StoreConcurrentWriterError(RuntimeError):
+    """Another writer moved CURRENT during our commit — the single-writer
+    contract was violated and this writer's merge may be lost."""
 
 
 def store_version_dir(target_path: str) -> str | None:
@@ -122,17 +149,35 @@ def _write_markers(vd: str, markers: dict[str, str] | None) -> None:
             f.write(value)
 
 
+def _manifest_of(vd: str) -> dict[str, list[str]] | None:
+    mpath = os.path.join(vd, _MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)
+
+
 def _commit_pointer(target_path: str, version: str, keep: int) -> None:
     """THE commit: one atomic pointer replace, then GC of snapshots beyond
     the retention window, crashed-writer orphans (seq above the committed
-    pointer), and stale pointer tmps (best-effort — a concurrent reader
-    holding an old dir open on POSIX keeps its fds)."""
+    pointer), stale pointer tmps, and ``parts/`` directories no retained
+    manifest references (best-effort — a concurrent reader holding an old
+    dir open on POSIX keeps its fds). After the replace, CURRENT is
+    re-read to enforce the single-writer contract (module docstring)."""
     tmp = os.path.join(target_path, f".{_POINTER}.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         f.write(version)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(target_path, _POINTER))
+    with open(os.path.join(target_path, _POINTER)) as f:
+        observed = f.read().strip()
+    if observed != version:
+        raise StoreConcurrentWriterError(
+            f"store {target_path}: pointer moved to {observed!r} during commit of "
+            f"{version!r} — this store is single-writer; the competing commit may "
+            "have merged from a stale snapshot"
+        )
     keep_names = {version} | {
         name for _, name in sorted(store_versions(target_path), reverse=True)[:keep]
     }
@@ -145,6 +190,21 @@ def _commit_pointer(target_path: str, version: str, keep: int) -> None:
                 os.remove(full)
             except OSError:
                 pass
+    # parts GC: drop part dirs referenced by NO retained manifest (orphans
+    # from crashed writers and parts owned only by retention-expired
+    # snapshots). Parts referenced by any kept version stay — snapshots
+    # share immutable parts, that is the whole point.
+    parts_root = os.path.join(target_path, _PARTS)
+    if os.path.isdir(parts_root):
+        referenced: set[str] = set()
+        for name in keep_names:
+            m = _manifest_of(os.path.join(target_path, name))
+            if m:
+                for plist in m.values():
+                    referenced.update(plist)
+        for pname in os.listdir(parts_root):
+            if pname not in referenced:
+                shutil.rmtree(os.path.join(parts_root, pname), ignore_errors=True)
 
 
 def store_commit(
@@ -191,10 +251,60 @@ def store_commit_many(
     return vd
 
 
+def store_commit_parts(
+    new_parts: dict[str, DataFrame],
+    target_path: str,
+    markers: dict[str, str] | None = None,
+    keep: int = 1,
+) -> str:
+    """Incremental multi-part commit (ADVICE r5): write ONLY the new
+    batch's rows — one immutable ``parts/p-*`` directory per table — and
+    commit a manifest that lists each table's ACCUMULATED parts (prior
+    manifest's lists + the new part). Readers union the listed parts.
+
+    Per-commit write I/O is O(new batch), not O(total state) — the fix for
+    fold-style callers whose accumulated tables grow with the corpus. The
+    atomicity story is unchanged: all tables' new parts land under one
+    manifest behind one pointer replace, so mutually-consistent multi-table
+    state still moves together; a crash before the pointer commit leaves
+    only unreferenced part dirs that the next successful commit GCs.
+
+    Tables are APPEND-ONLY under this primitive. For replace-the-table
+    semantics use ``store_commit_many`` (full rewrite, also atomic).
+    """
+    os.makedirs(os.path.join(target_path, _PARTS), exist_ok=True)
+    prior = store_version_dir(target_path)
+    manifest: dict[str, list[str]] = {}
+    if prior is not None:
+        manifest = dict(_manifest_of(prior) or {})
+        manifest = {k: list(v) for k, v in manifest.items()}
+    for name, df in new_parts.items():
+        pname = f"p-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(target_path, _PARTS, pname))
+        manifest.setdefault(name, []).append(pname)
+    version = _new_version(target_path)
+    vd = os.path.join(target_path, version)
+    os.makedirs(vd)
+    with open(os.path.join(vd, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    _write_markers(vd, markers)
+    _commit_pointer(target_path, version, keep)
+    return vd
+
+
 def store_read_part(spark: SparkSession, target_path: str, part: str) -> DataFrame | None:
-    """Read one named table of the live multi-part snapshot, or None."""
+    """Read one named table of the live multi-part snapshot, or None.
+    Understands both layouts: manifest snapshots (union of the listed
+    immutable ``parts/`` dirs) and full-rewrite snapshots (one parquet
+    subdir per table)."""
     d = store_version_dir(target_path)
     if d is None:
         return None
+    manifest = _manifest_of(d)
+    if manifest is not None:
+        plist = manifest.get(part) or []
+        if not plist:
+            return None
+        return spark.read.parquet(*[os.path.join(target_path, _PARTS, p) for p in plist])
     p = os.path.join(d, part)
     return spark.read.parquet(p) if os.path.isdir(p) else None

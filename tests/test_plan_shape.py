@@ -33,13 +33,27 @@ def test_q01_partial_agg_single_shuffle_pruned_scan(spark, sf_dir):
     assert "l_comment" not in cols
 
 
-def test_q04_star_join_all_broadcast(spark, sf_dir):
-    p = _plan(QUERIES["q04_region_revenue"](spark, sf_dir))
-    # every dimension edge broadcasts; nothing falls back to sort-merge
-    assert p.count("SortMergeJoin") == 0
-    assert p.count("BroadcastHashJoin") >= 4
-    # the only hash-partition shuffle is the final group-by
-    assert p.count("Exchange hashpartitioning") <= 1
+def test_q04_star_join_no_forced_sf_growing_broadcast(spark, sf_dir):
+    """`customer` grows linearly with SF — multi-TB at the 100 TB design
+    point — so the star join may NOT pin it with a forced broadcast hint
+    (VERDICT r5 item 1). Constant-size nation/region keep their hints; AQE
+    remains free to broadcast customer at runtime while it measures small,
+    which it does at this SF (asserted on the finalized adaptive plan)."""
+    df = QUERIES["q04_region_revenue"](spark, sf_dir)
+    an = _analyzed(df)
+    # exactly the two constant-size dims carry hints; customer carries none
+    assert an.count("strategy=broadcast") == 2, an
+    p = _final_adaptive_plan(df)
+    # at sf0.01/0.1 AQE still broadcasts every dim edge — same runtime shape
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p
+
+
+def test_q02_q100_no_forced_customer_broadcast(spark, sf_dir):
+    """Same principle for the other two star rollups: only nation(+region)
+    hinted, customer hint-free."""
+    assert _analyzed(QUERIES["q02_nation_revenue"](spark, sf_dir)).count("strategy=broadcast") == 1
+    assert _analyzed(QUERIES["q100_region_market_share"](spark, sf_dir)).count("strategy=broadcast") == 2
 
 
 def test_q20_filters_push_to_parquet(spark, sf_dir):

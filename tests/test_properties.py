@@ -366,3 +366,56 @@ def test_fuzzy_chain_matches_dateutil_on_declared_formats(spark, dts):
         lambda c: parse_fuzzy_to_utc_iso(c, default_tz="Europe/Madrid"),
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Money-helper precondition (plans/_util.py r6): for nonnegative doubles that
+# are exact 2-decimal representations, the integer-cents fast path
+# floor(x*100 + 0.5) agrees with the DECIMAL(18,2)-cast semantics the
+# oracles use — the equivalence every money_sum/disc_price_sum result
+# depends on. Hypothesis drives integer cents directly (the generator's
+# domain), including repr-hostile values like n/100 that round down in
+# binary.
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**13), min_size=1, max_size=60
+    )
+)
+@settings(deadline=None, max_examples=30)
+def test_cents_fast_path_matches_decimal_cast(spark, cents_values):
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.plans._util import cents
+
+    df = spark.createDataFrame(
+        [(n, n / 100.0) for n in cents_values], "n long, x double"
+    )
+    bad = df.filter(
+        (cents(F.col("x")) != F.col("n"))
+        | (F.col("x").cast("decimal(18,2)").cast("double") != F.col("x"))
+    ).count()
+    assert bad == 0
+
+
+def test_driver_money_columns_are_exact_2dec_nonneg(spark, sf_dir):
+    """The generator contract the cents() precondition rests on: every
+    money-like driver column is a nonnegative double with ≤2 decimals."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.sources.tables import load_table
+
+    for table, cols in [
+        ("lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+        ("orders", ["o_totalprice"]),
+        ("events", ["value"]),
+        ("part", ["p_retailprice"]),
+    ]:
+        df = load_table(spark, sf_dir, table)
+        for c in cols:
+            if c not in df.columns:
+                continue
+            n_bad = df.filter(
+                (F.col(c) < 0)
+                | (F.col(c) != F.col(c).cast("decimal(18,2)").cast("double"))
+            ).count()
+            assert n_bad == 0, (table, c)

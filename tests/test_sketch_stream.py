@@ -311,3 +311,99 @@ def test_store_commit_many_is_one_atomic_snapshot(spark, tmp_path):
     assert [tuple(r) for r in store_read_part(spark, target, "a").collect()] == [(2,)]
     assert [tuple(r) for r in store_read_part(spark, target, "b").collect()] == [(20,)]
     assert not os.path.exists(orphan)
+
+
+def test_store_commit_parts_is_incremental_o_batch(spark, tmp_path):
+    """ADVICE r5: the manifest commit writes ONLY the new batch's rows —
+    prior part directories are immutable (same files, same mtimes after
+    the next fold) and each commit adds exactly one part per table, so
+    per-batch write I/O is O(batch), not a full-state rewrite."""
+    import os
+
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_commit_parts,
+        store_read_part,
+    )
+
+    target = str(tmp_path / "store")
+    store_commit_parts(
+        {
+            "pairs": spark.createDataFrame([(1,)], "k long"),
+            "sigs": spark.createDataFrame([(10,)], "k long"),
+        },
+        target,
+    )
+    parts_root = os.path.join(target, "parts")
+    first_parts = sorted(os.listdir(parts_root))
+    assert len(first_parts) == 2
+
+    def _snapshot(pnames):
+        out = {}
+        for p in pnames:
+            d = os.path.join(parts_root, p)
+            out[p] = {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+        return out
+
+    before = _snapshot(first_parts)
+    store_commit_parts(
+        {
+            "pairs": spark.createDataFrame([(2,)], "k long"),
+            "sigs": spark.createDataFrame([(20,)], "k long"),
+        },
+        target,
+    )
+    # old parts byte-identical and untouched; exactly 2 new parts appeared
+    assert _snapshot(first_parts) == before
+    assert len(os.listdir(parts_root)) == 4
+    # readers see the union across parts
+    assert sorted(r.k for r in store_read_part(spark, target, "pairs").collect()) == [1, 2]
+    assert sorted(r.k for r in store_read_part(spark, target, "sigs").collect()) == [10, 20]
+
+
+def test_store_parts_gc_drops_unreferenced_orphans(spark, tmp_path):
+    """A crashed writer's part dirs (written but never manifested) are
+    GC'd by the next successful commit; referenced parts survive."""
+    import os
+
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_commit_parts,
+        store_read_part,
+    )
+
+    target = str(tmp_path / "store")
+    store_commit_parts({"pairs": spark.createDataFrame([(1,)], "k long")}, target)
+    orphan = os.path.join(target, "parts", "p-deadbeefdead")
+    spark.createDataFrame([(99,)], "k long").write.parquet(orphan)
+    store_commit_parts({"pairs": spark.createDataFrame([(2,)], "k long")}, target)
+    assert not os.path.exists(orphan)
+    assert sorted(r.k for r in store_read_part(spark, target, "pairs").collect()) == [1, 2]
+
+
+def test_store_single_writer_violation_raises(spark, tmp_path):
+    """The commit section enforces the single-writer contract: if CURRENT
+    is not the version just committed after the pointer replace, the
+    commit raises instead of silently losing an update. Simulated via a
+    monkeypatched os.replace that lets a competing pointer land last."""
+    import os as _os
+
+    from scraper_db_refine_merge_spark.streaming import store as st
+
+    target = str(tmp_path / "store")
+    st.store_commit(spark.createDataFrame([(1,)], "k long"), target)
+
+    real_replace = _os.replace
+
+    def racing_replace(src, dst):
+        real_replace(src, dst)
+        if _os.path.basename(dst) == "CURRENT":
+            with open(dst, "w") as f:  # competing writer wins the pointer
+                f.write("v-000777-feedface")
+
+    _os.replace = racing_replace
+    try:
+        import pytest
+
+        with pytest.raises(st.StoreConcurrentWriterError):
+            st.store_commit(spark.createDataFrame([(2,)], "k long"), target)
+    finally:
+        _os.replace = real_replace

@@ -80,6 +80,16 @@ HINT_FREE_QUERIES = [
     "q105_capped_jaccard_pairs",
 ]
 
+# Star rollups whose plans may hint ONLY their constant-size dims (region:
+# 5 rows, nation: 25 rows — fixed regardless of SF). The value is that
+# exact budget; one hint more means an SF-growing relation (customer,
+# supplier, part, orders) got a forced broadcast again (VERDICT r5 item 1).
+HINT_BUDGET_QUERIES = {
+    "q02_nation_revenue": 1,       # nation only
+    "q04_region_revenue": 2,       # nation + region
+    "q100_region_market_share": 2,  # nation + region
+}
+
 
 def assert_no_forced_broadcast(spark):
     from scraper_db_refine_merge_spark.plans.catalog import QUERIES
@@ -89,11 +99,18 @@ def assert_no_forced_broadcast(spark):
         plan = QUERIES[name](spark, BASE)._jdf.queryExecution().analyzed().toString()
         if "strategy=broadcast" in plan:
             bad.append(name)
+    for name, budget in HINT_BUDGET_QUERIES.items():
+        plan = QUERIES[name](spark, BASE)._jdf.queryExecution().analyzed().toString()
+        if plan.count("strategy=broadcast") > budget:
+            bad.append(f"{name} (> {budget} constant-dim hints)")
     if bad:
         raise SystemExit(
             f"forced broadcast hint reintroduced in corpus-growing plans: {bad}"
         )
-    print(f"broadcast-hint check: {len(HINT_FREE_QUERIES)} weak-set plans hint-free\n")
+    print(
+        f"broadcast-hint check: {len(HINT_FREE_QUERIES)} weak-set plans hint-free, "
+        f"{len(HINT_BUDGET_QUERIES)} star plans within constant-dim hint budget\n"
+    )
 
 
 def main():
