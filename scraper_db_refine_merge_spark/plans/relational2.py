@@ -531,3 +531,50 @@ def q120_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# q123 — SKEW-HARDENED sessionization (operators/skew.py
+# sessionize_two_phase, VERDICT r5 item 4) on a skew-INJECTED fixture:
+# every even event_id is remapped to user 0, concentrating ~half of all
+# events on one hot user — the bot-user shape that makes the q33
+# single-window form a one-task straggler at scale. The engine runs the
+# two-phase (key, time-block) variant: no task ever sees the hot user's
+# full history (phase-1 partitions on (user, 30-min block); phase-2 runs
+# over block summaries bounded by calendar time). The oracle is the NAIVE
+# single-window sessionization over the same remapped stream — value-hash
+# equality IS the equivalence proof, under the driver's gate.
+@_register(
+    "q123_skewed_sessionization",
+    """
+    WITH remapped AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+               event_id, ts
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM remapped
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS session_count,
+           COUNT(*) AS event_count
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def q123_skewed_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import sessionize_two_phase
+
+    e = load_table(spark, sf_dir, "events")
+    skewed = e.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    ).select("user_id", "event_id", "ts")
+    return sessionize_two_phase(
+        skewed, ["user_id"], "ts", gap_sec=1800, order_tiebreak=["event_id"]
+    )

@@ -286,6 +286,53 @@ def q103_window_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q124 — LONGEST-shared-substring decontamination (operators/dedup.py
+# longest_shared_run, VERDICT r5 item 5): exact longest verbatim token run
+# per (training doc, eval doc) pair, the "remove any match ≥ L tokens"
+# formulation suffix-array pipelines (The Pile, Gopher) apply — strictly
+# generalizing q103's fixed-window yes/no. Shared runs appear as
+# consecutive matched 8-windows on one (train_pos − eval_pos) diagonal;
+# the island trick (pos − row_number) measures them exactly. Same eval
+# fixture as q103 (doc_id % 7 = 0 is the benchmark suite); reported at
+# min_run = 10 to prove lengths beyond the base window are recovered.
+@_register(
+    "q124_longest_shared_run",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    widx AS (
+        SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i FROM toks
+    ),
+    wins AS (
+        SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+7], ' ')) AS wh FROM widx
+    ),
+    m AS (
+        SELECT tw.doc_id AS doc_id, ew.doc_id AS eval_doc, tw.pos AS pos,
+               tw.pos - ew.pos AS diag
+        FROM wins tw JOIN wins ew USING (wh)
+        WHERE tw.doc_id % 7 <> 0 AND ew.doc_id % 7 = 0
+    ),
+    isl AS (
+        SELECT doc_id, eval_doc, diag, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id, eval_doc, diag
+                                        ORDER BY pos) AS island
+        FROM m
+    ),
+    runs AS (
+        SELECT doc_id, eval_doc, CAST(COUNT(*) + 7 AS BIGINT) AS run_len
+        FROM isl GROUP BY doc_id, eval_doc, diag, island
+    )
+    SELECT doc_id, eval_doc, CAST(MAX(run_len) AS BIGINT) AS longest_run_tokens
+    FROM runs GROUP BY doc_id, eval_doc
+    HAVING MAX(run_len) >= 10
+    """,
+)
+def q124_longest_shared_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    eval_ids = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return dd.longest_shared_run(d, "doc_id", "text", eval_ids, base_window=8, min_run=10)
+
+
+# --------------------------------------------------------------------------
 # q25 — MinHash + LSH near-dup pairs (banded signatures, verified candidates).
 _MH_COLS = ",\n               ".join(
     f"min(substring(md5(shingle), {4 * j + 1}, 4)) AS h{j}"

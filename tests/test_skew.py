@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from scraper_db_refine_merge_spark.operators.dedup import latest_wins
+from pyspark.sql import Window
 from scraper_db_refine_merge_spark.operators.skew import salted_join, salted_latest_per_key
 from scraper_db_refine_merge_spark.sources.tables import load_table
 
@@ -46,3 +47,59 @@ def test_salted_latest_per_key_equals_single_window(spark, sf_dir):
     assert set(p) == set(s)
     diffs = {u for u in p if p[u] != s[u]}
     assert not diffs, f"winners differ for users {sorted(diffs)[:5]}"
+
+
+def test_sessionize_two_phase_equals_single_window(spark, sf_dir):
+    """The two-phase (key, time-block) sessionization must equal the naive
+    per-key lag window's (session_count, event_count) — for the default
+    block and for a pathologically small block (forces boundary merges)."""
+    from scraper_db_refine_merge_spark.operators.skew import sessionize_two_phase
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    naive = (
+        e.withColumn(
+            "s",
+            F.when(prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("s").cast("long").alias("session_count"), F.count("*").alias("event_count"))
+    )
+    expected = sorted(map(tuple, naive.collect()))
+    for block in (1800, 60):  # block << gap exercises the empty-block lag path
+        got = sessionize_two_phase(
+            e, ["user_id"], "ts", gap_sec=1800, block_sec=block, order_tiebreak=["event_id"]
+        )
+        assert sorted(map(tuple, got.collect())) == expected, block
+
+
+def test_sessionize_two_phase_no_single_task_holds_hot_key(spark, sf_dir):
+    """Skew guarantee (VERDICT r5 item 4): phase 1 partitions on
+    (key, __block) — asserted in the executed plan — and the largest
+    (key, block) group is a small fraction of the hot key's history, so no
+    task ever sorts the hot user's full stream."""
+    from scraper_db_refine_merge_spark.operators.skew import sessionize_two_phase
+
+    e = load_table(spark, sf_dir, "events")
+    skewed = e.withColumn(
+        "user_id", F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id"))
+    ).select("user_id", "event_id", "ts")
+
+    out = sessionize_two_phase(skewed, ["user_id"], "ts", gap_sec=1800, order_tiebreak=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the expensive window (lag over raw events) keys on user_id AND __block
+    assert "__block" in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "lag(ts" in ln]
+    assert win_lines and all("__block" in ln for ln in win_lines), win_lines
+
+    hot_total = skewed.filter(F.col("user_id") == 0).count()
+    max_part = (
+        skewed.withColumn("__block", F.floor(F.col("ts").cast("long") / 1800))
+        .groupBy("user_id", "__block")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hot_total > 300  # the fixture really is skewed
+    assert max_part < hot_total * 0.2, (max_part, hot_total)
