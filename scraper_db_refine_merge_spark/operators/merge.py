@@ -15,6 +15,17 @@ shared-fixture test tests/test_refine_merge.py::
 test_merge_upsert_roundtrip_and_stats, whose delta parametrization executes
 wherever delta-spark is installed and self-skips elsewhere.
 
+BLOCKING CONSTRAINT (verified r6): delta-spark cannot execute in this
+sandbox — the package is not installed, ``pip install`` is prohibited, no
+``delta-*`` jar ships under /opt/spark/jars or any ivy cache, and there is
+no network to resolve ``io.delta:delta-spark_2.13`` at session start. Until
+an environment provides the jar, the MERGE branch's LOGIC (dedup-before-
+merge, keyed condition, UpdateAll/InsertAll wiring, operationMetrics
+stats) is exercised by tests/test_delta_branch.py against an in-memory
+double of the DeltaTable API that simulates Delta's upsert semantics; the
+two real-delta parametrizations in test_refine_merge.py remain the
+end-to-end check wherever the package exists.
+
 Scale notes:
 - within-batch dedup is W3 (row_number over the key) — mandatory before any
   MERGE to avoid nondeterministic multi-match (SURVEY §7 hard-part 5);

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from . import (
     analytics,
+    graphq,
     curation,
     dq,
     multimodalq,
@@ -20,6 +21,6 @@ from . import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation, sketchq, analytics):
+for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation, sketchq, analytics, graphq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
