@@ -240,13 +240,34 @@ def kmv_sketch(
 ) -> DataFrame:
     """(group..., n_distinct_hashes, kth_hash, est_distinct): k-minimum-
     values sketch. Distinct hashes first (KMV is a set sketch), then the
-    k-th smallest per group via a windowed rank — one shuffle, state O(k)
-    per group. Groups with fewer than k distinct values report exact."""
+    k-th smallest per group. Groups with fewer than k distinct values
+    report exact.
+
+    Scale shape (r6, same class as the ADVICE r5 kmv_set_estimates fix): a
+    single ``Window.partitionBy(group).orderBy(h)`` would sort EVERY
+    distinct hash of a group in one task — a hot group with 10^9 distinct
+    values is a straggler/OOM. Instead the k-th smallest is found in two
+    phases: per-(group, salt) local top-k (each task sorts its salt bucket
+    only), then a final rank over ≤ 16k survivors per group. The k-th
+    smallest of the group is necessarily inside its salt bucket's local
+    top-k, so the result is identical. The exact distinct count comes from
+    a plain aggregate — no window needed."""
+    n_salts = 16
     hashed = df.select(*group_cols, _md5(F.col(value_col)).alias("h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("h")
-    ranked = hashed.withColumn("rn", F.row_number().over(w))
-    counts = ranked.groupBy(*group_cols).agg(F.count("*").alias("n_distinct_hashes"))
-    kth = ranked.filter(F.col("rn") == k).select(*group_cols, F.col("h").alias("kth_hash"))
+    counts = hashed.groupBy(*group_cols).agg(F.count("*").alias("n_distinct_hashes"))
+    salted = hashed.withColumn("__salt", F.pmod(F.hash("h"), F.lit(n_salts)))
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("h")
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")  # ≤ n_salts·k rows/group
+    kth = (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == k)
+        .select(*group_cols, F.col("h").alias("kth_hash"))
+    )
     kth_frac = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double") / F.pow(
         F.lit(2.0), F.lit(60)
     )

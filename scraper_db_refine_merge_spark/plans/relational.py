@@ -312,7 +312,13 @@ def q09_user_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(money_sum("value").alias("spend"))
     )
-    return spend.withColumn("spend_rank", F.dense_rank().over(Window.orderBy(F.col("spend").desc())))
+    # distributed two-phase global rank (operators/ranking.py, r6): a bare
+    # Window.orderBy would pull every user through ONE task at scale
+    from ..operators.ranking import with_global_ranks
+
+    return with_global_ranks(
+        spend, [F.col("spend").desc()], ["spend"], dense_rank_col="spend_rank"
+    ).select("user_id", "spend", "spend_rank")
 
 
 # --------------------------------------------------------------------------

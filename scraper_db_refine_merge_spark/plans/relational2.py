@@ -442,14 +442,26 @@ def q111_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("user_id"))
-    return spend.select(
+    # distributed two-phase ranking family (operators/ranking.py, r6):
+    # bit-identical to the single-window form, no one-task global sort
+    from ..operators.ranking import with_global_ranks
+
+    ranked = with_global_ranks(
+        spend,
+        [F.col("cents").desc(), F.col("user_id")],
+        ["cents", "user_id"],
+        dense_rank_col="drank",
+        percent_rank_col="__prk",
+        cume_dist_col="__cd",
+        ntile=("quartile", 4),
+    )
+    return ranked.select(
         "user_id",
         "cents",
-        F.ntile(4).over(w).alias("quartile"),
-        F.dense_rank().over(w).alias("drank"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        "quartile",
+        "drank",
+        F.round(F.col("__prk"), 6).alias("prank"),
+        F.round(F.col("__cd"), 6).alias("cdist"),
     )
 
 
