@@ -384,6 +384,12 @@ def q117_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no order guarantee), and the in-order match is a single pass with
 # aggregate() carrying the stage index — the relational form of sequence
 # pattern matching (MATCH_RECOGNIZE's simple case) with one shuffle.
+# SKEW NOTE: the collect keys on user_id — one bot user with 10^8 events
+# makes its group a straggler AND a driver-sized array. At that shape,
+# pre-split hot users by time block exactly as
+# operators/skew.py:sessionize_two_phase does (match within blocks, stitch
+# the ≤|stages| boundary states per block in a summary pass); hot-key
+# detection = the q83 CMS heavy hitters.
 @_register(
     "q118_ordered_funnel",
     """
@@ -454,7 +460,11 @@ def q118_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # do" query — per (user, day) the deterministically ordered event-type
 # sequence joined into a path string, counted, top-20. Path construction
 # shuffles once on the session key; the count is a second keyed
-# aggregation on the (bounded-cardinality) path string.
+# aggregation on the (bounded-cardinality) path string. SKEW NOTE: the
+# session key (user, day) already bounds a group to one user-day — a hot
+# user's history splits across days, so the bot-user straggler needs a
+# pathological single DAY; sub-salt by hour (same stitch as
+# sessionize_two_phase) if per-day hot keys appear.
 @_register(
     "q119_top_event_paths",
     """
@@ -498,6 +508,10 @@ def q119_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the product-analytics path query, where "session" is behavioral, not a
 # calendar day. Output: top-20 session paths with session counts and the
 # mean session length in events (exact integer ratio rounded once).
+# SKEW NOTE: both windows key on user_id; for bot-user skew the COUNTING
+# half has the gated two-phase fix (q123 / sessionize_two_phase), and the
+# path half should block-split the same way (per-block paths + boundary
+# stitch) before a hot user's whole history lands in one task.
 @_register(
     "q122_session_paths",
     """

@@ -590,3 +590,53 @@ def q123_skewed_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_two_phase(
         skewed, ["user_id"], "ts", gap_sec=1800, order_tiebreak=["event_id"]
     )
+
+
+# --------------------------------------------------------------------------
+# q125 — SKEW-HARDENED latest-per-key (operators/skew.py
+# salted_latest_per_key) under the gate, on the q123 skew-injected fixture
+# (every even event_id remapped to user 0 — one hot user with half the
+# corpus). q08's single-window W3 form sorts a hot key in one task; the
+# salted two-phase form picks per-(key, salt) winners first, then reduces
+# ≤ n_salts finalists per key. The oracle is the NAIVE single-window
+# latest-wins over the same remapped stream — value-hash equality is the
+# equivalence proof. Completes the gated skew family: q96 (joins), q123
+# (sessionization windows), q125 (latest-wins windows).
+@_register(
+    "q125_skewed_latest_per_key",
+    """
+    WITH remapped AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+               event_id, event_type, ts
+        FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM remapped
+    ) WHERE rn = 1
+    """,
+)
+def q125_skewed_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_latest_per_key
+
+    e = load_table(spark, sf_dir, "events")
+    skewed = e.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    ).select("user_id", "event_id", "event_type", "ts")
+    won = salted_latest_per_key(
+        skewed,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        salt_from=["event_id"],
+        n_salts=16,
+    )
+    return won.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )

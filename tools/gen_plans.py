@@ -29,6 +29,12 @@ NAMES = [
     "q115_stratified_weighted_sample", "q117_neardup_triangles",
     "q118_ordered_funnel", "q119_top_event_paths", "q120_equidepth_bins",
     "q121_kmv_set_ops", "q122_session_paths",
+    # r6 additions: the star rollups whose customer hint was dropped, the
+    # skew-hardened sessionization, the longest-run decontamination, and
+    # the distributed ranking family
+    "q02_nation_revenue", "q100_region_market_share", "q09_user_spend_rank",
+    "q123_skewed_sessionization", "q124_longest_shared_run",
+    "q125_skewed_latest_per_key", "q74_kmv_distinct",
 ]
 
 

@@ -153,6 +153,24 @@ def main():
         )
         return interval_join(c, s, "user_id", "ts", "start_ts", "end_ts", 3_600_000_000)
 
+    def _sessionize(e):
+        from scraper_db_refine_merge_spark.operators.skew import sessionize_two_phase
+
+        return sessionize_two_phase(e, ["user_id"], "ts", gap_sec=1800, order_tiebreak=["event_id"])
+
+    def _ranked(e):
+        from scraper_db_refine_merge_spark.operators.ranking import with_global_ranks
+
+        spend = (
+            e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+        )
+        return with_global_ranks(
+            spend, [F.col("cents").desc(), F.col("user_id")], ["cents", "user_id"],
+            rank_col="rk", dense_rank_col="drk",
+        )
+
     def _rollup(e, name):
         target = os.path.join(SCRATCH, name)
         shutil.rmtree(target, ignore_errors=True)
@@ -246,6 +264,22 @@ def main():
             "retention_cohorts",
             lambda: retention_cohorts(base_evts).count(),
             lambda: retention_cohorts(evts).count(),
+        ),
+        (
+            # q123's two-phase sessionization: replicated events keep their
+            # user_ids, so per-user density grows with the corpus — the
+            # time-block salt must keep growth ~linear
+            "sessionize_two_phase",
+            lambda: _sessionize(base_evts).count(),
+            lambda: _sessionize(evts).count(),
+        ),
+        (
+            # q09/q111's distributed ranking: global total order with no
+            # single-task window — growth must track the sort, not stall
+            # on one straggler task
+            "global_ranks(spend)",
+            lambda: _ranked(base_evts).count(),
+            lambda: _ranked(evts).count(),
         ),
         (
             # pair OUTPUT grows ~quadratically in the replication factor
