@@ -1,0 +1,142 @@
+"""Product-quantization ANN (r6): the vector-compression scale path.
+
+At 100 TB of embeddings, even the LSH/IVF indexes (operators/similarity.py)
+still store full float vectors. Product quantization (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011) compresses each
+d-dim vector to ``m`` one-byte codes — 64 floats (256 B) → 8 codes — and
+answers queries with Asymmetric Distance Computation (ADC): the query stays
+uncompressed, each candidate's distance is the sum of ``m`` precomputed
+sub-distances looked up by code. A 100 TB corpus becomes a ~3 TB code
+table; the ADC scan reads codes, never vectors.
+
+Determinism / oracle parity:
+- Codebook = the subvectors of ``k`` md5-priority sample vectors (a sampled
+  codebook — the honest baseline; k-means refinement of codebooks is the
+  same deterministic machinery as q51's coarse quantizer and would slot in
+  per subspace). Sampling by md5 keeps the codebook engine-independent.
+- Sub-distances are sequential-fold sums in array order (zip_with +
+  aggregate ≡ DuckDB list_sum(list_transform)) — bit-identical doubles —
+  and ADC partials are converted to integer micro-units with
+  ``floor(d2·1e6 + 0.5)`` BEFORE summation, so the per-candidate ADC score
+  is an order-independent BIGINT sum (never a float sum across engines).
+- Code assignment compares raw (bit-identical) sub-distances with the
+  codeword index as tie-break.
+
+Scale shape: the codebook is config-constant (m·k subvectors) — the one
+relation here that may be force-broadcast, same class as region/nation.
+Encoding is a narrow map over vectors (explode to m rows, join the
+broadcast codebook, one bounded window over k rows per (vector, subspace)).
+The ADC join broadcasts the query LUT (bounded by the query batch ×
+m·k) onto the code table keyed by (subspace, code) — the corpus never
+shuffles; the only wide exchange is the final (query, neighbor) partial
+aggregation, map-side-combined to |queries|·|corpus| rows, which is the
+ADC scan PQ exists to make cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (m · dsub = 64, the corpus dim)
+PQ_K = 16  # codewords per subspace
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """Explode vectors into (out_id, s, sv): one row per subspace, sv the
+    dsub-dim double subvector. Narrow map, zero shuffle."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.transform(
+                    F.slice(F.col(vec_col), s * PQ_DSUB + 1, PQ_DSUB),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return df.select(F.col(id_col).alias(out_id), F.explode(subs).alias("p")).select(
+        out_id, F.col("p.s").alias("s"), F.col("p.sv").alias("sv")
+    )
+
+
+def _d2(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance, sequential fold in array order (bit-identical
+    to DuckDB's list_sum(list_transform(...)))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(df: DataFrame, id_col: str, vec_col: str, k: int = PQ_K) -> DataFrame:
+    """(s, j, cbv): per-subspace codewords = subvectors of the k
+    md5-priority sample vectors. Config-constant size (m·k rows)."""
+    pri = F.md5(F.col("__sid").cast("string"))
+    seeds = (
+        df.select(F.col(id_col).alias("__sid"), vec_col)
+        .orderBy(pri, "__sid")  # TakeOrdered — per-partition top-k merge
+        .limit(k)
+        # row_number window runs over the k surviving rows only — bounded
+        .withColumn("j", F.row_number().over(Window.orderBy(pri, "__sid")) - 1)
+    )
+    return _subvectors(seeds, "j", vec_col, "j").select(
+        "s", "j", F.col("sv").alias("cbv")
+    )
+
+
+def pq_encode(df: DataFrame, codebook: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, s, code): nearest codeword per (vector, subspace) —
+    raw-double distance compare, codeword index tie-break. The codebook is
+    config-constant, hence the forced broadcast (region/nation class)."""
+    sub = _subvectors(df, id_col, vec_col, "vec_id")
+    d = sub.join(F.broadcast(codebook), "s").select(
+        "vec_id", "s", "j", _d2(F.col("sv"), F.col("cbv")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "j")  # k rows per group
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "s", F.col("j").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_units, rank) — approximate
+    squared L2 in integer micro-units, ascending, neighbor id tie-break.
+    Queries score against PQ CODES only; their own row is excluded."""
+    cb = pq_codebook(df, id_col, vec_col)
+    codes = pq_encode(df, cb, id_col, vec_col)
+    qsub = _subvectors(queries, id_col, vec_col, "query_id")
+    lut = qsub.join(F.broadcast(cb), "s").select(
+        "query_id",
+        "s",
+        "j",
+        F.floor(_d2(F.col("sv"), F.col("cbv")) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("pd2"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.j) & (codes.vec_id != lut.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd2").alias("adc_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_units", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "adc_units", "rank")
+    )

@@ -398,3 +398,40 @@ def q82_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.select("doc_id", norm_hash.alias("h"))
     contam = d.filter(F.col("doc_id") % 100 == 7).select(norm_hash.alias("h"))
     return pruned_left_anti(corpus, contam, ["h"]).select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q126 — corpus bigram-LM fluency score (operators/lm.py): the CCNet /
+# RefinedWeb "filter by language-model score" modality, exact instead of
+# KenLM-float. Mean add-one-smoothed bigram probability per document in
+# integer nano-probs: unit = (c(w1,w2)+1)·1e9 div (c(w1·)+V), score =
+# sum(unit) div n — pure BIGINT arithmetic, so the per-document scores
+# hash-match across engines (no ln(), the documented transcendental
+# divergence). V = distinct corpus tokens.
+@_register(
+    "q126_bigram_lm_score",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    bi AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (
+        SELECT b.doc_id,
+               ((c.c12 + 1) * 1000000000) // (u.c1 + v.v) AS unit
+        FROM bi b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(unit) // COUNT(*) AS BIGINT) AS lm_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q126_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text")

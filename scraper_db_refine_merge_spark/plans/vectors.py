@@ -370,3 +370,73 @@ def q51_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_id"),
         F.max("vec_id").alias("max_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# q127 — PRODUCT-QUANTIZATION ANN (operators/pq.py): 64-dim vectors
+# compressed to 8 one-byte codes (16-codeword sampled codebook per
+# subspace), queries answered by Asymmetric Distance Computation — the
+# vector-COMPRESSION scale path the LSH/IVF family lacks (a 100 TB vector
+# corpus becomes a ~3 TB code table; the ADC scan never reads vectors).
+# Everything deterministic: md5-priority codebook sample, sequential-fold
+# sub-distances (bit-identical doubles), ADC partials floored into integer
+# micro-units BEFORE the order-independent BIGINT sum. Full SQL mirror.
+_PQ_SUBS = "(SELECT unnest(range(0, 8)) AS s)"
+_PQ_SLICE = "list_transform(range(s * 8 + 1, s * 8 + 9), i -> CAST(embedding[i] AS DOUBLE))"
+_PQ_D2 = "list_sum(list_transform(range(1, 9), i -> (sv[i] - cbv[i]) * (sv[i] - cbv[i])))"
+
+
+@_register(
+    "q127_pq_adc_topk",
+    f"""
+    WITH seeds AS (
+        SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    cb AS (
+        SELECT j, s, {_PQ_SLICE} AS cbv
+        FROM seeds CROSS JOIN {_PQ_SUBS}
+    ),
+    sub AS (
+        SELECT vec_id, s, {_PQ_SLICE} AS sv
+        FROM embeddings CROSS JOIN {_PQ_SUBS}
+    ),
+    dists AS (
+        SELECT vec_id, s, j, {_PQ_D2} AS d2
+        FROM sub JOIN cb USING (s)
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT vec_id AS query_id, s, j,
+               CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS pd2
+        FROM dists WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.pd2) AS BIGINT) AS adc_units
+        FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_units, rn AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_units, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q127_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(e, queries, "vec_id", "embedding", k_neighbors=5)
