@@ -81,6 +81,16 @@ def bigram_lm_scores(
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
     )
     v = toks.agg(F.count_distinct("w").alias("v"))
+    return _score_with_counts(bi, c12, c1, v, scale)
+
+
+def _score_with_counts(
+    bi: DataFrame, c12: DataFrame, c1: DataFrame, v: DataFrame, scale: int
+) -> DataFrame:
+    """Score (doc, w1, w2) bigram occurrences against count tables — shared
+    by the whole-corpus scorer and the incremental-index scorer (their
+    results must be identical when the counts are, which is exactly the
+    q129 gate)."""
     unit = F.expr(f"((c12 + 1) * {scale}L) div (c1 + v)")
     scored = (
         bi.join(c12, ["w1", "w2"])
@@ -91,4 +101,122 @@ def bigram_lm_scores(
     return scored.groupBy(F.col("doc").alias("doc_id")).agg(
         F.count("*").alias("n_bigrams"),
         F.expr("sum(unit) div count(*)").cast("long").alias("lm_score"),
+    )
+
+
+def fold_bigram_index(spark, target_root: str, new_docs: DataFrame, id_col: str, text_col: str) -> None:
+    """Fold ONE batch of documents into a persistent bigram-LM index.
+
+    LM sufficient statistics are MERGEABLE: bigram counts add, vocabularies
+    union — so the index stores, per batch, an immutable ``bigrams``
+    (w1, w2, cnt) part and a ``tokens`` (distinct w) part via the
+    manifest store (store_commit_parts, ADVICE r5 shape): per-batch commit
+    I/O is O(batch statistics), the accumulated index is the union of
+    parts, and both tables move under one atomic pointer. This is the
+    ingestion form of q126: when data lands, corpus LM scores stay
+    current WITHOUT re-tokenizing the existing corpus.
+    """
+    from ..streaming.store import store_commit_parts
+
+    bi = (
+        doc_bigrams(new_docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tk = new_docs.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
+    ).distinct()
+    store_commit_parts({"bigrams": bi, "tokens": tk}, target_root)
+
+
+def lm_scores_from_index(
+    spark, target_root: str, docs: DataFrame, id_col: str, text_col: str,
+    scale: int = LM_SCALE,
+) -> DataFrame:
+    """Score ``docs`` with the FOLDED index's statistics. After folding
+    batches b0..bn, scores equal ``bigram_lm_scores`` over the
+    concatenated corpus — the mergeability invariant q129 gates."""
+    from ..streaming.store import store_read_part
+
+    bi_parts = store_read_part(spark, target_root, "bigrams")
+    c12 = bi_parts.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    c1 = bi_parts.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    v = (
+        store_read_part(spark, target_root, "tokens")
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    bi = doc_bigrams(docs, id_col, text_col)
+    return _score_with_counts(bi, c12, c1, v, scale)
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter,
+    buckets: int = DSIR_BUCKETS,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score every
+    document by how much its hashed-unigram distribution looks like a
+    TARGET domain relative to the raw corpus.
+
+    Features are md5-hashed unigram buckets (the paper's hashed n-grams).
+    Per bucket b: p_t(b) = (ct_b+1)/(T+B), p_r(b) = (cr_b+1)/(R+B)
+    (add-one smoothing, B = bucket count); a token in bucket b contributes
+    ``unit = floor(((ct_b+1)·(R+B)) / ((cr_b+1)·(T+B)) · scale + 0.5)``
+    and a document's weight is ``sum(unit) div n_tokens`` — the mean
+    importance ratio in integer micro-units. (The paper multiplies
+    per-feature log-ratios; the mean ratio is the transcendental-free
+    monotone surrogate, same reasoning as q126 — ln() is not cross-engine
+    bit-stable.) The ratio arithmetic is a FIXED IEEE expression tree over
+    exactly-representable integers (< 2^53), so units are bit-identical
+    across engines; the per-doc sum is a BIGINT — order-independent.
+
+    ``target_filter``: boolean Column selecting the target-domain rows of
+    ``df`` (e.g. ``F.col("source") == "src0"``). Scale shape: one token
+    explode; bucket count tables are CONFIG-bounded (B rows) — genuinely
+    broadcastable, region/nation class; per-doc aggregation shuffles once
+    on doc id with map-side combine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        target_filter.alias("__target"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w"),
+    ).withColumn(
+        "b", F.pmod(F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"), F.lit(buckets))
+    )
+    ct = (
+        toks.filter("__target").groupBy("b").agg(F.count("*").alias("ct"))
+    )
+    cr = toks.groupBy("b").agg(F.count("*").alias("cr"))
+    totals = toks.agg(
+        F.count("*").alias("R"), F.sum(F.when(F.col("__target"), 1).otherwise(0)).alias("T")
+    )
+    # bucket tables are B rows (config) — constant-size, broadcast is safe
+    lut = (
+        cr.join(ct, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.floor(
+                ((F.col("ct") + 1).cast("double") * (F.col("R") + buckets).cast("double"))
+                / ((F.col("cr") + 1).cast("double") * (F.col("T") + buckets).cast("double"))
+                * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("long").alias("unit"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lut), "b")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(unit) div count(*)").cast("long").alias("dsir_weight"),
+        )
     )

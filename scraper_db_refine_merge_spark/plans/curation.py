@@ -435,3 +435,91 @@ def q126_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q128 — DSIR importance weights (operators/lm.py dsir_weights): hashed-
+# unigram importance resampling scores against the source='src0' target
+# domain — the data-selection modality (Xie et al. 2023) the sampling
+# family (q47/q78/q115) composes with: weight here, hash-derived sample by
+# weight there. Mean importance ratio in integer micro-units; the ratio is
+# one fixed IEEE expression tree over exact integer counts, so scores
+# hash-match across engines (no ln()).
+@_register(
+    "q128_dsir_weights",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source = 'src0' AS is_target, unnest({_SQL_TOKS}) AS w
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
+        FROM toks
+    ),
+    ct AS (SELECT b, COUNT(*) AS ct FROM bt WHERE is_target GROUP BY b),
+    cr AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
+    tot AS (
+        SELECT COUNT(*) AS r, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t
+        FROM bt
+    ),
+    lut AS (
+        SELECT cr.b,
+               CAST(floor(
+                   (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) * CAST(tot.r + 1024 AS DOUBLE))
+                   / (CAST(cr.cr + 1 AS DOUBLE) * CAST(tot.t + 1024 AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT) AS unit
+        FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(unit) // COUNT(*) AS BIGINT) AS dsir_weight
+    FROM bt JOIN lut USING (b)
+    GROUP BY doc_id
+    """,
+)
+def q128_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_weights(d, "doc_id", "text", F.col("source") == "src0")
+
+
+# --------------------------------------------------------------------------
+# q129 — INCREMENTAL bigram-LM index (operators/lm.py fold_bigram_index):
+# documents arrive in three batches (doc_id % 3) folded one at a time into
+# a manifest-store index of mergeable LM statistics (bigram counts add,
+# vocabulary unions); the whole corpus scored FROM THE INDEX must equal
+# whole-corpus q126 — its oracle verbatim is the mergeability gate, the
+# q113 invariant pattern applied to LM statistics.
+@_register(
+    "q129_incremental_lm_index",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    bi AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (
+        SELECT b.doc_id,
+               ((c.c12 + 1) * 1000000000) // (u.c1 + v.v) AS unit
+        FROM bi b JOIN c12 c USING (w1, w2) JOIN c1 u USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(unit) // COUNT(*) AS BIGINT) AS lm_score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q129_incremental_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.lm import fold_bigram_index, lm_scores_from_index
+
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="q129_lm_")
+    for i in range(3):
+        fold_bigram_index(spark, root, d.filter(F.col("doc_id") % 3 == i), "doc_id", "text")
+    return lm_scores_from_index(spark, root, d, "doc_id", "text")

@@ -35,7 +35,7 @@ NAMES = [
     "q02_nation_revenue", "q100_region_market_share", "q09_user_spend_rank",
     "q123_skewed_sessionization", "q124_longest_shared_run",
     "q125_skewed_latest_per_key", "q74_kmv_distinct",
-    "q126_bigram_lm_score", "q127_pq_adc_topk",
+    "q126_bigram_lm_score", "q127_pq_adc_topk", "q128_dsir_weights",
 ]
 
 
