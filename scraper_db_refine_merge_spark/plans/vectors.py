@@ -440,3 +440,103 @@ def q127_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return pq_adc_topk(e, queries, "vec_id", "embedding", k_neighbors=5)
+
+
+# --------------------------------------------------------------------------
+# q130 — IVF-PQ, the FAISS IVFADC shape (operators/pq.py ivf_pq_topk):
+# per-label centroid cells (q43's coarse quantizer) + product quantization
+# of RESIDUALS, queries probing nprobe=2 cells with per-cell query
+# residuals, integer micro-unit ADC. Composition of two gated components
+# — and the index that makes 100 TB of vectors a bucketed ~3 TB code
+# table probed at nprobe/n_cells selectivity.
+_PQ_RSLICE = "list_transform(range(s * 8 + 1, s * 8 + 9), i -> rv[i])"
+_PQ_RD2 = "list_sum(list_transform(range(1, 9), i -> (sv[i] - cbv[i]) * (sv[i] - cbv[i])))"
+
+
+@_register(
+    "q130_ivf_pq_topk",
+    f"""
+    WITH cent_long AS (
+        SELECT label, pos,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS cval
+        FROM (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS val
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(cval ORDER BY pos) AS cv FROM cent_long GROUP BY label),
+    vc AS (
+        SELECT vec_id, qv, label, cv,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS sim
+        FROM (SELECT e.vec_id, e.embedding AS qv, c.label, c.cv
+              FROM embeddings e CROSS JOIN cent c)
+    ),
+    cells AS (
+        SELECT vec_id, qv AS v, label AS cell, cv FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+            FROM vc
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT vec_id, cell,
+               list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) - cv[i]) AS rv
+        FROM cells
+    ),
+    seeds AS (
+        SELECT rv, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        FROM resid
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (SELECT j, s, {_PQ_RSLICE.replace("rv[i]", "rv[i]")} AS cbv FROM seeds CROSS JOIN subs),
+    sub AS (SELECT vec_id, cell, s, {_PQ_RSLICE} AS sv FROM resid CROSS JOIN subs),
+    dists AS (SELECT vec_id, cell, s, j, {_PQ_RD2} AS d2 FROM sub JOIN cb USING (s)),
+    codes AS (
+        SELECT vec_id, cell, s, j AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    qprob AS (
+        SELECT vec_id AS query_id, qv, label AS cell, cv FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+            FROM vc WHERE vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    qres AS (
+        SELECT query_id, cell,
+               list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) - cv[i]) AS rv
+        FROM qprob
+    ),
+    qsub AS (SELECT query_id, cell, s, {_PQ_RSLICE} AS sv FROM qres CROSS JOIN subs),
+    lut AS (
+        SELECT query_id, cell, s, j,
+               CAST(floor({_PQ_RD2} * 1000000 + 0.5) AS BIGINT) AS pd2
+        FROM qsub JOIN cb USING (s)
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.pd2) AS BIGINT) AS adc_units
+        FROM codes c
+        JOIN lut l ON l.cell = c.cell AND l.s = c.s AND l.j = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_units, rn AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_units, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q130_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(e, queries, "vec_id", "embedding", "label", k_neighbors=5, nprobe=2)

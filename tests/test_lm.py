@@ -1,0 +1,57 @@
+"""Bigram-LM scoring + DSIR weights: algebraic invariants the oracles
+can't see (fold-order independence, identity target, empty-text rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scraper_db_refine_merge_spark.operators.lm import (
+    LM_SCALE,
+    bigram_lm_scores,
+    dsir_weights,
+    fold_bigram_index,
+    lm_scores_from_index,
+)
+from scraper_db_refine_merge_spark.sources.tables import load_table
+
+
+def test_fold_order_invariance(spark, sf_dir, tmp_path):
+    """Folding batches in any order yields identical index scores — the
+    mergeability claim, checked beyond q129's single order."""
+    d = load_table(spark, sf_dir, "documents")
+    whole = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+             for r in bigram_lm_scores(d, "doc_id", "text").collect()}
+    for perm, name in [((0, 1, 2), "a"), ((2, 0, 1), "b")]:
+        root = str(tmp_path / f"idx_{name}")
+        for i in perm:
+            fold_bigram_index(spark, root, d.filter(F.col("doc_id") % 3 == i), "doc_id", "text")
+        got = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+               for r in lm_scores_from_index(spark, root, d, "doc_id", "text").collect()}
+        assert got == whole, name
+
+
+def test_dsir_identity_target(spark, sf_dir):
+    """Target = whole corpus → every bucket ratio is exactly 1 → every
+    document's weight is exactly `scale` micro-units."""
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(d, "doc_id", "text", F.lit(True))
+    vals = {r["dsir_weight"] for r in w.collect()}
+    assert vals == {1_000_000}
+
+
+def test_short_docs_have_no_bigrams(spark):
+    d = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_bigrams"] for r in bigram_lm_scores(d, "doc_id", "text").collect()}
+    # 0- and 1-token docs produce no bigram rows at all; 2-token doc has 1
+    assert out == {3: 1}
+
+
+def test_lm_score_bounds(spark, sf_dir):
+    """unit = (c12+1)·S div (c1+V) ≤ S since c12 ≤ c1 < c1+V−1... scores
+    stay within (0, LM_SCALE]."""
+    d = load_table(spark, sf_dir, "documents")
+    s = bigram_lm_scores(d, "doc_id", "text")
+    r = s.agg(F.min("lm_score"), F.max("lm_score")).first()
+    assert 0 < r[0] and r[1] <= LM_SCALE

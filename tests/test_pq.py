@@ -61,3 +61,25 @@ def test_adc_self_exclusion_and_rank_shape(spark, sf_dir):
     for r in rows:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_ivf_pq_planted_near_copy_is_rank1(spark, sf_dir):
+    """Residual-PQ analogue of the planted-copy guarantee: a near-copy of
+    the query lands in the query's own nearest cell with a near-identical
+    residual, encodes to the query-residual's argmin codewords, and scores
+    the per-subspace LUT minima — rank 1 in every probed query."""
+    from scraper_db_refine_merge_spark.operators.pq import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    planted = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.0005)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(planted)
+    top = ivf_pq_topk(corpus, queries, "vec_id", "embedding", "label", k_neighbors=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert got == {q: q + 1_000_000 for q in range(5)}, got
