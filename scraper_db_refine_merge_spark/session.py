@@ -31,12 +31,13 @@ def get_spark(app_name: str = "scraper_db_refine_merge_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect the 64m advisory target instead of padding partition
-        # counts up to default parallelism (Spark's own docs recommend
-        # false) — at sf0.1 this drops the per-query AQE task floor ~20%
-        # (measured r6), and at cluster scale it is the setting that makes
-        # advisoryPartitionSizeInBytes meaningful at all
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at its default (true): A/B-measured r6 on
+        # an idle host, false coalesced sf0.1 joins to ~3 tasks and lost
+        # 25% aggregate bench time (4.36 vs 3.36 s over 8 queries) — the
+        # "respect advisory size" guidance trades CPU parallelism for
+        # fewer tasks, a win only when task overhead dominates compute,
+        # which it does not at local[32]. (An earlier measurement showing
+        # false ahead was contaminated by a concurrent test suite.)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
