@@ -230,3 +230,33 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "adc_units", "rank")
     )
+
+
+def fold_pq_codes(spark, target_root: str, new_vectors: DataFrame, id_col: str, vec_col: str) -> None:
+    """Fold a batch of NEW vectors into a persistent PQ code index.
+
+    Production PQ is train-once/encode-forever: the codebook is fitted on
+    the first batch and FROZEN (re-fitting would silently re-mean every
+    previously issued code), then each arriving batch is encoded against
+    it and appended as an immutable ``codes`` part via the manifest store
+    — commit I/O is O(batch), the accumulated code table is the union of
+    parts, and codebook + codes move under one atomic pointer. Pair this
+    with a partitionBy(cell) rewrite of the code parts for the IVF-PQ
+    probe layout (tests/test_pq.py pins the pruning).
+    """
+    from ..streaming.store import store_commit_parts, store_read_part
+
+    cb = store_read_part(spark, target_root, "codebook")
+    parts = {}
+    if cb is None:
+        cb = pq_codebook(new_vectors, id_col, vec_col)
+        parts["codebook"] = cb
+    parts["codes"] = pq_encode(new_vectors, cb, id_col, vec_col)
+    store_commit_parts(parts, target_root)
+
+
+def pq_codes_from_index(spark, target_root: str) -> DataFrame:
+    """The accumulated (vec_id, s, code) table of a folded PQ index."""
+    from ..streaming.store import store_read_part
+
+    return store_read_part(spark, target_root, "codes")

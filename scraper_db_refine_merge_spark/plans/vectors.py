@@ -540,3 +540,50 @@ def q130_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return ivf_pq_topk(e, queries, "vec_id", "embedding", "label", k_neighbors=5, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# q131 — INCREMENTAL PQ code index (operators/pq.py fold_pq_codes):
+# vectors arrive in three batches (vec_id % 3); the codebook is trained on
+# batch 0 and FROZEN, each batch encodes against it and appends an
+# immutable codes part (manifest store — O(batch) commit I/O). The
+# accumulated code TABLE content must equal one-shot encoding of the whole
+# corpus under the batch-0 codebook — the oracle states that directly.
+# Train-once/encode-forever is the production PQ lifecycle; re-fitting
+# per batch would silently re-mean already-issued codes.
+@_register(
+    "q131_incremental_pq_codes",
+    f"""
+    WITH seeds AS (
+        SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        FROM embeddings WHERE vec_id % 3 = 0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+        SELECT j, s, {_PQ_SLICE} AS cbv
+        FROM seeds CROSS JOIN subs
+    ),
+    sub AS (
+        SELECT vec_id, s, {_PQ_SLICE} AS sv
+        FROM embeddings CROSS JOIN subs
+    ),
+    dists AS (SELECT vec_id, s, j, {_PQ_RD2} AS d2 FROM sub JOIN cb USING (s))
+    SELECT vec_id, s, j AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        FROM dists
+    ) WHERE rn = 1
+    """,
+)
+def q131_incremental_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.pq import fold_pq_codes, pq_codes_from_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="q131_pq_")
+    for i in range(3):
+        fold_pq_codes(spark, root, e.filter(F.col("vec_id") % 3 == i), "vec_id", "embedding")
+    return pq_codes_from_index(spark, root)

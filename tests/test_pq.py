@@ -83,3 +83,41 @@ def test_ivf_pq_planted_near_copy_is_rank1(spark, sf_dir):
     top = ivf_pq_topk(corpus, queries, "vec_id", "embedding", "label", k_neighbors=1)
     got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
     assert got == {q: q + 1_000_000 for q in range(5)}, got
+
+
+def test_pq_code_table_partition_prunes_by_cell(spark, sf_dir, tmp_path):
+    """The claimed production layout: the PQ code table written
+    partitionBy(cell) gives PARTITION PRUNING for a probe's cell filter —
+    an nprobe=2 probe reads 2/n_cells of the code table's files, which is
+    the IVF selectivity the ivf_pq_topk docstring promises."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        ivf_assign,
+        label_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(e, "embedding", "label")
+    assigned = ivf_assign(e, cent, "vec_id", "embedding", "label")
+    resid = assigned.join(
+        F.broadcast(cent.withColumnRenamed("label", "cell")), "cell"
+    ).select(
+        "vec_id",
+        "cell",
+        F.zip_with("embedding", "centroid", lambda x, y: x.cast("double") - y).alias("rvec"),
+    )
+    cb = pq_codebook(resid, "vec_id", "rvec")
+    codes = pq_encode(resid, cb, "vec_id", "rvec").join(resid.select("vec_id", "cell"), "vec_id")
+
+    target = str(tmp_path / "pq_codes")
+    codes.write.partitionBy("cell").parquet(target)
+
+    n_cells = codes.select("cell").distinct().count()
+    two = [r["cell"] for r in codes.select("cell").distinct().orderBy("cell").limit(2).collect()]
+    probe = spark.read.parquet(target).filter(F.col("cell").isin(two))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "cell" in pf.split("PartitionFilters")[1][:200], pf
+    touched = probe.select("cell").distinct().count()
+    assert touched <= 2 < n_cells, (touched, n_cells)
