@@ -278,3 +278,43 @@ def test_q25_minhash_verify_is_candidate_restricted(spark, sf_dir):
     p = _plan(QUERIES["q25_minhash_lsh_pairs"](spark, sf_dir))
     assert p.count("LeftSemi") >= 1, p
     assert p.count("CartesianProduct") == 0
+
+
+def test_q126_lm_score_no_hints_no_cartesian_on_data(spark, sf_dir):
+    """The LM count tables are vocabulary-sized (corpus-growing) — no
+    forced broadcast hints anywhere except none at all here: the only
+    1-row side (the V constant) joins via crossJoin, which is fine.
+    Aggregations must be two-phase (partial before exchange)."""
+    df = QUERIES["q126_bigram_lm_score"](spark, sf_dir)
+    assert "strategy=broadcast" not in _analyzed(df)
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # c12/c1/per-doc all partial+final
+
+
+def test_q128_dsir_hints_only_config_bounded(spark, sf_dir):
+    """DSIR may hint exactly its two config/1-row bounded relations (the
+    totals scalar and the B-row bucket LUT) — never the token stream."""
+    df = QUERIES["q128_dsir_weights"](spark, sf_dir)
+    assert _analyzed(df).count("strategy=broadcast") == 2
+
+
+def test_q127_pq_hints_only_codebook_and_lut(spark, sf_dir):
+    """PQ's forced broadcasts are the config-constant codebook (m·k rows,
+    appears in encode and LUT build) and the query-batch-bounded LUT —
+    three hints total, none on the corpus side."""
+    df = QUERIES["q127_pq_adc_topk"](spark, sf_dir)
+    assert _analyzed(df).count("strategy=broadcast") == 3
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+
+
+def test_q124_longest_run_semi_anti_restricted(spark, sf_dir):
+    """The longest-run join must split train/eval via semi/anti joins on
+    the (small-by-nature, but unhinted) eval id set and never go
+    nested-loop on the window-hash equi-join."""
+    df = QUERIES["q124_longest_shared_run"](spark, sf_dir)
+    assert "strategy=broadcast" not in _analyzed(df)
+    p = _plan(df)
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
