@@ -523,3 +523,78 @@ def q129_incremental_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         fold_bigram_index(spark, root, d.filter(F.col("doc_id") % 3 == i), "doc_id", "text")
     return lm_scores_from_index(spark, root, d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# q132 — importance-weighted SELECTION (q128 × the sampling family): the
+# actual DSIR pipeline step — compute importance weights, keep documents
+# strictly above the CORPUS-MEAN weight (exact integer cross-multiply
+# `weight · n_docs > Σ weights` — SF-adaptive, no float division, no
+# unpartitioned window; the two corpus scalars come from a 1-row
+# aggregate), then hash-thin the survivors 50% with the engine's standard
+# md5-derived (never rand()) decision so the draw is retry/partition-
+# stable. Output is the kept set with weights and token counts — the
+# downstream mixing manifest.
+@_register(
+    "q132_dsir_selection",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source = 'src0' AS is_target, unnest({_SQL_TOKS}) AS w
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
+        FROM toks
+    ),
+    ct AS (SELECT b, COUNT(*) AS ct FROM bt WHERE is_target GROUP BY b),
+    cr AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
+    tot AS (
+        SELECT COUNT(*) AS r, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t
+        FROM bt
+    ),
+    lut AS (
+        SELECT cr.b,
+               CAST(floor(
+                   (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) * CAST(tot.r + 1024 AS DOUBLE))
+                   / (CAST(cr.cr + 1 AS DOUBLE) * CAST(tot.t + 1024 AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT) AS unit
+        FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+    ),
+    weights AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(unit) // COUNT(*) AS BIGINT) AS dsir_weight
+        FROM bt JOIN lut USING (b)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, dsir_weight
+    FROM weights
+    WHERE dsir_weight * (SELECT COUNT(*) FROM weights)
+            > (SELECT SUM(dsir_weight) FROM weights)
+      AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir'), 1, 15))::UBIGINT % 2 = 0
+    """,
+)
+def q132_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(d, "doc_id", "text", F.col("source") == "src0")
+    corpus = w.agg(
+        F.count("*").alias("__nd"), F.sum("dsir_weight").alias("__tw")
+    )
+    keep = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0
+    )
+    return (
+        w.crossJoin(F.broadcast(corpus))  # 1-row corpus constants
+        .filter((F.col("dsir_weight") * F.col("__nd") > F.col("__tw")) & keep)
+        .select("doc_id", "n_tokens", "dsir_weight")
+    )

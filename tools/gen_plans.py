@@ -36,7 +36,7 @@ NAMES = [
     "q123_skewed_sessionization", "q124_longest_shared_run",
     "q125_skewed_latest_per_key", "q74_kmv_distinct",
     "q126_bigram_lm_score", "q127_pq_adc_topk", "q128_dsir_weights",
-    "q130_ivf_pq_topk", "q131_incremental_pq_codes",
+    "q130_ivf_pq_topk", "q131_incremental_pq_codes", "q132_dsir_selection",
 ]
 
 
