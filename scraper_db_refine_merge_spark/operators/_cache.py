@@ -37,12 +37,22 @@ from pyspark.sql import DataFrame
 
 _tls = threading.local()
 
+# Every thread's scope stack, for the session-teardown escape hatch
+# (ADVICE r6): a pooled worker thread that never calls release_caches()
+# itself would otherwise leak its executor-storage caches until JVM exit.
+# Guarded by _all_lock; stacks are appended once per thread and never
+# removed (a handful of list objects per thread — negligible).
+_all_lock = threading.Lock()
+_all_stacks: list[list] = []
+
 
 def _registry() -> list:
     """This thread's scope stack; index 0 is the thread's root registry."""
     st = getattr(_tls, "scopes", None)
     if st is None:
         st = _tls.scopes = [[]]
+        with _all_lock:
+            _all_stacks.append(st)
     return st
 
 
@@ -89,4 +99,26 @@ def release_caches() -> int:
         while entries:
             entries.pop().unpersist()
             n += 1
+    return n
+
+
+def release_all_threads() -> int:
+    """Session-teardown escape hatch (ADVICE r6): unpersist every cache
+    tracked by ANY thread's registry; returns how many were freed.
+
+    For the main thread draining after a worker pool finished (e.g.
+    ``bench.py --throughput``'s 4 streams) — pooled workers that wrap their
+    work in ``cache_scope()`` never need this. Call it only when no tracked
+    pipeline is still running: an in-flight job whose cache is released
+    recomputes (blocking=False) rather than breaking, but the persist's
+    point is lost.
+    """
+    n = 0
+    with _all_lock:
+        stacks = list(_all_stacks)
+    for st in stacks:
+        for entries in st:
+            while entries:
+                entries.pop().unpersist()
+                n += 1
     return n

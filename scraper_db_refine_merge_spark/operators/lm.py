@@ -90,11 +90,20 @@ def _score_with_counts(
     """Score (doc, w1, w2) bigram occurrences against count tables — shared
     by the whole-corpus scorer and the incremental-index scorer (their
     results must be identical when the counts are, which is exactly the
-    q129 gate)."""
-    unit = F.expr(f"((c12 + 1) * {scale}L) div (c1 + v)")
+    q129 gate).
+
+    LEFT joins with coalesce(…, 0) (ADVICE r6): a bigram absent from the
+    count tables is a genuinely UNSEEN event and add-one smoothing assigns
+    it ``scale / (c1 + V)`` (or ``scale / V`` when the prefix itself is
+    unseen) — an inner join would silently drop it and undercount
+    ``n_bigrams``. For the gated score-the-folded-corpus case every doc
+    bigram exists in the counts, so both forms agree; the left join makes
+    scoring NEW documents against a frozen index correct too.
+    """
+    unit = F.expr(f"((coalesce(c12, 0) + 1) * {scale}L) div (coalesce(c1, 0) + v)")
     scored = (
-        bi.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+        bi.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
         .crossJoin(v)  # 1-row corpus constant
         .select("doc", unit.alias("unit"))
     )

@@ -183,9 +183,12 @@ def ivf_pq_topk(
             ).alias("rvec"),
         )
     )
+    # pq_encode always emits the id as 'vec_id' — normalize the cell lookup
+    # (and every downstream reference) to that name, or any non-default
+    # id_col raises AnalysisException (ADVICE r6).
     cb = pq_codebook(resid, id_col, "rvec")
     codes = pq_encode(resid, cb, id_col, "rvec").join(
-        resid.select(id_col, "cell"), "vec_id" if id_col == "vec_id" else id_col
+        resid.select(F.col(id_col).alias("vec_id"), "cell"), "vec_id"
     )
 
     # query probes: nprobe nearest cells, residual per probed cell
@@ -219,9 +222,9 @@ def ivf_pq_topk(
             (codes.cell == lut.cell)
             & (codes.s == lut.s)
             & (codes.code == lut.j)
-            & (F.col(id_col) != lut.query_id),
+            & (codes.vec_id != lut.query_id),
         )
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pd2").alias("adc_units"))
     )
     w = Window.partitionBy("query_id").orderBy("adc_units", "neighbor_id")

@@ -63,9 +63,16 @@ def with_global_ranks(
         .withColumn("__peer_n", F.count("*").over(peers))
     )
 
+    # distinct count of the STRUCT, not the bare column list:
+    # count(distinct a, b) drops rows where any column is NULL, while
+    # dense_rank treats NULL as a rankable value (NULLS FIRST lands them in
+    # the first peer group) — bare-column counting would shift every later
+    # partition's dense-rank offset when order keys contain NULLs
+    # (ADVICE r6). A struct with null fields is itself non-null, and struct
+    # distinctness matches window-ordering peer semantics (null == null).
     stats = d.groupBy("__pid").agg(
         F.count("*").alias("__n"),
-        F.count_distinct(*[F.col(c) for c in value_cols]).alias("__nd"),
+        F.count_distinct(F.struct(*[F.col(c) for c in value_cols])).alias("__nd"),
     )
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = stats.select(

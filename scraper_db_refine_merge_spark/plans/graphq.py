@@ -384,12 +384,12 @@ def q117_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no order guarantee), and the in-order match is a single pass with
 # aggregate() carrying the stage index — the relational form of sequence
 # pattern matching (MATCH_RECOGNIZE's simple case) with one shuffle.
-# SKEW NOTE: the collect keys on user_id — one bot user with 10^8 events
-# makes its group a straggler AND a driver-sized array. At that shape,
-# pre-split hot users by time block exactly as
-# operators/skew.py:sessionize_two_phase does (match within blocks, stitch
-# the ≤|stages| boundary states per block in a summary pass); hot-key
-# detection = the q83 CMS heavy hitters.
+# SKEW NOTE (CLOSED r7): the collect keys on user_id — one bot user with
+# 10^8 events makes this form's group a straggler AND a driver-sized
+# array. The skew-hardened equivalent is GATED as q135
+# (operators/skew.py funnel_two_phase: per-block transition functions
+# composed over calendar-bounded summaries); this single-collect form
+# stays as the bounded-key baseline its oracle mirrors directly.
 @_register(
     "q118_ordered_funnel",
     """
@@ -460,11 +460,11 @@ def q118_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # do" query — per (user, day) the deterministically ordered event-type
 # sequence joined into a path string, counted, top-20. Path construction
 # shuffles once on the session key; the count is a second keyed
-# aggregation on the (bounded-cardinality) path string. SKEW NOTE: the
-# session key (user, day) already bounds a group to one user-day — a hot
-# user's history splits across days, so the bot-user straggler needs a
-# pathological single DAY; sub-salt by hour (same stitch as
-# sessionize_two_phase) if per-day hot keys appear.
+# aggregation on the (bounded-cardinality) path string. SKEW NOTE
+# (CLOSED r7): the session key (user, day) already bounds a group to one
+# user-day; for a pathological single hot DAY, the gated block-split form
+# is q134 (session_paths_two_phase sub-salts by time block and stitches
+# fragments — same machinery, hour blocks).
 @_register(
     "q119_top_event_paths",
     """
@@ -508,10 +508,11 @@ def q119_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the product-analytics path query, where "session" is behavioral, not a
 # calendar day. Output: top-20 session paths with session counts and the
 # mean session length in events (exact integer ratio rounded once).
-# SKEW NOTE: both windows key on user_id; for bot-user skew the COUNTING
-# half has the gated two-phase fix (q123 / sessionize_two_phase), and the
-# path half should block-split the same way (per-block paths + boundary
-# stitch) before a hot user's whole history lands in one task.
+# SKEW NOTE (CLOSED r7): both windows key on user_id; for bot-user skew
+# the COUNTING half is gated as q123 (sessionize_two_phase) and the PATH
+# half is now gated as q134 (session_paths_two_phase: per-block fragments
+# + summary-pass session ids + per-session stitch) — use those forms when
+# keys can be hot; this one stays the bounded-key baseline.
 @_register(
     "q122_session_paths",
     """
@@ -576,4 +577,135 @@ def q122_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_sessions").desc(), F.col("path"))
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q134 — SKEW-HARDENED session paths (VERDICT r6 item 1): q122's
+# gap-session path analysis on the q123 skew-injected fixture (every even
+# event_id remapped to user 0 — one bot user with half the corpus), run
+# through operators/skew.py session_paths_two_phase: per-(user, 30-min
+# block) path FRAGMENTS, session ids assigned over content-free fragment
+# summaries bounded by calendar time, fragments stitched per session — no
+# task ever sorts the hot user's full history (the q118/q119/q122
+# single-window scale-killer, now dead). The oracle is the NAIVE
+# single-window sessionization + path collection over the same remapped
+# stream — value-hash equality IS the equivalence proof.
+@_register(
+    "q134_skewed_session_paths",
+    """
+    WITH remapped AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+               event_id, event_type, ts
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM remapped
+    ),
+    numbered AS (
+        SELECT *,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        FROM gaps
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS avg_events
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q134_skewed_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import session_paths_two_phase
+
+    e = load_table(spark, sf_dir, "events")
+    skewed = e.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    ).select("user_id", "event_id", "event_type", "ts")
+    sp = session_paths_two_phase(
+        skewed, ["user_id"], "ts", gap_sec=1800, val_col="event_type",
+        order_tiebreak=["event_id"],
+    )
+    return (
+        sp.select(F.array_join("path", ">").alias("path"), "n_events")
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.sum("n_events").cast("double") / F.count("*"), 4).alias("avg_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q135 — SKEW-HARDENED ordered funnel (VERDICT r6 item 1): q118's
+# click → error → purchase in-order match on the q123 skew-injected
+# fixture, run through operators/skew.py funnel_two_phase: each (user,
+# 30-min block) folds to a 4-int transition FUNCTION of the funnel
+# automaton (composition is associative, so block splits cannot change
+# the result), composed per user over calendar-bounded summaries — the
+# hot user's sequence is never collected whole. Oracle = the NAIVE
+# whole-sequence fold over the same remapped stream.
+@_register(
+    "q135_skewed_ordered_funnel",
+    """
+    WITH remapped AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
+               event_id, event_type, ts
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS path
+        FROM remapped GROUP BY 1
+    ),
+    m AS (
+        SELECT user_id,
+               list_reduce(
+                   list_prepend(0,
+                       list_transform(path, x ->
+                           CASE x WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                                  WHEN 'purchase' THEN 3 ELSE 0 END)),
+                   (acc, x) -> CASE
+                       WHEN acc = 0 AND x = 1 THEN 1
+                       WHEN acc = 1 AND x = 2 THEN 2
+                       WHEN acc = 2 AND x = 3 THEN 3
+                       ELSE acc END
+               ) AS stage
+        FROM seq
+    )
+    SELECT CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_error_after,
+           CAST(SUM(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase_after
+    FROM m
+    """,
+)
+def q135_skewed_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import funnel_two_phase
+
+    e = load_table(spark, sf_dir, "events")
+    skewed = e.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    ).select("user_id", "event_id", "event_type", "ts")
+    m = funnel_two_phase(
+        skewed, ["user_id"], "ts", ["click", "error", "purchase"],
+        val_col="event_type", block_sec=1800, order_tiebreak=["event_id"],
+    )
+    return m.agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("reached_click"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("reached_error_after"),
+        F.sum(F.when(F.col("stage") == 3, 1).otherwise(0)).alias("reached_purchase_after"),
     )

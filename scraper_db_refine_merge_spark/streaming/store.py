@@ -207,6 +207,19 @@ def _commit_pointer(target_path: str, version: str, keep: int) -> None:
                 shutil.rmtree(os.path.join(parts_root, pname), ignore_errors=True)
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Copy a directory tree with hardlinks where possible (same-FS file
+    clones are O(1) each), falling back to a real copy per file."""
+
+    def _link_or_copy(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+    shutil.copytree(src, dst, copy_function=_link_or_copy)
+
+
 def store_commit(
     df: DataFrame,
     target_path: str,
@@ -276,8 +289,37 @@ def store_commit_parts(
     prior = store_version_dir(target_path)
     manifest: dict[str, list[str]] = {}
     if prior is not None:
-        manifest = dict(_manifest_of(prior) or {})
-        manifest = {k: list(v) for k, v in manifest.items()}
+        pm = _manifest_of(prior)
+        if pm is None:
+            # Format-upgrade path (ADVICE r6, medium): the live snapshot was
+            # written by store_commit/store_commit_many — no manifest. An
+            # empty starting manifest would silently DROP all prior state
+            # (readers would see only the new batch, and GC would then
+            # delete the old snapshot dirs). Migrate instead: each prior
+            # table subdir becomes a part in the new manifest (hardlinked —
+            # O(#files), same filesystem by construction — so GC of the old
+            # v-dir can't take the data with it).
+            pm = {}
+            table_dirs = [
+                n for n in os.listdir(prior)
+                if os.path.isdir(os.path.join(prior, n))
+            ]
+            if not table_dirs:
+                raise ValueError(
+                    f"store {target_path}: live snapshot {prior!r} is a "
+                    "single-DataFrame store_commit snapshot — it has no named "
+                    "tables to migrate into a parts manifest. Use store_commit "
+                    "to keep updating it, or rebuild the store with "
+                    "store_commit_parts from scratch."
+                )
+            for name in table_dirs:
+                pname = f"p-migrated-{uuid.uuid4().hex[:12]}"
+                _link_tree(
+                    os.path.join(prior, name),
+                    os.path.join(target_path, _PARTS, pname),
+                )
+                pm[name] = [pname]
+        manifest = {k: list(v) for k, v in pm.items()}
     for name, df in new_parts.items():
         pname = f"p-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(target_path, _PARTS, pname))

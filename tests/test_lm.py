@@ -55,3 +55,24 @@ def test_lm_score_bounds(spark, sf_dir):
     s = bigram_lm_scores(d, "doc_id", "text")
     r = s.agg(F.min("lm_score"), F.max("lm_score")).first()
     assert 0 < r[0] and r[1] <= LM_SCALE
+
+
+def test_unseen_bigrams_get_add_one_smoothing(spark, tmp_path):
+    """ADVICE r6: scoring NEW documents against a frozen index must apply
+    true add-one smoothing to bigrams the index never saw — unit =
+    scale div (c1 + V), or scale div V when the prefix itself is unseen —
+    not silently drop them (the inner-join bug)."""
+    corpus = spark.createDataFrame([(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    root = str(tmp_path / "lm_idx")
+    fold_bigram_index(spark, root, corpus, "doc_id", "text")
+    # corpus stats: bigrams {ab:2, ba:1, ac:1}; c1: a->3, b->1; V=3 (a,b,c)
+    new = spark.createDataFrame([(10, "b c z")], "doc_id long, text string")
+    got = lm_scores_from_index(spark, root, new, "doc_id", "text").collect()
+    assert len(got) == 1
+    r = got[0]
+    # bigrams of new doc: (b,c) unseen with seen prefix b (c1=1) -> S div (1+3)
+    #                     (c,z) unseen with unseen prefix c... c appears as w2
+    #   only, so c1(c)=0 -> S div (0+3)
+    expect_units = [LM_SCALE // 4, LM_SCALE // 3]
+    assert r["n_bigrams"] == 2
+    assert r["lm_score"] == sum(expect_units) // 2

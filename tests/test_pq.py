@@ -121,3 +121,21 @@ def test_pq_code_table_partition_prunes_by_cell(spark, sf_dir, tmp_path):
     assert "cell" in pf.split("PartitionFilters")[1][:200], pf
     touched = probe.select("cell").distinct().count()
     assert touched <= 2 < n_cells, (touched, n_cells)
+
+
+def test_ivf_pq_topk_non_default_id_col(spark, sf_dir):
+    """ADVICE r6: pq_encode normalizes the id to 'vec_id', so ivf_pq_topk
+    must work (and give identical results) for any id_col name."""
+    from scraper_db_refine_merge_spark.operators.pq import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3)
+    want = sorted(
+        map(tuple, ivf_pq_topk(e, queries, "vec_id", "embedding", "label", k_neighbors=3).collect())
+    )
+    e2 = e.withColumnRenamed("vec_id", "item_id")
+    q2 = queries.withColumnRenamed("vec_id", "item_id")
+    got = sorted(
+        map(tuple, ivf_pq_topk(e2, q2, "item_id", "embedding", "label", k_neighbors=3).collect())
+    )
+    assert got == want

@@ -91,3 +91,27 @@ def test_no_unpartitioned_window_over_data(spark, sf_dir):
         ln for ln in plan.splitlines() if "Window" in ln and "__lrk" in ln
     ]
     assert data_windows and all("__pid" in ln for ln in data_windows), data_windows
+
+
+def test_global_ranks_with_nulls_in_order_keys(spark):
+    """ADVICE r6: dense_rank treats NULL as a rankable value (NULLS FIRST),
+    so the per-partition distinct counts feeding the dense-rank offsets
+    must count null-containing keys too — the struct-wrapped count does;
+    bare count(distinct a, b) drops them and shifts later partitions."""
+    rows = [(i, None if i % 7 == 0 else i // 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(8)
+    order = [F.col("v").asc_nulls_first(), F.col("id")]
+    w = Window.orderBy(*order)
+    naive = {
+        r["id"]: (r["rk"], r["drk"])
+        for r in df.select(
+            "id", F.rank().over(w).alias("rk"), F.dense_rank().over(w).alias("drk")
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["rk"], r["drk"])
+        for r in with_global_ranks(
+            df, order, ["v", "id"], rank_col="rk", dense_rank_col="drk"
+        ).collect()
+    }
+    assert got == naive

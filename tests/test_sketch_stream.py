@@ -407,3 +407,85 @@ def test_store_single_writer_violation_raises(spark, tmp_path):
             st.store_commit(spark.createDataFrame([(2,)], "k long"), target)
     finally:
         _os.replace = real_replace
+
+
+def test_store_commit_parts_migrates_commit_many_snapshot(spark, tmp_path):
+    """ADVICE r6 (medium): folding a parts commit onto a store whose live
+    snapshot came from store_commit_many must MIGRATE the prior tables into
+    the manifest (not silently start empty and let GC drop them)."""
+    import os
+
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_commit_many,
+        store_commit_parts,
+        store_read_part,
+    )
+
+    target = str(tmp_path / "store")
+    store_commit_many(
+        {
+            "pairs": spark.createDataFrame([(1,)], "k long"),
+            "sigs": spark.createDataFrame([(10,)], "k long"),
+        },
+        target,
+    )
+    store_commit_parts(
+        {
+            "pairs": spark.createDataFrame([(2,)], "k long"),
+            "sigs": spark.createDataFrame([(20,)], "k long"),
+        },
+        target,
+    )
+    # prior full-rewrite state visible through the manifest, new batch added
+    assert sorted(r.k for r in store_read_part(spark, target, "pairs").collect()) == [1, 2]
+    assert sorted(r.k for r in store_read_part(spark, target, "sigs").collect()) == [10, 20]
+    # keep=1 GC'd the old v-dir; migrated data must survive it
+    store_commit_parts({"pairs": spark.createDataFrame([(3,)], "k long")}, target)
+    assert sorted(r.k for r in store_read_part(spark, target, "pairs").collect()) == [1, 2, 3]
+    assert sorted(r.k for r in store_read_part(spark, target, "sigs").collect()) == [10, 20]
+    vdirs = [n for n in os.listdir(target) if n.startswith("v-")]
+    assert len(vdirs) == 1  # retention still applies
+
+
+def test_store_commit_parts_refuses_single_df_snapshot(spark, tmp_path):
+    """A store_commit (single-DataFrame) snapshot has no named tables to
+    migrate — the parts commit must raise, not proceed with empty state."""
+    import pytest as _pytest
+
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_commit,
+        store_commit_parts,
+    )
+
+    target = str(tmp_path / "store")
+    store_commit(spark.createDataFrame([(1,)], "k long"), target)
+    with _pytest.raises(ValueError, match="single-DataFrame"):
+        store_commit_parts({"pairs": spark.createDataFrame([(2,)], "k long")}, target)
+
+
+def test_release_all_threads_drains_worker_caches(spark):
+    """ADVICE r6: caches persisted by pooled worker threads (which never
+    call release_caches themselves) are drained by the main thread's
+    release_all_threads() escape hatch."""
+    import threading
+
+    from scraper_db_refine_merge_spark.operators._cache import (
+        persist_tracked,
+        release_all_threads,
+    )
+
+    dfs = []
+
+    def work():
+        df = persist_tracked(spark.range(10))
+        df.count()
+        dfs.append(df)
+
+    threads = [threading.Thread(target=work) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(df.storageLevel.useMemory for df in dfs)
+    assert release_all_threads() >= 2
+    assert not any(df.storageLevel.useMemory for df in dfs)
