@@ -89,6 +89,90 @@ def pq_codebook(df: DataFrame, id_col: str, vec_col: str, k: int = PQ_K) -> Data
     )
 
 
+def pq_codebook_trained(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = PQ_K,
+    iters: int = 2,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Per-subspace k-means (Lloyd) refinement of the sampled codebook —
+    the training step real PQ deployments run (Jégou 2011 §III trains each
+    subquantizer with k-means); the md5-sampled ``pq_codebook`` is the
+    honest zero-training baseline, this is the quality path.
+
+    Same derandomized machinery as q51's coarse quantizer, applied per
+    subspace: md5-priority init, raw sequential-fold d2 assignment with
+    codeword-index tie-break, exact-DECIMAL per-dimension means rounded to
+    ``round_scale`` (order-independent across partial aggregations). A
+    codeword that attracts no subvectors keeps its previous value
+    (left-join + coalesce) — deterministic, never drops a code point.
+
+    Scale shape: each round is one broadcast-codebook join over the
+    subvector map (narrow, the same plan as pq_encode), one bounded window
+    (k rows per (vector, subspace)), and one (m·k·dsub)-group aggregation —
+    the update state is config-constant. Fixed ``iters`` keeps the plan
+    static and the oracle mirrorable (generated CTE per round)."""
+    sub = _subvectors(df, id_col, vec_col, "vec_id")
+    cb = pq_codebook(df, id_col, vec_col, k)
+    for _ in range(iters):
+        d = sub.join(F.broadcast(cb), "s").select(
+            "vec_id", "s", "j", _d2(F.col("sv"), F.col("cbv")).alias("d2")
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy("d2", "j")
+        asg = (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "s", "j")
+        )
+        upd = (
+            asg.join(sub, ["vec_id", "s"])
+            .select("s", "j", F.posexplode("sv").alias("pos0", "val"))
+            .groupBy("s", "j", (F.col("pos0") + 1).alias("pos"))
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(18,12)")).cast("double")
+                    / F.count("*"),
+                    round_scale,
+                ).alias("cval")
+            )
+            .groupBy("s", "j")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda st: st["cval"],
+                ).alias("__new")
+            )
+        )
+        cb = cb.join(upd, ["s", "j"], "left").select(
+            "s", "j", F.coalesce("__new", "cbv").alias("cbv")
+        )
+    return cb
+
+
+def pq_quantization_error(
+    df: DataFrame, codebook: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """One row ``(err_units BIGINT)``: total squared quantization error of
+    encoding ``df`` against ``codebook``, per-subvector d2 floored into
+    integer micro-units BEFORE the sum (order-independent, cross-engine
+    exact) — the metric codebook training must strictly improve."""
+    sub = _subvectors(df, id_col, vec_col, "vec_id")
+    codes = pq_encode(df, codebook, id_col, vec_col)
+    cb = codebook.select("s", F.col("j").alias("code"), "cbv")
+    return (
+        codes.join(sub, ["vec_id", "s"])
+        .join(F.broadcast(cb), ["s", "code"])
+        .select(
+            F.floor(_d2(F.col("sv"), F.col("cbv")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("__u")
+        )
+        .agg(F.sum("__u").alias("err_units"))
+    )
+
+
 def pq_encode(df: DataFrame, codebook: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, s, code): nearest codeword per (vector, subspace) —
     raw-double distance compare, codeword index tie-break. The codebook is
@@ -111,11 +195,18 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k_neighbors: int = 5,
+    train_iters: int = 0,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_units, rank) — approximate
     squared L2 in integer micro-units, ascending, neighbor id tie-break.
-    Queries score against PQ CODES only; their own row is excluded."""
-    cb = pq_codebook(df, id_col, vec_col)
+    Queries score against PQ CODES only; their own row is excluded.
+    ``train_iters > 0`` refines the codebook with that many per-subspace
+    Lloyd rounds (q133) instead of the sampled baseline (q127)."""
+    cb = (
+        pq_codebook_trained(df, id_col, vec_col, iters=train_iters)
+        if train_iters
+        else pq_codebook(df, id_col, vec_col)
+    )
     codes = pq_encode(df, cb, id_col, vec_col)
     qsub = _subvectors(queries, id_col, vec_col, "query_id")
     lut = qsub.join(F.broadcast(cb), "s").select(

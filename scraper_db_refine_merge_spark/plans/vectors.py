@@ -587,3 +587,111 @@ def q131_incremental_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         fold_pq_codes(spark, root, e.filter(F.col("vec_id") % 3 == i), "vec_id", "embedding")
     return pq_codes_from_index(spark, root)
+
+
+# --------------------------------------------------------------------------
+# q133 — TRAINED product quantization (operators/pq.py pq_codebook_trained):
+# the q127 ADC pipeline with the codebook refined by 2 per-subspace Lloyd
+# rounds (Jégou 2011 §III trains each subquantizer with k-means; the
+# sampled codebook is the zero-training baseline). Every round is
+# deterministic — raw sequential-fold d2 assignment with codeword-index
+# tie-break, exact-DECIMAL per-dimension means rounded to 6, empty cells
+# keep their previous codeword — so the oracle replays the identical
+# iterations as generated CTEs. tests/test_pq.py additionally pins that
+# the trained codebook's quantization error is STRICTLY below the sampled
+# baseline's on the same corpus (the property training exists to buy).
+
+_PQT_ITERS = 2
+
+
+def _pq_trained_oracle(iters: int = _PQT_ITERS) -> str:
+    parts = [
+        """
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    seeds AS (
+        SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    )""",
+        f"cb0 AS (SELECT j, s, {_PQ_SLICE} AS cbv FROM seeds CROSS JOIN subs)",
+        f"sub AS (SELECT vec_id, s, {_PQ_SLICE} AS sv FROM embeddings CROSS JOIN subs)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT vec_id, s, j, {_PQ_RD2} AS d2 FROM sub JOIN cb{i} USING (s))"
+        )
+        parts.append(
+            f"""
+    asg{i} AS (
+        SELECT vec_id, s, j FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""
+    upd{i} AS (
+        SELECT s, j, list(cval ORDER BY pos) AS cbv FROM (
+            SELECT s, j, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS cval
+            FROM (
+                SELECT a.s AS s, a.j AS j,
+                       unnest(range(1, 9)) AS pos,
+                       unnest(sub.sv) AS val
+                FROM asg{i} a JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+            )
+            GROUP BY s, j, pos
+        ) GROUP BY s, j
+    )"""
+        )
+        parts.append(
+            f"""
+    cb{i + 1} AS (
+        SELECT c.s, c.j, COALESCE(u.cbv, c.cbv) AS cbv
+        FROM cb{i} c LEFT JOIN upd{i} u ON u.s = c.s AND u.j = c.j
+    )"""
+        )
+    fin = f"cb{iters}"
+    ctes = ",".join(parts)
+    return f"""
+    WITH {ctes},
+    dists AS (SELECT vec_id, s, j, {_PQ_RD2} AS d2 FROM sub JOIN {fin} USING (s)),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT vec_id AS query_id, s, j,
+               CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS pd2
+        FROM dists WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.pd2) AS BIGINT) AS adc_units
+        FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_units, rn AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_units, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@_register("q133_trained_pq_adc", _pq_trained_oracle())
+def q133_trained_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(
+        e, queries, "vec_id", "embedding", k_neighbors=5, train_iters=_PQT_ITERS
+    )

@@ -139,3 +139,41 @@ def test_ivf_pq_topk_non_default_id_col(spark, sf_dir):
         map(tuple, ivf_pq_topk(e2, q2, "item_id", "embedding", "label", k_neighbors=3).collect())
     )
     assert got == want
+
+
+def test_trained_codebook_strictly_reduces_quantization_error(spark, sf_dir):
+    """The property codebook training exists to buy (VERDICT r6 item 4):
+    2 per-subspace Lloyd rounds must land STRICTLY below the md5-sampled
+    baseline's total quantization error on the same corpus. (Lloyd
+    guarantees non-increase per round; on any non-degenerate corpus the
+    first reassignment strictly improves.)"""
+    from scraper_db_refine_merge_spark.operators.pq import (
+        pq_codebook_trained,
+        pq_quantization_error,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = pq_codebook(e, "vec_id", "embedding")
+    trained = pq_codebook_trained(e, "vec_id", "embedding", iters=2)
+    e_base = pq_quantization_error(e, base, "vec_id", "embedding").first()["err_units"]
+    e_trained = pq_quantization_error(e, trained, "vec_id", "embedding").first()["err_units"]
+    assert e_trained < e_base, (e_trained, e_base)
+
+
+def test_trained_pq_planted_near_copy_is_rank1(spark, sf_dir):
+    """The sampled-codebook planted-copy guarantee must survive training:
+    a near-copy still encodes to its query's argmin codewords under the
+    trained codebook, so it scores the per-subspace LUT minima — rank 1."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    planted = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(planted)
+    top = pq_adc_topk(corpus, queries, "vec_id", "embedding", k_neighbors=1, train_iters=2)
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert got == {q: q + 1_000_000 for q in range(5)}, got
