@@ -113,7 +113,14 @@ def _score_with_counts(
     )
 
 
-def fold_bigram_index(spark, target_root: str, new_docs: DataFrame, id_col: str, text_col: str) -> None:
+def fold_bigram_index(
+    spark,
+    target_root: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_versions: int = 1,
+) -> None:
     """Fold ONE batch of documents into a persistent bigram-LM index.
 
     LM sufficient statistics are MERGEABLE: bigram counts add, vocabularies
@@ -124,6 +131,12 @@ def fold_bigram_index(spark, target_root: str, new_docs: DataFrame, id_col: str,
     parts, and both tables move under one atomic pointer. This is the
     ingestion form of q126: when data lands, corpus LM scores stay
     current WITHOUT re-tokenizing the existing corpus.
+
+    ``keep_versions > 1`` retains that many committed manifests — each an
+    immutable view of the index as of its fold — enabling snapshot diffs
+    (``lm_index_drift``) and as-of scoring via ``store_read_part_version``.
+    Retention GC keeps every part any retained manifest references, so an
+    old snapshot's statistics can never be deleted out from under it.
     """
     from ..streaming.store import store_commit_parts
 
@@ -135,7 +148,54 @@ def fold_bigram_index(spark, target_root: str, new_docs: DataFrame, id_col: str,
     tk = new_docs.select(
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
     ).distinct()
-    store_commit_parts({"bigrams": bi, "tokens": tk}, target_root)
+    store_commit_parts({"bigrams": bi, "tokens": tk}, target_root, keep=keep_versions)
+
+
+def lm_index_drift(spark, target_root: str, seq_a: int, seq_b: int) -> DataFrame:
+    """Corpus-drift report between two retained LM-index snapshots:
+    4 rows ``(metric, value)`` —
+
+    - ``bigram_types_new``: bigram types in B absent from A;
+    - ``bigram_types_grown``: types in both whose count rose;
+    - ``occurrences_added``: total bigram occurrences added A → B;
+    - ``vocab_new``: vocabulary tokens first seen in B.
+
+    The inputs are the MANIFESTS' own parts lists (snapshot B's manifest
+    extends A's — counts only ever add under ``fold_bigram_index``), so the
+    diff is exact without replaying any document: the retention/time-travel
+    story of q110 applied to mergeable LM statistics. The report is what a
+    corpus-monitoring pipeline alerts on (vocabulary churn, topic drift)
+    between ingestion runs.
+    """
+    from ..streaming.store import store_read_part_version
+
+    def counts(seq):
+        bi = store_read_part_version(spark, target_root, "bigrams", seq)
+        return bi.groupBy("w1", "w2").agg(F.sum("cnt").alias("c"))
+
+    ca = counts(seq_a).withColumnRenamed("c", "ca")
+    cb = counts(seq_b).withColumnRenamed("c", "cb")
+    j = cb.join(ca, ["w1", "w2"], "left")
+    bigram_stats = j.agg(
+        F.sum(F.when(F.col("ca").isNull(), 1).otherwise(0)).cast("long").alias("new"),
+        F.sum(F.when(F.col("ca").isNotNull() & (F.col("cb") > F.col("ca")), 1).otherwise(0))
+        .cast("long")
+        .alias("grown"),
+        F.sum(F.col("cb") - F.coalesce("ca", F.lit(0))).cast("long").alias("added"),
+    )
+    va = store_read_part_version(spark, target_root, "tokens", seq_a).distinct()
+    vb = store_read_part_version(spark, target_root, "tokens", seq_b).distinct()
+    vocab_new = vb.join(va, "w", "anti").agg(F.count("*").cast("long").alias("v"))
+    return (
+        bigram_stats.select(F.lit("bigram_types_new").alias("metric"), F.col("new").alias("value"))
+        .unionByName(
+            bigram_stats.select(F.lit("bigram_types_grown").alias("metric"), F.col("grown").alias("value"))
+        )
+        .unionByName(
+            bigram_stats.select(F.lit("occurrences_added").alias("metric"), F.col("added").alias("value"))
+        )
+        .unionByName(vocab_new.select(F.lit("vocab_new").alias("metric"), F.col("v").alias("value")))
+    )
 
 
 def lm_scores_from_index(

@@ -598,3 +598,60 @@ def q132_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("dsir_weight") * F.col("__nd") > F.col("__tw")) & keep)
         .select("doc_id", "n_tokens", "dsir_weight")
     )
+
+
+# --------------------------------------------------------------------------
+# q136 — LM-index DRIFT REPORT over retained snapshots (operators/lm.py
+# lm_index_drift): three document batches fold into the manifest-store LM
+# index with keep_versions=3; the report diffs the index AS OF commit 2
+# (batches 0,1) against commit 3 (all batches) through each snapshot's OWN
+# manifest — q110's retention/time-travel story applied to mergeable LM
+# statistics, without replaying a single document. The oracle derives the
+# same four drift metrics (new/grown bigram types, added occurrences, new
+# vocabulary) from the raw documents directly, so the gate proves that
+# manifest-scoped part lists reconstruct each historical snapshot exactly
+# (retention GC keeping every part a retained manifest references).
+@_register(
+    "q136_lm_index_drift",
+    f"""
+    WITH ta AS (SELECT {_SQL_TOKS} AS t FROM documents WHERE doc_id % 3 < 2),
+    tb AS (SELECT {_SQL_TOKS} AS t FROM documents),
+    bia AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM ta)
+    ),
+    bib AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(range(1, greatest(len(t), 1))) AS i FROM tb)
+    ),
+    ca AS (SELECT w1, w2, COUNT(*) AS ca FROM bia GROUP BY 1, 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bib GROUP BY 1, 2),
+    j AS (SELECT cb.w1, cb.w2, cb.cb, ca.ca FROM cb LEFT JOIN ca USING (w1, w2)),
+    va AS (SELECT DISTINCT unnest(t) AS w FROM ta),
+    vb AS (SELECT DISTINCT unnest(t) AS w FROM tb)
+    SELECT 'bigram_types_new' AS metric,
+           CAST(COUNT(*) FILTER (ca IS NULL) AS BIGINT) AS value FROM j
+    UNION ALL
+    SELECT 'bigram_types_grown',
+           CAST(COUNT(*) FILTER (ca IS NOT NULL AND cb > ca) AS BIGINT) FROM j
+    UNION ALL
+    SELECT 'occurrences_added',
+           CAST(SUM(cb - COALESCE(ca, 0)) AS BIGINT) FROM j
+    UNION ALL
+    SELECT 'vocab_new',
+           CAST(COUNT(*) AS BIGINT) FROM vb WHERE w NOT IN (SELECT w FROM va)
+    """,
+)
+def q136_lm_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.lm import fold_bigram_index, lm_index_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="q136_lm_")
+    for i in range(3):
+        fold_bigram_index(
+            spark, root, d.filter(F.col("doc_id") % 3 == i), "doc_id", "text",
+            keep_versions=3,
+        )
+    return lm_index_drift(spark, root, 2, 3)

@@ -334,19 +334,41 @@ def store_commit_parts(
     return vd
 
 
-def store_read_part(spark: SparkSession, target_path: str, part: str) -> DataFrame | None:
-    """Read one named table of the live multi-part snapshot, or None.
-    Understands both layouts: manifest snapshots (union of the listed
-    immutable ``parts/`` dirs) and full-rewrite snapshots (one parquet
-    subdir per table)."""
-    d = store_version_dir(target_path)
-    if d is None:
-        return None
-    manifest = _manifest_of(d)
+def _read_part_of_dir(
+    spark: SparkSession, target_path: str, vd: str, part: str
+) -> DataFrame | None:
+    """Read one named table of snapshot dir ``vd``. Understands both
+    layouts: manifest snapshots (union of the listed immutable ``parts/``
+    dirs) and full-rewrite snapshots (one parquet subdir per table)."""
+    manifest = _manifest_of(vd)
     if manifest is not None:
         plist = manifest.get(part) or []
         if not plist:
             return None
         return spark.read.parquet(*[os.path.join(target_path, _PARTS, p) for p in plist])
-    p = os.path.join(d, part)
+    p = os.path.join(vd, part)
     return spark.read.parquet(p) if os.path.isdir(p) else None
+
+
+def store_read_part(spark: SparkSession, target_path: str, part: str) -> DataFrame | None:
+    """Read one named table of the live multi-part snapshot, or None."""
+    d = store_version_dir(target_path)
+    if d is None:
+        return None
+    return _read_part_of_dir(spark, target_path, d, part)
+
+
+def store_read_part_version(
+    spark: SparkSession, target_path: str, part: str, seq: int
+) -> DataFrame | None:
+    """Time travel for multi-part snapshots: table ``part`` as of commit
+    ``seq`` (1-based), or None if GC'd / never committed. Manifest
+    snapshots resolve through their OWN manifest, so an old version sees
+    exactly the parts list it committed — later appends are invisible to
+    it, which is what makes snapshot diffs (drift reports, CDC) exact."""
+    for s, name in store_versions(target_path):
+        if s == seq:
+            return _read_part_of_dir(
+                spark, target_path, os.path.join(target_path, name), part
+            )
+    return None

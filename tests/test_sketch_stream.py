@@ -489,3 +489,30 @@ def test_release_all_threads_drains_worker_caches(spark):
     assert all(df.storageLevel.useMemory for df in dfs)
     assert release_all_threads() >= 2
     assert not any(df.storageLevel.useMemory for df in dfs)
+
+
+def test_store_parts_retention_time_travel_and_gc(spark, tmp_path):
+    """VERDICT r6 item 5: retained manifests are readable AS OF their
+    commit via store_read_part_version — each resolves its OWN parts list
+    (later appends invisible) — and retention GC keeps every part some
+    retained manifest references while dropping parts owned only by
+    expired snapshots."""
+    import os
+
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_commit_parts,
+        store_read_part_version,
+    )
+
+    target = str(tmp_path / "store")
+    for i in (1, 2, 3):
+        store_commit_parts(
+            {"t": spark.createDataFrame([(i,)], "k long")}, target, keep=2
+        )
+    # keep=2 retains v2+v3: v1 GC'd, but v1's PART survives (v2/v3 still
+    # reference it — parts are shared, GC is by manifest reference)
+    assert store_read_part_version(spark, target, "t", 1) is None
+    v2 = sorted(r.k for r in store_read_part_version(spark, target, "t", 2).collect())
+    v3 = sorted(r.k for r in store_read_part_version(spark, target, "t", 3).collect())
+    assert v2 == [1, 2] and v3 == [1, 2, 3]
+    assert len(os.listdir(os.path.join(target, "parts"))) == 3
