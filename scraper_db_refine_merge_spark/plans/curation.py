@@ -655,3 +655,88 @@ def q136_lm_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep_versions=3,
         )
     return lm_index_drift(spark, root, 2, 3)
+
+
+# --------------------------------------------------------------------------
+# q137 — DSIR × STRATIFIED selection (q128's weights → q115's per-stratum
+# quotas): the step a real data-mixing pipeline runs. Importance
+# RESAMPLING made exact-integer: accept doc iff
+# ``md5_60bit(doc_id || '|rs') % 2·SCALE < dsir_weight`` — acceptance
+# probability proportional to the weight (a neutral-importance doc at
+# SCALE=1e6 keeps with p=0.5), hash-derived so the draw is retry- and
+# partition-stable, never rand(). Survivors then fill a per-stratum quota
+# (top-15 per lang by weight, doc-id tie-break) so one dominant language
+# cannot crowd out the mixture — the per-stratum window ranks only
+# accepted rows and emits a bounded sample per stratum. The oracle states
+# the identical md5/integer math over q128's CTE chain verbatim.
+@_register(
+    "q137_dsir_stratified_selection",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source = 'src0' AS is_target, unnest({_SQL_TOKS}) AS w
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT % 1024 AS BIGINT) AS b
+        FROM toks
+    ),
+    ct AS (SELECT b, COUNT(*) AS ct FROM bt WHERE is_target GROUP BY b),
+    cr AS (SELECT b, COUNT(*) AS cr FROM bt GROUP BY b),
+    tot AS (
+        SELECT COUNT(*) AS r, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t
+        FROM bt
+    ),
+    lut AS (
+        SELECT cr.b,
+               CAST(floor(
+                   (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) * CAST(tot.r + 1024 AS DOUBLE))
+                   / (CAST(cr.cr + 1 AS DOUBLE) * CAST(tot.t + 1024 AS DOUBLE))
+                   * 1000000.0 + 0.5) AS BIGINT) AS unit
+        FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+    ),
+    dsir AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(unit) // COUNT(*) AS BIGINT) AS dsir_weight
+        FROM bt JOIN lut USING (b)
+        GROUP BY doc_id
+    ),
+    accepted AS (
+        SELECT d.doc_id, doc.lang, d.n_tokens, d.dsir_weight
+        FROM dsir d JOIN documents doc USING (doc_id)
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|rs'), 1, 15))::UBIGINT
+                   % 2000000 AS BIGINT) < d.dsir_weight
+    )
+    SELECT doc_id, lang, n_tokens, dsir_weight, rn AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY dsir_weight DESC, doc_id) AS rn
+        FROM accepted
+    ) WHERE rn <= 15
+    """,
+)
+def q137_dsir_stratified_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.lm import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(d, "doc_id", "text", F.col("source") == "src0")
+    j = w.join(d.select("doc_id", "lang"), "doc_id")
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|rs"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2_000_000),
+    )
+    accepted = j.filter(u < F.col("dsir_weight"))
+    win = Window.partitionBy("lang").orderBy(F.col("dsir_weight").desc(), "doc_id")
+    return (
+        accepted.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 15)
+        .select("doc_id", "lang", "n_tokens", "dsir_weight", "rank")
+    )
