@@ -225,12 +225,13 @@ def pq_adc_topk(
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pd2").alias("adc_units"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_units", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
-        .select("query_id", "neighbor_id", "adc_units", "rank")
-    )
+    from .ranking import topk_per_group
+
+    # ADC scores are corpus-sized per query — two-phase top-k, not a
+    # per-query single-task window (see similarity.cosine_topk)
+    return topk_per_group(
+        scored, ["query_id"], [F.col("adc_units"), F.col("neighbor_id")], k_neighbors
+    ).select("query_id", "neighbor_id", "adc_units", "rank")
 
 
 def ivf_pq_topk(
@@ -318,12 +319,11 @@ def ivf_pq_topk(
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("pd2").alias("adc_units"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_units", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
-        .select("query_id", "neighbor_id", "adc_units", "rank")
-    )
+    from .ranking import topk_per_group
+
+    return topk_per_group(
+        scored, ["query_id"], [F.col("adc_units"), F.col("neighbor_id")], k_neighbors
+    ).select("query_id", "neighbor_id", "adc_units", "rank")
 
 
 def fold_pq_codes(spark, target_root: str, new_vectors: DataFrame, id_col: str, vec_col: str) -> None:

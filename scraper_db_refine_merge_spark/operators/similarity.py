@@ -93,12 +93,17 @@ def cosine_topk(
             ).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("__rn").alias("rank"))
-    )
+    # per-query top-k WITHOUT a per-query single-task sort: the scored set
+    # is corpus-sized per query, so a bare partitionBy(query_id) window is
+    # the straggler class ranking.py exists to kill (VERDICT r6 bench work)
+    from .ranking import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
 # ----------------------------------------------------------------------
@@ -213,12 +218,17 @@ def lsh_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_scale).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("__rn").alias("rank"))
-    )
+    # per-query top-k WITHOUT a per-query single-task sort: the scored set
+    # is corpus-sized per query, so a bare partitionBy(query_id) window is
+    # the straggler class ranking.py exists to kill (VERDICT r6 bench work)
+    from .ranking import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
 def label_centroids(
@@ -324,12 +334,17 @@ def ivf_topk(
             F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_scale).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", F.col("__rn").alias("rank"))
-    )
+    # per-query top-k WITHOUT a per-query single-task sort: the scored set
+    # is corpus-sized per query, so a bare partitionBy(query_id) window is
+    # the straggler class ranking.py exists to kill (VERDICT r6 bench work)
+    from .ranking import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
 def kmeans_cells(

@@ -158,6 +158,27 @@ def main():
 
         return sessionize_two_phase(e, ["user_id"], "ts", gap_sec=1800, order_tiebreak=["event_id"])
 
+    def _paths(e):
+        from scraper_db_refine_merge_spark.operators.skew import session_paths_two_phase
+
+        return session_paths_two_phase(
+            e, ["user_id"], "ts", gap_sec=1800, val_col="event_type",
+            order_tiebreak=["event_id"],
+        )
+
+    def _funnel2(e):
+        from scraper_db_refine_merge_spark.operators.skew import funnel_two_phase
+
+        return funnel_two_phase(
+            e, ["user_id"], "ts", ["signup", "click", "purchase"],
+            val_col="event_type", block_sec=86400, order_tiebreak=["event_id"],
+        )
+
+    def _pq(v):
+        from scraper_db_refine_merge_spark.operators.pq import pq_adc_topk
+
+        return pq_adc_topk(v, v.filter(F.col("vec_id") < 5), "vec_id", "embedding")
+
     def _ranked(e):
         from scraper_db_refine_merge_spark.operators.ranking import with_global_ranks
 
@@ -280,6 +301,26 @@ def main():
             "global_ranks(spend)",
             lambda: _ranked(base_evts).count(),
             lambda: _ranked(evts).count(),
+        ),
+        (
+            # q134's block-split ordered paths: per-user fragments must keep
+            # growth linear even as replicated per-user density explodes
+            "session_paths_two_phase",
+            lambda: _paths(base_evts).count(),
+            lambda: _paths(evts).count(),
+        ),
+        (
+            # q135's associative funnel-transition composition, same property
+            "funnel_two_phase",
+            lambda: _funnel2(base_evts).count(),
+            lambda: _funnel2(evts).count(),
+        ),
+        (
+            # q127's ADC scan with the r7 two-phase top-k: corpus-linear
+            # scoring, and no per-query single-task sort at the cut
+            "pq_adc_topk(5 queries)",
+            lambda: _pq(base_vecs).count(),
+            lambda: _pq(vecs).count(),
         ),
         (
             # pair OUTPUT grows ~quadratically in the replication factor
