@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.pagination import paginate
 from ..sources.tables import load_table
-from ._util import DEC, disc_price_sum, money_avg, money_sum, sql_money_avg, sql_money_sum
+from ._util import DEC, cents, disc_price_sum, money_avg, money_sum, sql_money_avg, sql_money_sum
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -167,27 +167,43 @@ def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    # Pre-reduce the dimension chain to ONE slim (c_custkey, r_name)
-    # relation before it meets the fact side: nation⨝region is 25 rows
-    # (constant — the only forced hints), folding it onto customer is a
-    # narrow map, and the fact chain then runs l⨝o⨝cnr — two broadcast
-    # builds instead of four sequential ones (measured 1.2 → 0.97 s at
-    # sf0.1; at cluster scale it's the star-schema denormalization that
-    # halves the number of exchanges on the fact path). cnr grows with SF
-    # like customer, so it carries NO hint — AQE decides (VERDICT r5).
+    # Two scale moves, no SF-growing hints anywhere:
+    # 1. Pre-reduce the dimension chain to ONE slim (c_custkey, r_name)
+    #    relation — nation⨝region is 25 rows (the only forced hints),
+    #    folding it onto customer is a narrow map.
+    # 2. EAGER AGGREGATION below the customer join: revenue/count are
+    #    summed per o_custkey FIRST (map-side combine shrinks each task's
+    #    output to its distinct custkeys), so the custkey exchange carries
+    #    ≤|customers| partial rows instead of the whole fact table, and the
+    #    cnr join runs on two customer-sized inputs — never a fact-sized
+    #    shuffle on the dimension key, never a customer-sized broadcast.
+    #    Exact: the 1e-4-dollar units are decimal-summed per custkey and
+    #    re-summed per region (associative integer arithmetic, same value
+    #    as the one-shot sum — oracle-gated). At sf0.1 this is wall-neutral
+    #    (AQE stage latency dominates); at 10^9+ fact rows it is the
+    #    difference between shuffling the fact table and shuffling the
+    #    customer dimension.
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
         "n_nationkey", "r_name"
     )
     cnr = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
         "c_custkey", "r_name"
     )
-    return (
+    units = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    per_cust = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(cnr, o.o_custkey == cnr.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(units.cast("decimal(38,0)")).alias("__rev_units"),
+            F.count("*").alias("__n"),
+        )
+    )
+    return (
+        per_cust.join(cnr, per_cust.o_custkey == cnr.c_custkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            disc_price_sum("l_extendedprice", "l_discount").alias("revenue"),
-            F.count("*").alias("lineitem_count"),
+            (F.sum("__rev_units") / 10000).cast("double").alias("revenue"),
+            F.sum("__n").alias("lineitem_count"),
         )
     )
 
