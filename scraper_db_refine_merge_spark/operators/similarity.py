@@ -625,3 +625,57 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    round_scale: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means-cluster the embedding corpus, restrict the quadratic near-dup
+    search to WITHIN each cluster, and elect one keeper per semantic
+    duplicate group (drop every vector that has a smaller-id neighbor with
+    cosine ≥ threshold in its cell — the same deterministic min-id election
+    q109's exact-dedup pipeline uses).
+
+    Returns one row per input vector: (id, cell, kept ∈ {0,1}).
+
+    Scale shape: the cluster assignment is a map-side broadcast pass
+    (``kmeans_cells``); the pair search is an equi-join on ``cell`` — the
+    per-cell quadratic is bounded by the largest cluster, never the corpus,
+    and ``k`` grows with the corpus to hold cluster sizes constant (the
+    SemDeDup paper runs k≈10⁵ over 5B embeddings). The dropped-set join is
+    id-keyed and AQE-sized — no forced broadcasts, no driver collection.
+
+    Deterministic end-to-end (hash-priority seeds, exact-decimal centroid
+    means, rounded cosines, total-order ties), so it carries a full SQL
+    oracle — reference analog: the canonicalization linkage election of
+    database/data_quality.py, lifted from key-equality to embedding space.
+    """
+    cells = kmeans_cells(df, id_col, vec_col, k, iters, round_scale)
+    a = cells.select(
+        "cell", F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
+    )
+    b = cells.select(
+        "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("__sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_scale))
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col("b_id").alias("__dropped_id"))
+        .distinct()
+    )
+    return cells.join(
+        dropped, cells[id_col] == F.col("__dropped_id"), "left"
+    ).select(
+        id_col,
+        "cell",
+        F.when(F.col("__dropped_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )

@@ -739,3 +739,73 @@ def q115_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rn") <= 10)
         .select("doc_id", "lang", F.col("weight").cast("int").alias("weight"), "sample_key")
     )
+
+
+# --------------------------------------------------------------------------
+# q139 — deterministic SOURCE-MIXING with epoch repetition: the operator a
+# training-data pipeline runs after curation — each source gets a mixture
+# factor r (epochs over that source, à la the published LLaMA/Gopher data
+# recipes); a document is emitted floor(r) times plus one md5-thinned extra
+# copy with probability frac(r). Hash-derived, never rand(): re-runs and
+# retried tasks emit the identical sample (the same property q47/q78/q115
+# pin for splits and weighted sampling). Scale shape: one narrow projection
+# + a per-row bounded explode — partition-preserving, no shuffle, no skew
+# (copy counts are ≤ ceil(max r), not data-dependent). Reference analog:
+# the per-source crawl scheduling weights of main_orchestrator.py lifted
+# into corpus construction.
+
+_MIX_EPOCHS = {"src0": 2.5, "src1": 2.0, "src2": 1.0, "src3": 0.5}
+_MIX_DEFAULT = 0.25
+
+
+def _mix_sql_case(fn) -> str:
+    branches = " ".join(
+        f"WHEN '{s}' THEN {fn(r)}" for s, r in _MIX_EPOCHS.items()
+    )
+    return f"CASE source {branches} ELSE {fn(_MIX_DEFAULT)} END"
+
+
+_SQL_MIX_U = (
+    "(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::UBIGINT"
+    " / 4294967296.0)"
+)
+
+
+@_register(
+    "q139_source_mix",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               {_mix_sql_case(lambda r: int(r))}
+               + CASE WHEN {_SQL_MIX_U} < {_mix_sql_case(lambda r: round(r - int(r), 2))}
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(unnest(range(0, n_copies)) AS BIGINT) AS epoch
+    FROM base
+    """,
+)
+def q139_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    floor_part = F.lit(int(_MIX_DEFAULT))
+    frac_part = F.lit(round(_MIX_DEFAULT - int(_MIX_DEFAULT), 2))
+    for s, r in _MIX_EPOCHS.items():
+        floor_part = F.when(F.col("source") == s, F.lit(int(r))).otherwise(floor_part)
+        frac_part = F.when(F.col("source") == s, F.lit(round(r - int(r), 2))).otherwise(
+            frac_part
+        )
+    u = hash_unit(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    n_copies = floor_part + F.when(u < frac_part, F.lit(1)).otherwise(F.lit(0))
+    return (
+        d.select("doc_id", "source", n_copies.alias("__n"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(
+                    F.col("__n") > 0, F.sequence(F.lit(0), F.col("__n") - 1)
+                ).otherwise(F.expr("CAST(array() AS array<int>)"))
+            ).alias("__epoch"),
+        )
+        .select("doc_id", "source", F.col("__epoch").cast("bigint").alias("epoch"))
+    )

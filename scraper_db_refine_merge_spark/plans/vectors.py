@@ -334,7 +334,9 @@ def _sql_update(assign_cte: str, out: str) -> str:
     )"""
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
+    """The shared CTE chain replaying kmeans_cells(k=_KM_K, iters=_KM_ITERS);
+    ends with ``final`` = (vec_id, qv, cell). Reused by q51 and q138."""
     parts = [
         f"""
     seeds AS (
@@ -350,9 +352,12 @@ def _kmeans_oracle() -> str:
         parts.append(_sql_assign(f"cent{i}", f"assign{i}"))
         parts.append(_sql_update(f"assign{i}", f"cent{i + 1}"))
     parts.append(_sql_assign(f"cent{_KM_ITERS}", "final"))
-    ctes = ",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_oracle() -> str:
     return f"""
-    WITH {ctes}
+    WITH {_kmeans_ctes()}
     SELECT cell, COUNT(*) AS n_vectors,
            MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
     FROM final GROUP BY cell
@@ -694,4 +699,46 @@ def q133_trained_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5)
     return pq_adc_topk(
         e, queries, "vec_id", "embedding", k_neighbors=5, train_iters=_PQT_ITERS
+    )
+
+
+# --------------------------------------------------------------------------
+# q138 — SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, public): k-means
+# cluster the embeddings (q51's deterministic machinery), restrict the
+# quadratic near-dup search to WITHIN each cluster, drop every vector with a
+# smaller-id neighbor at cosine ≥ threshold in its cell. The cluster-bounded
+# quadratic is SemDeDup's scale trick: k grows with the corpus so per-cell
+# pair counts stay constant, and the cell equi-join buckets cleanly at
+# 10^9 vectors where q42's exact all-pairs grid cannot run.
+
+_SD_THRESHOLD = 0.4
+
+
+def _semantic_dedup_oracle() -> str:
+    return f"""
+    WITH {_kmeans_ctes()},
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.qv AS qv, b.qv AS cv
+        FROM final a JOIN final b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT b_id FROM (
+            SELECT b_id,
+                   ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS sim
+            FROM pairs
+        ) WHERE sim >= {_SD_THRESHOLD}
+    )
+    SELECT f.vec_id, f.cell,
+           CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM final f LEFT JOIN dropped d ON f.vec_id = d.b_id
+    """
+
+
+@_register("q138_semantic_dedup", _semantic_dedup_oracle())
+def q138_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, k=_KM_K, iters=_KM_ITERS, threshold=_SD_THRESHOLD
     )

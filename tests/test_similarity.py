@@ -199,3 +199,45 @@ def test_lsh_topk_ragged_query_uses_dynamic_buckets(spark):
         .collect()
     )
     assert got == want
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    from scraper_db_refine_merge_spark.operators.similarity import semantic_dedup
+
+    # v10 is an exact copy of v1 (cosine 1.0 — same cell, any centroids);
+    # the rest are axis-aligned and mutually orthogonal (cosine 0).
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, k=2, iters=1, threshold=0.9).collect()}
+
+    assert len(out) == 5  # one row per input vector
+    assert out[1]["kept"] == 1  # min-id keeper survives
+    assert out[10]["kept"] == 0  # its exact copy is dropped
+    assert out[10]["cell"] == out[1]["cell"]  # identical vectors share a cell
+    # orthogonal vectors are never semantic dups of anything
+    for vid in (2, 3, 4):
+        assert out[vid]["kept"] == 1
+
+
+def test_semantic_dedup_deterministic_under_repartition(spark):
+    from scraper_db_refine_merge_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # planted exact copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = sorted(map(tuple, semantic_dedup(df, k=4, iters=2, threshold=0.95).collect()))
+    b = sorted(
+        map(tuple, semantic_dedup(df.repartition(13), k=4, iters=2, threshold=0.95).collect())
+    )
+    assert a == b
+    kept = {vid for vid, _, k in a if k == 1}
+    for i in range(5):  # every planted copy lost to its min-id original
+        assert 100 + i not in kept
+        assert i in kept
