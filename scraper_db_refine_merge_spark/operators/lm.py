@@ -99,8 +99,20 @@ def _score_with_counts(
     ``n_bigrams``. For the gated score-the-folded-corpus case every doc
     bigram exists in the counts, so both forms agree; the left join makes
     scoring NEW documents against a frozen index correct too.
+
+    Overflow headroom (ROADMAP r6 1a(e) probe, verified r7): the numerator
+    is widened to DECIMAL(38,0) BEFORE the multiply — as a BIGINT product,
+    ``(c12+1)·scale`` wraps silently once a bigram count passes ~9.2e18/scale
+    (≈9e9 at the default nano-scale; a 100 TB corpus exceeds that for stop
+    bigrams). Spark's ``div`` on a decimal dividend truncates toward zero
+    exactly like BIGINT ``div`` / DuckDB HUGEINT ``//`` (differential-tested
+    in tests/test_lm.py), and the QUOTIENT always fits BIGINT because
+    c12 ≤ c1 bounds it by ``scale``. The decimal widening touches only the
+    per-bigram multiply; sums stay BIGINT (unit ≤ scale, docs are bounded).
     """
-    unit = F.expr(f"((coalesce(c12, 0) + 1) * {scale}L) div (coalesce(c1, 0) + v)")
+    unit = F.expr(
+        f"(CAST(coalesce(c12, 0) + 1 AS DECIMAL(38,0)) * {scale}) div (coalesce(c1, 0) + v)"
+    )
     scored = (
         bi.join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")

@@ -76,3 +76,53 @@ def test_unseen_bigrams_get_add_one_smoothing(spark, tmp_path):
     expect_units = [LM_SCALE // 4, LM_SCALE // 3]
     assert r["n_bigrams"] == 2
     assert r["lm_score"] == sum(expect_units) // 2
+
+
+def test_decimal_div_parity_beyond_bigint(spark):
+    """ROADMAP 1a(e) probe, pinned: Spark `DECIMAL(38,0) div BIGINT` equals
+    DuckDB `HUGEINT //` (truncation toward zero) for numerators far beyond
+    2^63 — the property that lets the integer-unit LM/DSIR operators carry
+    corpus counts past the BIGINT product ceiling. Also pins the failure
+    mode that motivated the fix: the BIGINT product itself wraps."""
+    import duckdb
+
+    # numerators beyond 2^63; quotients within BIGINT — the operator
+    # contract (unit ≤ scale because c12 ≤ c1). A quotient that itself
+    # exceeds 2^63 wraps (Spark div returns BIGINT) — out of contract.
+    cases = [
+        (2**70 + 12345, 2**20 + 9),
+        (2**89 - 1, 2**40 + 7),
+        (10**27 + 11, 10**9 + 7),
+        (123456789012345678901234567, 1000000007),
+    ]
+    for a, b in cases:
+        s = spark.sql(
+            f"SELECT CAST('{a}' AS DECIMAL(38,0)) div CAST({b} AS BIGINT) AS q"
+        ).collect()[0]["q"]
+        d = duckdb.sql(
+            f"SELECT CAST(CAST('{a}' AS HUGEINT) // {b} AS VARCHAR) AS q"
+        ).fetchone()[0]
+        assert int(d) == s == a // b  # positive operands: floor == trunc
+
+    # truncation direction (both engines: toward zero, NOT floor)
+    for a, b in [(-7, 2), (7, -2), (-7, -2)]:
+        s = spark.sql(f"SELECT CAST({a} AS DECIMAL(38,0)) div CAST({b} AS BIGINT) AS q").collect()[0]["q"]
+        d = duckdb.sql(f"SELECT {a} // {b} AS q").fetchone()[0]
+        assert s == d == int(a / b)
+
+
+def test_lm_unit_no_overflow_at_huge_counts(spark):
+    """The widened numerator computes the true quotient where the old
+    BIGINT product would have wrapped: c12 = 2^40 at nano-scale makes
+    (c12+1)*1e9 ≈ 1.1e21 > 2^63."""
+    from pyspark.sql import functions as F
+
+    c12, c1, v, scale = 2**40, 2**41, 50_000, 1_000_000_000
+    row = spark.createDataFrame([(c12, c1, v)], "c12 long, c1 long, v long")
+    got = row.select(
+        F.expr(
+            f"(CAST(coalesce(c12, 0) + 1 AS DECIMAL(38,0)) * {scale}) div (coalesce(c1, 0) + v)"
+        ).alias("unit")
+    ).collect()[0]["unit"]
+    assert got == ((c12 + 1) * scale) // (c1 + v)  # exact, ~scale/2
+    assert (c12 + 1) * scale > 2**63  # the case BIGINT arithmetic cannot carry
