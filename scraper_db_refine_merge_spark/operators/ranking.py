@@ -164,3 +164,41 @@ def topk_per_group(
         survivors.withColumn(rank_col, F.row_number().over(final))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: Column,
+    out_col: str = "cum_sum",
+) -> DataFrame:
+    """Exact running total over a TOTAL order without a single-task window.
+
+    ``SUM() OVER (ORDER BY …)`` with no partition key is the same
+    single-point-of-scale failure as the global rank window; the classic
+    distributed prefix-sum fixes it with the with_global_ranks shape:
+    range-partition on the order, local running sum per range, per-partition
+    totals → cumulative offsets (|partitions| rows, config-bounded), add.
+
+    ``order_cols`` must be a total order (include a unique tie-break):
+    running sums are ROWS-frame semantics, and with ties the per-row prefix
+    is otherwise nondeterministic — the same contract topk_per_group pins.
+    """
+    rp = df.repartitionByRange(*order_cols)
+    d = rp.withColumn("__pid", F.spark_partition_id()).withColumn("__v", value_col)
+    wl = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__lcs", F.sum("__v").over(wl))
+    stats = d.groupBy("__pid").agg(F.sum("__v").alias("__pt"))
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "__pid", F.coalesce(F.sum("__pt").over(wo), F.lit(0)).alias("__off")
+    )
+    return (
+        d.join(offsets, "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lcs"))
+        .drop("__pid", "__v", "__lcs", "__off")
+    )

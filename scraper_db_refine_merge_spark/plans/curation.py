@@ -740,3 +740,57 @@ def q137_dsir_stratified_selection(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rank") <= 15)
         .select("doc_id", "lang", "n_tokens", "dsir_weight", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — token-budget CURRICULUM SCHEDULE: order the corpus shortest-first
+# (the classic length-curriculum), running-total the token costs, and cut
+# the order into fixed token-budget macro-batches. The running total is the
+# distributed prefix sum (operators/ranking.global_cumsum — range partition
+# + local cumsum + offset add), NOT an unpartitioned SUM() OVER window: at
+# 10^9 docs the single-task global window is the straggler/OOM class every
+# r6/r7 ranking operator exists to kill. Token cost reuses q114's gated
+# whitespace tokenizer pair. Reference analog: the batched processing
+# order of database/data_migration.py's migration loop, lifted to a
+# token-budget schedule.
+
+_CUR_BUDGET = 4096
+
+
+@_register(
+    "q140_curriculum_schedule",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY n_chars, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST((cum_tokens - 1) // {_CUR_BUDGET} AS BIGINT) AS batch_idx
+    FROM c
+    """,
+)
+def q140_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.ranking import global_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", token_count(F.col("text")).alias("n_tokens")
+    )
+    cum = global_cumsum(
+        d, [F.col("n_chars"), F.col("doc_id")], F.col("n_tokens"), "cum_tokens"
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.expr(f"(cum_tokens - 1) div {_CUR_BUDGET}").cast("bigint").alias("batch_idx"),
+    )

@@ -115,3 +115,49 @@ def test_global_ranks_with_nulls_in_order_keys(spark):
         ).collect()
     }
     assert got == naive
+
+
+def test_global_cumsum_equals_single_window(spark, sf_dir):
+    from scraper_db_refine_merge_spark.operators.ranking import global_cumsum
+
+    spend = _spend(spark, sf_dir)
+    order = [F.col("cents").desc(), F.col("user_id")]
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = sorted(
+        map(tuple, spend.select("user_id", "cents", F.sum("cents").over(w).alias("cs")).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            global_cumsum(spend, order, F.col("cents"), "cs")
+            .select("user_id", "cents", "cs")
+            .collect(),
+        )
+    )
+    assert got == naive
+    # determinism under repartition
+    again = sorted(
+        map(
+            tuple,
+            global_cumsum(spend.repartition(17), order, F.col("cents"), "cs")
+            .select("user_id", "cents", "cs")
+            .collect(),
+        )
+    )
+    assert again == naive
+
+
+def test_global_cumsum_no_unpartitioned_window_over_data(spark, sf_dir):
+    from scraper_db_refine_merge_spark.operators.ranking import global_cumsum
+
+    spend = _spend(spark, sf_dir)
+    out = global_cumsum(
+        spend, [F.col("cents").desc(), F.col("user_id")], F.col("cents"), "cs"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    data_windows = [ln for ln in plan.splitlines() if "Window" in ln and "__lcs" in ln]
+    assert data_windows and all("__pid" in ln for ln in data_windows), data_windows
