@@ -651,6 +651,9 @@ def semantic_dedup(
     and ``k`` grows with the corpus to hold cluster sizes constant (the
     SemDeDup paper runs k≈10⁵ over 5B embeddings). The dropped-set join is
     id-keyed and AQE-sized — no forced broadcasts, no driver collection.
+    Centroid assignment is O(n·k) dot products (a map-side broadcast scan);
+    once k itself is huge, swap the assignment stage for the IVF-PQ coarse
+    quantizer (operators/pq.py) — the election stages here are unchanged.
 
     Deterministic end-to-end (hash-priority seeds, exact-decimal centroid
     means, rounded cosines, total-order ties), so it carries a full SQL

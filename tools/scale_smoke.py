@@ -179,6 +179,25 @@ def main():
 
         return pq_adc_topk(v, v.filter(F.col("vec_id") < 5), "vec_id", "embedding")
 
+    def _cumsum(e):
+        from scraper_db_refine_merge_spark.operators.ranking import global_cumsum
+
+        spend = (
+            e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.sum(F.floor(F.col("value") * 100)).alias("cents"))
+        )
+        return global_cumsum(
+            spend, [F.col("cents").desc(), F.col("user_id")], F.col("cents"), "cs"
+        )
+
+    def _semdedup(v):
+        from scraper_db_refine_merge_spark.operators.similarity import semantic_dedup
+
+        # k grows with the corpus (the SemDeDup contract) so per-cell pair
+        # counts — the quadratic term — stay constant across the 10x step
+        return semantic_dedup(v, k=max(8, v.count() // 250), iters=1, threshold=0.4)
+
     def _ranked(e):
         from scraper_db_refine_merge_spark.operators.ranking import with_global_ranks
 
@@ -321,6 +340,20 @@ def main():
             "pq_adc_topk(5 queries)",
             lambda: _pq(base_vecs).count(),
             lambda: _pq(vecs).count(),
+        ),
+        (
+            # q140's distributed prefix sum: range partition + offsets —
+            # growth must stay linear, never a single-task global window
+            "global_cumsum(spend)",
+            lambda: _cumsum(base_evts).count(),
+            lambda: _cumsum(evts).count(),
+        ),
+        (
+            # q138 SemDeDup: k scales with the corpus so the per-cell
+            # quadratic stays bounded; output is per-vector (linear)
+            "semantic_dedup(k~n/250)",
+            lambda: _semdedup(base_vecs).count(),
+            lambda: _semdedup(vecs).count(),
         ),
         (
             # pair OUTPUT grows ~quadratically in the replication factor
