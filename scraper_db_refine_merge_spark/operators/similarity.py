@@ -368,6 +368,21 @@ def kmeans_cells(
     Returns final (id, vec, cell) assignments. Fixed ``iters`` rather than
     convergence-test keeps the plan static and the oracle mirrorable.
     """
+    cents = kmeans_centroids(df, id_col, vec_col, k, iters, round_scale)
+    return ivf_assign(df, cents, id_col, vec_col, "cell", round_scale)
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    round_scale: int = 5,
+) -> DataFrame:
+    """The trained (cell, centroid) table of :func:`kmeans_cells` — exposed
+    separately so train-once/assign-forever indexes (fold_semantic_index)
+    can freeze the centroids from their first batch."""
     from pyspark.sql import Window
 
     key = F.md5(F.col(id_col).cast("string"))
@@ -382,7 +397,7 @@ def kmeans_cells(
         assigned = ivf_assign(df, cents, id_col, vec_col, "cell", round_scale)
         cents = label_centroids(assigned, vec_col, "cell")
 
-    return ivf_assign(df, cents, id_col, vec_col, "cell", round_scale)
+    return cents
 
 
 def brute_force_near_dup_pairs(
@@ -678,6 +693,81 @@ def semantic_dedup(
     return cells.join(
         dropped, cells[id_col] == F.col("__dropped_id"), "left"
     ).select(
+        id_col,
+        "cell",
+        F.when(F.col("__dropped_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
+
+
+def fold_semantic_index(
+    spark,
+    target_root: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    round_scale: int = 5,
+) -> None:
+    """Fold a batch of NEW vectors into a persistent semantic-dedup index
+    (the incremental form of :func:`semantic_dedup`, same lifecycle as
+    fold_pq_codes: train once, fold forever).
+
+    - Batch 0 trains the k-means centroids and FREEZES them (re-fitting
+      would silently re-cell every previously indexed vector).
+    - Every batch: assign new vectors to the frozen centroids (map-side
+      broadcast pass), score ONLY the pairs that involve a new vector —
+      new×stored plus new×new within each cell — and append the losers
+      (the larger id of any pair at cosine ≥ threshold) to an append-only
+      ``dropped`` log. A kept flag is NOT stored: keeping is "not in the
+      dropped log", and the log is monotone — a later batch can demote a
+      stored vector (smaller new id arrives), never revive one. Because
+      every qualifying pair is scored exactly when its later-arriving
+      member folds, the accumulated state equals the one-shot election
+      under the same frozen centroids at ANY batch order after batch 0
+      (pinned by tests and the q141 oracle).
+    - Commit I/O is O(batch): centroids once, per-batch ``vectors`` and
+      ``dropped`` parts under one atomic manifest pointer.
+    """
+    from ..streaming.store import store_commit_parts, store_read_part
+
+    cents = store_read_part(spark, target_root, "centroids")
+    parts = {}
+    if cents is None:
+        cents = kmeans_centroids(new_vectors, id_col, vec_col, k, iters, round_scale)
+        parts["centroids"] = cents
+    assigned = ivf_assign(new_vectors, cents, id_col, vec_col, "cell", round_scale)
+
+    stored = store_read_part(spark, target_root, "vectors")
+    universe = assigned if stored is None else assigned.unionByName(stored)
+    n = assigned.select(
+        "cell", F.col(id_col).alias("__n_id"), F.col(vec_col).alias("__nv")
+    )
+    u = universe.select(
+        "cell", F.col(id_col).alias("__u_id"), F.col(vec_col).alias("__uv")
+    )
+    dropped = (
+        n.join(u, "cell")
+        .filter(F.col("__n_id") != F.col("__u_id"))
+        .withColumn("__sim", F.round(cosine(F.col("__nv"), F.col("__uv")), round_scale))
+        .filter(F.col("__sim") >= threshold)
+        .select(F.greatest("__n_id", "__u_id").alias(id_col))
+        .distinct()
+    )
+    parts["vectors"] = assigned
+    parts["dropped"] = dropped
+    store_commit_parts(parts, target_root)
+
+
+def semantic_index_state(spark, target_root: str, id_col: str = "vec_id") -> DataFrame:
+    """Accumulated (id, cell, kept) of a folded semantic-dedup index."""
+    from ..streaming.store import store_read_part
+
+    vecs = store_read_part(spark, target_root, "vectors")
+    dropped = store_read_part(spark, target_root, "dropped")
+    d = dropped.select(F.col(id_col).alias("__dropped_id")).distinct()
+    return vecs.join(d, vecs[id_col] == F.col("__dropped_id"), "left").select(
         id_col,
         "cell",
         F.when(F.col("__dropped_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),

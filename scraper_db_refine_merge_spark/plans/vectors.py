@@ -302,7 +302,7 @@ def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS = 8, 2
 
 
-def _sql_assign(cent_cte: str, out: str) -> str:
+def _sql_assign(cent_cte: str, out: str, src: str = "embeddings") -> str:
     return f"""
     {out} AS (
         SELECT vec_id, qv, cell FROM (
@@ -311,7 +311,7 @@ def _sql_assign(cent_cte: str, out: str) -> str:
             FROM (
                 SELECT e.vec_id, e.embedding AS qv, c.cell, c.cv,
                        ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS sim
-                FROM embeddings e CROSS JOIN {cent_cte} c
+                FROM {src} e CROSS JOIN {cent_cte} c
             )
         ) WHERE rn = 1
     )"""
@@ -334,24 +334,27 @@ def _sql_update(assign_cte: str, out: str) -> str:
     )"""
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(train_src: str = "embeddings", final_src: str | None = None) -> str:
     """The shared CTE chain replaying kmeans_cells(k=_KM_K, iters=_KM_ITERS);
-    ends with ``final`` = (vec_id, qv, cell). Reused by q51 and q138."""
+    ends with ``final`` = (vec_id, qv, cell). Reused by q51 and q138;
+    ``train_src``/``final_src`` split train-vs-assign populations for the
+    frozen-centroid incremental index (q141): centroids are fitted on
+    ``train_src`` only, the final assignment covers ``final_src``."""
     parts = [
         f"""
     seeds AS (
         SELECT embedding,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-        FROM embeddings
+        FROM {train_src}
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         LIMIT {_KM_K}
     )""",
         "cent0 AS (SELECT cell, embedding AS cv FROM seeds)",
     ]
     for i in range(_KM_ITERS):
-        parts.append(_sql_assign(f"cent{i}", f"assign{i}"))
+        parts.append(_sql_assign(f"cent{i}", f"assign{i}", train_src))
         parts.append(_sql_update(f"assign{i}", f"cent{i + 1}"))
-    parts.append(_sql_assign(f"cent{_KM_ITERS}", "final"))
+    parts.append(_sql_assign(f"cent{_KM_ITERS}", "final", final_src or train_src))
     return ",".join(parts)
 
 
@@ -742,3 +745,55 @@ def q138_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, k=_KM_K, iters=_KM_ITERS, threshold=_SD_THRESHOLD
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — INCREMENTAL semantic-dedup index: q138's election maintained as a
+# fold (operators/similarity.fold_semantic_index). Centroids train on batch
+# 0 and freeze; each batch assigns its vectors, scores only new×(stored ∪
+# new) pairs within cells, and appends losers to an append-only dropped
+# log — commit I/O is O(batch), and the accumulated state equals the
+# one-shot frozen-centroid election (the oracle states exactly that:
+# k-means fitted on the batch-0 subset, assignment + election over the
+# whole corpus).
+
+
+def _semantic_index_oracle() -> str:
+    return f"""
+    WITH b0 AS (SELECT * FROM embeddings WHERE vec_id % 3 = 0),
+    {_kmeans_ctes(train_src="b0", final_src="embeddings")},
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.qv AS qv, b.qv AS cv
+        FROM final a JOIN final b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT b_id FROM (
+            SELECT b_id,
+                   ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS sim
+            FROM pairs
+        ) WHERE sim >= {_SD_THRESHOLD}
+    )
+    SELECT f.vec_id, f.cell,
+           CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM final f LEFT JOIN dropped d ON f.vec_id = d.b_id
+    """
+
+
+@_register("q141_incremental_semantic_index", _semantic_index_oracle())
+def q141_incremental_semantic_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.similarity import fold_semantic_index, semantic_index_state
+
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="q141_sem_")
+    for i in range(3):
+        fold_semantic_index(
+            spark,
+            root,
+            e.filter(F.col("vec_id") % 3 == i),
+            k=_KM_K,
+            iters=_KM_ITERS,
+            threshold=_SD_THRESHOLD,
+        )
+    return semantic_index_state(spark, root)

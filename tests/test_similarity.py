@@ -241,3 +241,50 @@ def test_semantic_dedup_deterministic_under_repartition(spark):
     for i in range(5):  # every planted copy lost to its min-id original
         assert 100 + i not in kept
         assert i in kept
+
+
+def test_semantic_index_fold_order_invariant(spark, tmp_path):
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        fold_semantic_index,
+        semantic_index_state,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(6)]  # copies of ids 0..5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b0 = df.filter("vec_id % 3 = 0")
+    b1 = df.filter("vec_id % 3 = 1")
+    b2 = df.filter("vec_id % 3 = 2")
+
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for root, order in ((r1, (b1, b2)), (r2, (b2, b1))):
+        fold_semantic_index(spark, root, b0, k=4, iters=1, threshold=0.95)
+        for b in order:
+            fold_semantic_index(spark, root, b, k=4, iters=1, threshold=0.95)
+
+    a = sorted(map(tuple, semantic_index_state(spark, r1).collect()))
+    b = sorted(map(tuple, semantic_index_state(spark, r2).collect()))
+    assert a == b  # same first batch -> same frozen centroids -> same state
+
+
+def test_semantic_index_late_small_id_demotes_stored_vector(spark, tmp_path):
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        fold_semantic_index,
+        semantic_index_state,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    root = str(tmp_path / "idx")
+    batch0 = spark.createDataFrame(
+        [(50, v), (60, w)], "vec_id long, embedding array<double>"
+    )
+    fold_semantic_index(spark, root, batch0, k=2, iters=1, threshold=0.9)
+    st = {r["vec_id"]: r["kept"] for r in semantic_index_state(spark, root).collect()}
+    assert st == {50: 1, 60: 1}
+
+    # a LATER batch with a SMALLER id that duplicates stored id 50
+    batch1 = spark.createDataFrame([(7, v)], "vec_id long, embedding array<double>")
+    fold_semantic_index(spark, root, batch1, threshold=0.9)
+    st = {r["vec_id"]: r["kept"] for r in semantic_index_state(spark, root).collect()}
+    assert st == {7: 1, 50: 0, 60: 1}  # stored 50 demoted, new min-id 7 kept

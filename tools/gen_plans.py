@@ -37,6 +37,12 @@ NAMES = [
     "q125_skewed_latest_per_key", "q74_kmv_distinct",
     "q126_bigram_lm_score", "q127_pq_adc_topk", "q128_dsir_weights",
     "q130_ivf_pq_topk", "q131_incremental_pq_codes", "q132_dsir_selection",
+    # r7 additions: block-split ordered paths/funnels, trained PQ, LM drift,
+    # DSIR×stratified, SemDeDup, source mixing, distributed prefix sum
+    "q133_trained_pq_adc", "q134_skewed_session_paths",
+    "q135_skewed_ordered_funnel", "q136_lm_index_drift",
+    "q137_dsir_stratified_selection", "q138_semantic_dedup",
+    "q139_source_mix", "q140_curriculum_schedule",
 ]
 
 
