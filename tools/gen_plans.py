@@ -43,6 +43,7 @@ NAMES = [
     "q135_skewed_ordered_funnel", "q136_lm_index_drift",
     "q137_dsir_stratified_selection", "q138_semantic_dedup",
     "q139_source_mix", "q140_curriculum_schedule",
+    "q141_incremental_semantic_index",
 ]
 
 
