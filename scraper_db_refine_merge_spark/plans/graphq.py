@@ -392,30 +392,29 @@ def q117_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays as the bounded-key baseline its oracle mirrors directly.
 @_register(
     "q118_ordered_funnel",
+    # ORACLE NOTE (r7): originally a list_reduce fold of the funnel
+    # automaton — rewritten because DuckDB 1.0.0's list_reduce leaks its
+    # accumulator ACROSS ROWS under vectorized evaluation (reproduced:
+    # 1944/5000 folds wrong, an all-zero list "reaching" stage 3; caught by
+    # the q135 sf0.1 gate). This min-position chain is the same greedy
+    # automaton in pure ANSI SQL: stage ≥ s iff stage-value s occurs after
+    # the chain position of stage s-1 (earliest-match greediness is exactly
+    # what the fold computed).
     """
-    WITH seq AS (
-        SELECT user_id, list(event_type ORDER BY ts, event_id) AS path
-        FROM events GROUP BY 1
+    WITH ord AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
     ),
-    m AS (
-        SELECT user_id,
-               list_reduce(
-                   list_prepend(0,
-                       list_transform(path, x ->
-                           CASE x WHEN 'click' THEN 1 WHEN 'error' THEN 2
-                                  WHEN 'purchase' THEN 3 ELSE 0 END)),
-                   (acc, x) -> CASE
-                       WHEN acc = 0 AND x = 1 THEN 1
-                       WHEN acc = 1 AND x = 2 THEN 2
-                       WHEN acc = 2 AND x = 3 THEN 3
-                       ELSE acc END
-               ) AS stage
-        FROM seq
-    )
-    SELECT CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
-           CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_error_after,
-           CAST(SUM(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase_after
-    FROM m
+    s1 AS (SELECT user_id, MIN(rn) AS r1 FROM ord
+           WHERE event_type = 'click' GROUP BY 1),
+    s2 AS (SELECT o.user_id, MIN(o.rn) AS r2 FROM ord o JOIN s1 USING (user_id)
+           WHERE o.event_type = 'error' AND o.rn > s1.r1 GROUP BY 1),
+    s3 AS (SELECT o.user_id, MIN(o.rn) AS r3 FROM ord o JOIN s2 USING (user_id)
+           WHERE o.event_type = 'purchase' AND o.rn > s2.r2 GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS reached_click,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS reached_error_after,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS reached_purchase_after
     """,
 )
 def q118_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,35 +660,31 @@ def q134_skewed_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole-sequence fold over the same remapped stream.
 @_register(
     "q135_skewed_ordered_funnel",
+    # ORACLE NOTE (r7): list_reduce fold replaced by the ANSI min-position
+    # chain — DuckDB 1.0.0's list_reduce corrupts folds across rows (see
+    # q118's oracle note; THIS gate caught it at sf0.1, where the corrupt
+    # oracle disagreed with both Spark and a scalar re-execution of its own
+    # fold on its own correctly-ordered lists).
     """
     WITH remapped AS (
         SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS user_id,
                event_id, event_type, ts
         FROM events
     ),
-    seq AS (
-        SELECT user_id, list(event_type ORDER BY ts, event_id) AS path
-        FROM remapped GROUP BY 1
+    ord AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM remapped
     ),
-    m AS (
-        SELECT user_id,
-               list_reduce(
-                   list_prepend(0,
-                       list_transform(path, x ->
-                           CASE x WHEN 'click' THEN 1 WHEN 'error' THEN 2
-                                  WHEN 'purchase' THEN 3 ELSE 0 END)),
-                   (acc, x) -> CASE
-                       WHEN acc = 0 AND x = 1 THEN 1
-                       WHEN acc = 1 AND x = 2 THEN 2
-                       WHEN acc = 2 AND x = 3 THEN 3
-                       ELSE acc END
-               ) AS stage
-        FROM seq
-    )
-    SELECT CAST(SUM(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
-           CAST(SUM(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_error_after,
-           CAST(SUM(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase_after
-    FROM m
+    s1 AS (SELECT user_id, MIN(rn) AS r1 FROM ord
+           WHERE event_type = 'click' GROUP BY 1),
+    s2 AS (SELECT o.user_id, MIN(o.rn) AS r2 FROM ord o JOIN s1 USING (user_id)
+           WHERE o.event_type = 'error' AND o.rn > s1.r1 GROUP BY 1),
+    s3 AS (SELECT o.user_id, MIN(o.rn) AS r3 FROM ord o JOIN s2 USING (user_id)
+           WHERE o.event_type = 'purchase' AND o.rn > s2.r2 GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS reached_click,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS reached_error_after,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS reached_purchase_after
     """,
 )
 def q135_skewed_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
