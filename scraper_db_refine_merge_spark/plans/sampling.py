@@ -809,3 +809,158 @@ def q139_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("__epoch").cast("bigint").alias("epoch"))
     )
+
+
+# --------------------------------------------------------------------------
+# q142 — deterministic SHARD EXPORT manifest: the training-data writer step.
+# A reproducible global permutation (order by md5(doc_id) — never rand(),
+# so retries/re-runs/partitioning changes produce the identical layout),
+# cut into N contiguous balanced shards (ntile over the permuted order),
+# with a per-shard manifest row: doc count, token total, global-index range,
+# and an ORDER-INDEPENDENT content fingerprint (sum of 48-bit id-hash units
+# mod 2^31 — commutative, so the fingerprint is partitioning-invariant and
+# two exports can be diffed shard-by-shard without reading data files).
+# Scale shape: the permutation + ntile is operators/ranking.with_global_ranks
+# (range partition + local windows + offset join — NO unpartitioned global
+# window); the manifest aggregation is N_SHARDS groups with map-side partial
+# agg. The fingerprint sums in DECIMAL(38,0) (no 2^63 ceiling at corpus
+# scale) and reduces mod 2^31 before emit (pandas-layer degradation gotcha).
+# Reference analog: the batched export loops of database/export_*.py scripts
+# lifted to a reproducible sharded corpus layout.
+
+_N_SHARDS = 16
+
+
+@_register(
+    "q142_shard_export_manifest",
+    rf"""
+    WITH t AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS pk,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS fp_unit
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tokens, fp_unit,
+               ROW_NUMBER() OVER (ORDER BY pk, doc_id) AS idx,
+               CAST(NTILE({_N_SHARDS}) OVER (ORDER BY pk, doc_id) AS INTEGER) AS shard
+        FROM t
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(idx) AS first_idx,
+           MAX(idx) AS last_idx,
+           CAST(SUM(fp_unit) % 2147483648 AS BIGINT) AS content_fp
+    FROM o
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q142_shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.ranking import with_global_ranks
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("pk"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("fp_unit"),
+    )
+    r = with_global_ranks(
+        d,
+        [F.col("pk"), F.col("doc_id")],
+        ["pk", "doc_id"],
+        rank_col="idx",  # unique order => rank == row_number
+        ntile=("shard", _N_SHARDS),
+    )
+    return (
+        r.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("idx").alias("first_idx"),
+            F.max("idx").alias("last_idx"),
+            F.expr(
+                "CAST(pmod(SUM(CAST(fp_unit AS DECIMAL(38,0))), 2147483648) AS BIGINT)"
+            ).alias("content_fp"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# q143 — n-gram CONTAMINATION OVERLAP report: for every eval-split document
+# (q47's hash split, unit >= 0.9), the fraction of its distinct 5-token
+# shingles that also occur anywhere in the train split (unit < 0.8) — the
+# GPT-3-appendix-style overlap statistic that q49 (exact-hash drop) and
+# q103/q124 (shared-run detection) don't give: HOW contaminated each eval
+# doc is, not just whether. Shingling is the gated q24/q25 pair
+# (dedup.word_shingles k=5 / the _SQL_SHINGLES CTE); matching keys are
+# md5(shingle) so the shuffle carries 32-byte keys, not raw 5-gram text.
+# The overlap bucket is pure integer arithmetic ((10*matched) div total,
+# 0..10) — no float rounding to diverge cross-engine. Docs under 5 tokens
+# have no shingles and are absent, as in every shingle-family query.
+# Scale shape: one distinct over train shingle hashes (map-side partial),
+# one left equi-join on the hash — the right side is DISTINCT, so a hot
+# stop-shingle contributes at most one row per eval occurrence (bounded,
+# no pair explosion), then a per-doc count aggregation.
+@_register(
+    "q143_contamination_overlap",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_SQL_HASH_UNIT} AS unit,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    shidx AS (
+        SELECT doc_id, unit, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unit, md5(array_to_string(t[i:i+4], ' ')) AS h
+        FROM shidx
+    ),
+    train AS (SELECT DISTINCT h FROM sh WHERE unit < 0.8),
+    ev AS (SELECT doc_id, h FROM sh WHERE unit >= 0.9)
+    SELECT ev.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(train.h) AS n_matched,
+           (10 * COUNT(train.h)) // COUNT(*) AS overlap_bucket,
+           COUNT(train.h) > 0 AS contaminated
+    FROM ev LEFT JOIN train ON ev.h = train.h
+    GROUP BY ev.doc_id
+    """,
+)
+def q143_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", k=5).select(
+        "doc",
+        hash_unit(F.col("doc")).alias("unit"),
+        F.md5(F.col("shingle")).alias("h"),
+    )
+    train = (
+        sh.filter(F.col("unit") < 0.8).select("h").distinct().withColumn("__m", F.lit(1))
+    )
+    ev = sh.filter(F.col("unit") >= 0.9).select(F.col("doc").alias("doc_id"), "h")
+    return (
+        ev.join(train, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__m").alias("n_matched"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_matched",
+            F.expr("(10 * n_matched) div n_shingles").alias("overlap_bucket"),
+            (F.col("n_matched") > 0).alias("contaminated"),
+        )
+    )
