@@ -772,3 +772,111 @@ def semantic_index_state(spark, target_root: str, id_col: str = "vec_id") -> Dat
         "cell",
         F.when(F.col("__dropped_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 8,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_scale: int = 5,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998, public): greedily select k of the ``n_candidates`` most relevant
+    neighbors per query, each step maximizing
+    ``0.7·relevance − 0.3·max_sim_to_already_selected``.
+
+    Shape for 10^9 queries: candidate generation is ``cosine_topk``
+    (corpus never shuffles), the pairwise candidate-similarity matrix is a
+    per-query C×C equi-join (config-bounded, C=n_candidates), and the
+    greedy loop is ONE JVM fold (``aggregate`` over sequence(1,k)) on a
+    one-row-per-query matrix column — no per-step shuffle, no Python
+    worker, no driver loop. Determinism: similarities are rounded to
+    ``round_scale`` before any comparison, ties break on candidate rank,
+    and ``+0.0`` normalizes ``-0.0`` so the score sort is engine-invariant.
+
+    Returns (query_id, pos, neighbor_id, relevance), pos = 1..k in
+    selection order.
+    """
+    cand = cosine_topk(
+        corpus, queries, id_col=id_col, vec_col=vec_col, k=n_candidates,
+        round_scale=round_scale,
+    )
+    e = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__v"),
+        l2_norm(_to_double(F.col(vec_col))).alias("__n"),
+    )
+    ce = cand.join(e, "neighbor_id")
+    a = ce.select(
+        "query_id",
+        F.col("rank").alias("a_rn"),
+        F.col("neighbor_id").alias("a_id"),
+        F.col("cosine_sim").alias("rel"),
+        F.col("__v").alias("__av"),
+        F.col("__n").alias("__an"),
+    )
+    b = ce.select(
+        "query_id",
+        F.col("rank").alias("b_rn"),
+        F.col("__v").alias("__bv"),
+        F.col("__n").alias("__bn"),
+    )
+    # full C×C matrix incl. the diagonal — positional indexing stays 1:1
+    # with candidate rank; the diagonal is never read by the fold (a
+    # selected candidate leaves `rem` before it could index itself).
+    pairs = a.join(b, "query_id").select(
+        "query_id",
+        "a_rn",
+        "a_id",
+        "rel",
+        "b_rn",
+        F.round(
+            dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn")),
+            round_scale,
+        ).alias("sim"),
+    )
+    rowsim = pairs.groupBy("query_id", "a_rn", "a_id", "rel").agg(
+        F.expr("transform(array_sort(collect_list(struct(b_rn, sim))), s -> s.sim)").alias(
+            "sims"
+        )
+    )
+    per_q = rowsim.groupBy("query_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(a_rn, rel))), s -> s.rel)").alias(
+            "rels"
+        ),
+        F.expr("transform(array_sort(collect_list(struct(a_rn, a_id))), s -> s.a_id)").alias(
+            "ids"
+        ),
+        F.expr("transform(array_sort(collect_list(struct(a_rn, sims))), s -> s.sims)").alias(
+            "mat"
+        ),
+    )
+    # the greedy fold: state = (chosen ranks, remaining ranks); each step
+    # picks argmin of (-(λ·rel − (1−λ)·max sim to chosen), rank)
+    pick = (
+        "element_at(array_sort(transform(st.rem, r -> struct("
+        "-(0.7D * element_at(rels, r) - 0.3D * if(size(st.ch) = 0, 0.0D, "
+        "array_max(transform(st.ch, b -> element_at(element_at(mat, r), b))))) + 0.0D AS s, "
+        "r AS r))), 1).r"
+    )
+    sel = F.expr(
+        f"""aggregate(
+            sequence(1, {int(k)}),
+            struct(cast(array() as array<int>) as ch, sequence(1, size(rels)) as rem),
+            (st, step) -> if(size(st.rem) = 0, st,
+                struct(concat(st.ch, array({pick})) as ch,
+                       filter(st.rem, rr -> rr != {pick}) as rem))
+        ).ch"""
+    )
+    return per_q.select(
+        "query_id", "rels", "ids", F.posexplode(sel).alias("pos0", "rn")
+    ).select(
+        "query_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.element_at("ids", F.col("rn")).alias("neighbor_id"),
+        F.element_at("rels", F.col("rn")).alias("relevance"),
+    )

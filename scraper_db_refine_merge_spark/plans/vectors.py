@@ -797,3 +797,108 @@ def q141_incremental_semantic_index(spark: SparkSession, sf_dir: str) -> DataFra
             threshold=_SD_THRESHOLD,
         )
     return semantic_index_state(spark, root)
+
+
+# --------------------------------------------------------------------------
+# q144 — MMR DIVERSIFIED top-k retrieval (Carbonell & Goldstein 1998): the
+# re-ranking step RAG/retrieval pipelines run after ANN — greedily pick k
+# results maximizing 0.7·relevance − 0.3·max-similarity-to-already-picked,
+# so near-duplicate hits don't crowd the result list. Spark side is ONE
+# JVM fold per query over a config-bounded C×C candidate matrix
+# (operators/similarity.mmr_rerank — no per-step shuffle, no Python, no
+# driver loop; 10^9 queries parallelize). The oracle unrolls the greedy
+# loop into K chained CTEs of scalar list ops (the q106 q-digest unrolling
+# precedent; list_reduce is BANNED — DuckDB 1.0 corrupts cross-row folds).
+# Parity: rel/sim rounded to 5dp before any comparison, scores are
+# identical IEEE arithmetic on identical doubles, +0.0 normalizes -0.0,
+# ties break on candidate rank — a total order both engines compute alike.
+
+_MMR_K = 8
+_MMR_C = 20
+
+
+def _mmr_oracle() -> str:
+    pick = (
+        "(list_sort(list_transform(rem, r -> {'s': "
+        "-(CAST(0.7 AS DOUBLE) * rels[r] - CAST(0.3 AS DOUBLE) * "
+        "(CASE WHEN len(ch) = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE list_max(list_transform(ch, b -> mat[r][b])) END)) "
+        "+ CAST(0 AS DOUBLE), 'r': r}))[1]).r"
+    )
+    steps = [
+        "s0 AS (SELECT rl.query_id, rels, ids, mat, CAST([] AS INTEGER[]) AS ch, "
+        "list_transform(range(1, len(rels) + 1), x -> CAST(x AS INTEGER)) AS rem "
+        "FROM rels_t rl JOIN mat_t USING (query_id))"
+    ]
+    for i in range(1, _MMR_K + 1):
+        steps.append(
+            f"s{i} AS (SELECT query_id, rels, ids, mat, "
+            f"list_append(ch, pick) AS ch, "
+            f"list_filter(rem, rr -> rr <> pick) AS rem "
+            f"FROM (SELECT *, {pick} AS pick FROM s{i - 1}))"
+        )
+    pair_dot = (
+        "list_sum(list_transform(range(1, len(av) + 1), "
+        "i -> CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))"
+    )
+    pair_an = (
+        "sqrt(list_sum(list_transform(range(1, len(av) + 1), "
+        "i -> CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE))))"
+    )
+    pair_bn = (
+        "sqrt(list_sum(list_transform(range(1, len(bv) + 1), "
+        "i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))))"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS rel
+        FROM q, c WHERE neighbor_id <> query_id
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id, rel, rn FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_MMR_C}
+    ),
+    ce AS (
+        SELECT cand.query_id, cand.rn, cand.neighbor_id, cand.rel, e.embedding AS v
+        FROM cand JOIN embeddings e ON cand.neighbor_id = e.vec_id
+    ),
+    pair AS (
+        SELECT a.query_id, a.rn AS a_rn, b.rn AS b_rn,
+               ROUND({pair_dot} / ({pair_an} * {pair_bn}), 5) AS sim
+        FROM (SELECT query_id, rn, v AS av FROM ce) a
+        JOIN (SELECT query_id, rn, v AS bv FROM ce) b USING (query_id)
+    ),
+    rowsim AS (
+        SELECT query_id, a_rn, list(sim ORDER BY b_rn) AS sims
+        FROM pair GROUP BY query_id, a_rn
+    ),
+    rels_t AS (
+        SELECT query_id, list(rel ORDER BY rn) AS rels,
+               list(neighbor_id ORDER BY rn) AS ids
+        FROM cand GROUP BY query_id
+    ),
+    mat_t AS (
+        SELECT query_id, list(sims ORDER BY a_rn) AS mat
+        FROM rowsim GROUP BY query_id
+    ),
+    {",".join(steps)}
+    SELECT s.query_id, CAST(g.i AS INTEGER) AS pos,
+           ids[ch[g.i]] AS neighbor_id, rels[ch[g.i]] AS relevance
+    FROM s{_MMR_K} s, (SELECT unnest(range(1, {_MMR_K} + 1)) AS i) g
+    """
+
+
+@_register("q144_mmr_diversified_topk", _mmr_oracle())
+def q144_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        e, e.filter(F.col("vec_id") < 3), k=_MMR_K, n_candidates=_MMR_C
+    )
