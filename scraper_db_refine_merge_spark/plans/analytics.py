@@ -800,3 +800,104 @@ def q100_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# q145 — BM25-family RANKED RETRIEVAL (Robertson-Spärck Jones BM25, public):
+# score the corpus against a fixed bag-of-words query with the saturated-TF
+# scoring function tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1=1.2 b=0.75,
+# weighted per term by the RATIONAL idf surrogate (N−df+0.5)/(df+0.5) —
+# exp of the Robertson idf; per-term monotone in df, so term saturation
+# behaves like BM25 while avoiding ln(), which is not cross-engine
+# bit-stable (the q87 divergence note). Parity scheme: the per-(doc,term)
+# contribution is a fixed IEEE expression tree on identical doubles
+# (dl/avgdl carried as the exact integer ratio dl·N/ΣDL before ONE double
+# division), floored into integer MICRO-units — the q127 ADC trick — so
+# the per-doc sum is an order-independent BIGINT sum and the final ranking
+# compares integers. Scale: token explode → two token-keyed aggs (df, tf)
+# + one per-doc agg; the query-term table is literal-bounded; global top-k
+# is orderBy+limit (TakeOrdered — no single-task global window).
+_BM25_TERMS = ("customer", "vector", "batch")
+
+
+@_register(
+    "q145_bm25_retrieval",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, tok
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+            FROM documents
+        )
+        WHERE length(tok) >= 3
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS dlsum
+        FROM dl
+    ),
+    qterm AS (SELECT unnest({list(_BM25_TERMS)}) AS tok),
+    df AS (
+        SELECT toks.tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks JOIN qterm ON toks.tok = qterm.tok GROUP BY 1
+    ),
+    tf AS (
+        SELECT doc_id, toks.tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks JOIN qterm ON toks.tok = qterm.tok GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(floor(
+                   ((CAST(s.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+                   * (CAST(tf.tf AS DOUBLE) * 2.2
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(dl.dl * s.n AS DOUBLE)
+                                                 / CAST(s.dlsum AS DOUBLE)))))
+                   * 1000000.0) AS BIGINT) AS micro
+        FROM tf JOIN dl USING (doc_id) CROSS JOIN stats s JOIN df ON tf.tok = df.tok
+    )
+    SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS bm25_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q145_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(F.length("tok") >= 3)
+    qterm = F.col("tok").isin(*_BM25_TERMS)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("dlsum")
+    )
+    df_t = toks.filter(qterm).groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    tf = toks.filter(qterm).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    contrib = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df_t), "tok")
+        .select(
+            "doc_id",
+            F.floor(
+                (((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+                 / (F.col("df").cast("double") + F.lit(0.5)))
+                * (F.col("tf").cast("double") * F.lit(2.2)
+                   / (F.col("tf").cast("double")
+                      + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75)
+                                      * ((F.col("dl") * F.col("n")).cast("double")
+                                         / F.col("dlsum").cast("double")))))
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("micro").alias("bm25_micro"), F.count("*").alias("n_terms_hit"))
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(20)
+    )

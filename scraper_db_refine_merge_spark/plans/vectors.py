@@ -902,3 +902,85 @@ def q144_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         e, e.filter(F.col("vec_id") < 3), k=_MMR_K, n_candidates=_MMR_C
     )
+
+
+# --------------------------------------------------------------------------
+# q146 — ANN QUALITY EVALUATION: recall@k of the LSH index (q30's chain)
+# against the exact brute-force top-k (q28's chain) — the metric every ANN
+# deployment tracks before trusting an approximate index. Per query:
+# |approx ∩ exact| / k in integer basis points ((10000·overlap) div
+# n_exact — no float division to diverge), plus the raw counts. Scale
+# shape: both sides are existing gated scale paths; the comparison is one
+# (query_id, neighbor_id) equi-join + per-query count aggregation — eval
+# cost is O(k·|queries|), independent of corpus size.
+@_register(
+    "q146_ann_recall_eval",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    escored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM q, c WHERE neighbor_id <> query_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM escored
+        ) WHERE rn <= 5
+    ),
+    cb AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, {_SQL_BUCKET} AS bucket
+        FROM embeddings
+    ),
+    qb AS (
+        SELECT vec_id AS query_id, embedding AS qv, {_SQL_BUCKET} AS bucket
+        FROM embeddings WHERE vec_id < 5
+    ),
+    ascored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM qb JOIN cb ON cb.bucket = qb.bucket AND neighbor_id <> query_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM ascored
+        ) WHERE rn <= 5
+    ),
+    an AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY 1),
+    per AS (
+        SELECT e.query_id, COUNT(*) AS n_exact, COUNT(a.neighbor_id) AS n_overlap
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT per.query_id, per.n_exact,
+           CAST(COALESCE(an.n_approx, 0) AS BIGINT) AS n_approx,
+           per.n_overlap,
+           (10000 * per.n_overlap) // per.n_exact AS recall_bp
+    FROM per LEFT JOIN an ON per.query_id = an.query_id
+    """,
+)
+def q146_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, qs, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(e, qs, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    an = approx.groupBy("query_id").agg(F.count("*").alias("n_approx"))
+    per = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"), F.count("__hit").alias("n_overlap"))
+    )
+    return per.join(an, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_approx"), F.lit(0)).cast("bigint").alias("n_approx"),
+        "n_overlap",
+        F.expr("(10000 * n_overlap) div n_exact").alias("recall_bp"),
+    )
