@@ -964,3 +964,133 @@ def q143_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_matched") > 0).alias("contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q147 — LEAKAGE-FREE SPLIT: near-duplicate documents must land in the SAME
+# train/val/test split, or eval metrics are contaminated by train near-dups
+# — the standard data-leakage guard naive per-doc hash splits (q47) miss.
+# Split key = the duplicate-cluster canonical id (q73's connected
+# components over q24's near-dup pairs; singletons key on themselves), so
+# a whole cluster moves together. The query reports BOTH strategies side
+# by side: per-split doc counts and the number of near-dup pairs whose
+# endpoints straddle splits — 0 by construction for cluster_hash, the
+# measured leak for doc_hash. Scale shape: pairs/clusters are the existing
+# gated scale paths (LSH at corpus scale — q25/q109); the split itself is
+# a hash of the cluster key; leak measurement is two (pair → split) joins
+# + a count. Oracle: the q73 recursive-closure chain + the same md5 split
+# arithmetic.
+_SQL_UNIT_OF = (
+    "(('0x' || substring(md5(CAST({x} AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0)"
+)
+
+
+def _sql_split_of(x: str) -> str:
+    u = _SQL_UNIT_OF.format(x=x)
+    return (
+        f"CASE WHEN {u} < 0.8 THEN 'train' WHEN {u} < 0.9 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _leakfree_oracle() -> str:
+    from .textqueries import _SQL_PAIR_JACCARD, _SQL_SHINGLES
+
+    return f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_PAIR_JACCARD},
+    p AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.2),
+    e AS (SELECT a_id AS s, b_id AS d FROM p UNION SELECT b_id, a_id FROM p),
+    reach AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+    ),
+    lab AS (SELECT s AS node, least(s, MIN(d)) AS cluster_id FROM reach GROUP BY s),
+    asg AS (
+        SELECT doc.doc_id,
+               {_sql_split_of("doc.doc_id")} AS nsplit,
+               {_sql_split_of("COALESCE(lab.cluster_id, doc.doc_id)")} AS csplit
+        FROM documents doc LEFT JOIN lab ON doc.doc_id = lab.node
+    ),
+    nstats AS (
+        SELECT CAST(SUM(CASE WHEN nsplit = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN nsplit = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+               CAST(SUM(CASE WHEN nsplit = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM asg
+    ),
+    cstats AS (
+        SELECT CAST(SUM(CASE WHEN csplit = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN csplit = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+               CAST(SUM(CASE WHEN csplit = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        FROM asg
+    ),
+    nleak AS (
+        SELECT COUNT(*) AS c FROM p
+        JOIN asg a ON p.a_id = a.doc_id JOIN asg b ON p.b_id = b.doc_id
+        WHERE a.nsplit <> b.nsplit
+    ),
+    cleak AS (
+        SELECT COUNT(*) AS c FROM p
+        JOIN asg a ON p.a_id = a.doc_id JOIN asg b ON p.b_id = b.doc_id
+        WHERE a.csplit <> b.csplit
+    )
+    SELECT 'doc_hash' AS strategy, n_train, n_val, n_test, c AS n_leaked_pairs
+    FROM nstats, nleak
+    UNION ALL
+    SELECT 'cluster_hash', n_train, n_val, n_test, c FROM cstats, cleak
+    """
+
+
+@_register("q147_leakage_free_split", _leakfree_oracle())
+def q147_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from ..operators.graph import dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2).select(
+        "a_id", "b_id"
+    )
+    lab = dup_clusters(pairs).select("doc_id", "cluster_id")
+    split_of = lambda c: (  # noqa: E731
+        F.when(hash_unit(c) < 0.8, "train").when(hash_unit(c) < 0.9, "val").otherwise("test")
+    )
+    asg = (
+        d.select("doc_id")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            split_of(F.col("doc_id")).alias("nsplit"),
+            split_of(F.coalesce("cluster_id", "doc_id")).alias("csplit"),
+        )
+    )
+
+    def stats(col: str):
+        return asg.agg(
+            *[
+                F.sum(F.when(F.col(col) == s, 1).otherwise(0)).alias(f"n_{s}")
+                for s in ("train", "val", "test")
+            ]
+        )
+
+    def leak(col: str):
+        a = asg.select(F.col("doc_id").alias("a_id"), F.col(col).alias("__sa"))
+        b = asg.select(F.col("doc_id").alias("b_id"), F.col(col).alias("__sb"))
+        return (
+            pairs.join(a, "a_id")
+            .join(b, "b_id")
+            .filter(F.col("__sa") != F.col("__sb"))
+            .agg(F.count("*").alias("n_leaked_pairs"))
+        )
+
+    row_n = (
+        stats("nsplit").crossJoin(leak("nsplit")).select(
+            F.lit("doc_hash").alias("strategy"), "n_train", "n_val", "n_test",
+            "n_leaked_pairs",
+        )
+    )
+    row_c = (
+        stats("csplit").crossJoin(leak("csplit")).select(
+            F.lit("cluster_hash").alias("strategy"), "n_train", "n_val", "n_test",
+            "n_leaked_pairs",
+        )
+    )
+    return row_n.unionByName(row_c)
