@@ -984,3 +984,76 @@ def q146_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.expr("(10000 * n_overlap) div n_exact").alias("recall_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — TRUNCATED-DIMENSION retrieval evaluation (the Matryoshka/MRL
+# deployment question, Kusupati et al. 2022, public): how much recall@k
+# survives if retrieval runs on only the first 16 of 64 dimensions (4×
+# cheaper scans, 4× smaller index)? Exact top-k on the prefix vs exact
+# top-k on the full vector, compared per query in integer basis points —
+# q146's eval shape with dimension truncation instead of LSH as the
+# approximation under test. Truncation is slice(embedding, 1, 16) /
+# embedding[1:16] — same elements, same fold order, both engines.
+_TRUNC_DIMS = 16
+
+
+@_register(
+    "q148_truncated_dim_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    escored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM q, c WHERE neighbor_id <> query_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM escored
+        ) WHERE rn <= 5
+    ),
+    qt AS (SELECT vec_id AS query_id, embedding[1:{_TRUNC_DIMS}] AS qv
+           FROM embeddings WHERE vec_id < 5),
+    ct AS (SELECT vec_id AS neighbor_id, embedding[1:{_TRUNC_DIMS}] AS cv FROM embeddings),
+    tscored AS (
+        SELECT query_id, neighbor_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM qt, ct WHERE neighbor_id <> query_id
+    ),
+    trunc AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM tscored
+        ) WHERE rn <= 5
+    )
+    SELECT e.query_id, COUNT(*) AS n_exact, COUNT(t.neighbor_id) AS n_overlap,
+           (10000 * COUNT(t.neighbor_id)) // COUNT(*) AS recall_bp
+    FROM exact e LEFT JOIN trunc t
+      ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q148_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+    et = e.select("vec_id", F.slice("embedding", 1, _TRUNC_DIMS).alias("embedding"))
+    qst = qs.select("vec_id", F.slice("embedding", 1, _TRUNC_DIMS).alias("embedding"))
+    exact = cosine_topk(e, qs, k=5).select("query_id", "neighbor_id")
+    trunc = cosine_topk(et, qst, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"), F.count("__hit").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_exact",
+            "n_overlap",
+            F.expr("(10000 * n_overlap) div n_exact").alias("recall_bp"),
+        )
+    )
