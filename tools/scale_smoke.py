@@ -191,6 +191,61 @@ def main():
             spend, [F.col("cents").desc(), F.col("user_id")], F.col("cents"), "cs"
         )
 
+    def _shard_manifest(d):
+        from scraper_db_refine_merge_spark.functions.text import token_count
+        from scraper_db_refine_merge_spark.operators.ranking import with_global_ranks
+
+        base = d.select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("pk"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+        r = with_global_ranks(
+            base, [F.col("pk"), F.col("doc_id")], ["pk", "doc_id"],
+            rank_col="idx", ntile=("shard", 16),
+        )
+        return r.groupBy("shard").agg(
+            F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+        )
+
+    def _contamination(d):
+        from scraper_db_refine_merge_spark.plans.sampling import hash_unit
+
+        sh = dd.word_shingles(d, "doc_id", "text", k=5).select(
+            "doc", hash_unit(F.col("doc")).alias("unit"), F.md5(F.col("shingle")).alias("h")
+        )
+        train = sh.filter(F.col("unit") < 0.8).select("h").distinct().withColumn(
+            "__m", F.lit(1)
+        )
+        ev = sh.filter(F.col("unit") >= 0.9).select(F.col("doc").alias("doc_id"), "h")
+        return (
+            ev.join(train, "h", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"), F.count("__m").alias("m"))
+        )
+
+    def _mmr(v):
+        from scraper_db_refine_merge_spark.operators.similarity import mmr_rerank
+
+        return mmr_rerank(v, v.filter(F.col("vec_id") < 3), k=8, n_candidates=20)
+
+    def _bm25(d):
+        from scraper_db_refine_merge_spark.plans.catalog import QUERIES  # noqa: F401
+        from scraper_db_refine_merge_spark.plans.analytics import _BM25_TERMS
+
+        toks = d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+        ).filter(F.length("tok") >= 3)
+        qterm = F.col("tok").isin(*_BM25_TERMS)
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        stats = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("dlsum"))
+        tf = toks.filter(qterm).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+        return (
+            tf.join(dl, "doc_id").crossJoin(F.broadcast(stats))
+            .groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+            .orderBy(F.col("n_terms").desc(), "doc_id").limit(20)
+        )
+
     def _semdedup(v):
         from scraper_db_refine_merge_spark.operators.similarity import semantic_dedup
 
@@ -354,6 +409,36 @@ def main():
             "semantic_dedup(k~n/250)",
             lambda: _semdedup(base_vecs).count(),
             lambda: _semdedup(vecs).count(),
+        ),
+        (
+            # q142's export manifest: the permutation+ntile is the
+            # distributed ranking shape — growth must track the range
+            # sort, never a single-task global window
+            "shard_export_manifest",
+            lambda: _shard_manifest(base_docs).count(),
+            lambda: _shard_manifest(docs).count(),
+        ),
+        (
+            # q143's decontamination join: right side is DISTINCT train
+            # shingles, so hot stop-shingles can't explode the join —
+            # growth must stay ~linear in corpus size
+            "contamination_overlap",
+            lambda: _contamination(base_docs).count(),
+            lambda: _contamination(docs).count(),
+        ),
+        (
+            # q144 MMR: candidate set is config-bounded (C=20) per query —
+            # cost must track candidate GENERATION (corpus-linear scoring),
+            # with the greedy fold flat
+            "mmr_rerank(3 queries)",
+            lambda: _mmr(base_vecs).count(),
+            lambda: _mmr(vecs).count(),
+        ),
+        (
+            # q145 BM25: token explode + token-keyed aggs — linear
+            "bm25_term_aggs",
+            lambda: _bm25(base_docs).count(),
+            lambda: _bm25(docs).count(),
         ),
         (
             # pair OUTPUT grows ~quadratically in the replication factor
