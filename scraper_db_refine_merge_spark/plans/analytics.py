@@ -901,3 +901,113 @@ def q145_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — COLLOCATION MINING: adjacent-bigram association strength as the
+# PMI lift ratio p(ab)/(p(a)p(b)) = c_ab·N1²/(N2·c_a·c_b) — the exp of
+# pointwise mutual information, monotone in PMI per pair, so top-lift
+# collocations are textbook-identical while ln() stays out of the gate
+# (the q87/q145 divergence rule). Computed in DOUBLE with one fixed
+# parenthesization (integer products would overflow BIGINT at corpus
+# scale: N1² ≈ 10²⁴ at 100 TB), then floored into 1e-4 units so the
+# ranking compares integers. Tokenization = q87's (lower, non-[a-z]
+# split, len ≥ 3), with adjacency over the FILTERED token sequence.
+# Scale: one bigram explode, two token-keyed aggs, tiny stats cross join;
+# min-support 5 prunes the tail before the final top-k (TakeOrdered).
+@_register(
+    "q149_collocations",
+    """
+    WITH arrs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> length(x) >= 3) AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS tok FROM arrs) GROUP BY 1
+    ),
+    n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM uni),
+    bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t, unnest(range(1, len(t))) AS i FROM arrs)
+        )
+        GROUP BY 1, 2
+    ),
+    n2 AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n2 FROM bi),
+    lift AS (
+        SELECT bi.w1, bi.w2, bi.c_ab,
+               CAST(floor(
+                   ((CAST(bi.c_ab AS DOUBLE)
+                     * (CAST(n1.n1 AS DOUBLE) * CAST(n1.n1 AS DOUBLE)))
+                    / (CAST(n2.n2 AS DOUBLE)
+                       * (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))))
+                   * 10000.0) AS BIGINT) AS lift_e4
+        FROM bi
+        JOIN uni ua ON bi.w1 = ua.tok
+        JOIN uni ub ON bi.w2 = ub.tok
+        CROSS JOIN n1 CROSS JOIN n2
+        WHERE bi.c_ab >= 5
+    )
+    SELECT w1, w2, c_ab, lift_e4
+    FROM lift
+    ORDER BY lift_e4 DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q149_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    arrs = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda t: F.length(t) >= 3
+        ).alias("t"),
+    )
+    uni = (
+        arrs.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    bi = (
+        arrs.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+                    "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    n2 = bi.agg(F.sum("c_ab").alias("n2"))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    lift = (
+        bi.filter(F.col("c_ab") >= 5)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.floor(
+                (
+                    (F.col("c_ab").cast("double")
+                     * (F.col("n1").cast("double") * F.col("n1").cast("double")))
+                    / (F.col("n2").cast("double")
+                       * (F.col("ca").cast("double") * F.col("cb").cast("double")))
+                )
+                * F.lit(10000.0)
+            ).cast("bigint").alias("lift_e4"),
+        )
+    )
+    return lift.orderBy(F.col("lift_e4").desc(), "w1", "w2").limit(20)
