@@ -1057,3 +1057,78 @@ def q148_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * n_overlap) div n_exact").alias("recall_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — per-cluster MEDOID election (cluster summarization / coreset
+# seeding): within each k-means cell (q51's deterministic chain), the
+# medoid is the member vector minimizing the sum of squared distances to
+# every member — the representative a curation pipeline keeps when
+# collapsing a cluster to one exemplar (the k-medoids assignment step).
+# Same scale contract as SemDeDup (q138): the quadratic is cell-bounded
+# (k grows with the corpus, per-cell pair counts stay constant), the cell
+# equi-join buckets cleanly. Parity: each pair's d² is the sequential
+# double fold both engines share, floored into micro-units per PAIR so
+# the per-candidate total is an order-independent BIGINT sum; argmin ties
+# break on vector id.
+@_register(
+    "q150_cluster_medoids",
+    f"""
+    WITH {_kmeans_ctes()},
+    p AS (
+        SELECT a.cell, a.vec_id AS a_id,
+               CAST(floor(list_sum(list_transform(range(1, len(a.qv) + 1),
+                    i -> (CAST(a.qv[i] AS DOUBLE) - CAST(b.qv[i] AS DOUBLE))
+                       * (CAST(a.qv[i] AS DOUBLE) - CAST(b.qv[i] AS DOUBLE))))
+                    * 1000000.0) AS BIGINT) AS d2_micro
+        FROM final a JOIN final b ON a.cell = b.cell
+    ),
+    s AS (
+        SELECT cell, a_id, CAST(SUM(d2_micro) AS BIGINT) AS sum_d2_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM p GROUP BY 1, 2
+    )
+    SELECT cell, a_id AS medoid_id, n_vectors, sum_d2_micro
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                     ORDER BY sum_d2_micro, a_id) AS rn
+        FROM s
+    ) WHERE rn = 1
+    """,
+)
+def q150_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import topk_per_group
+    from ..operators.similarity import _to_double, kmeans_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_cells(e, k=_KM_K, iters=_KM_ITERS).select(
+        "vec_id", _to_double(F.col("embedding")).alias("v"), "cell"
+    )
+    a = cells.select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+    )
+    b = cells.select("cell", F.col("v").alias("bv"))
+    p = a.join(b, "cell").select(
+        "cell",
+        "a_id",
+        F.floor(
+            F.aggregate(
+                F.zip_with("av", "bv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(1000000.0)
+        ).cast("bigint").alias("d2_micro"),
+    )
+    s = p.groupBy("cell", "a_id").agg(
+        F.sum("d2_micro").alias("sum_d2_micro"), F.count("*").alias("n_vectors")
+    )
+    return topk_per_group(
+        s, ["cell"], [F.col("sum_d2_micro").asc(), F.col("a_id").asc()], 1,
+        rank_col="__rn",
+    ).select(
+        "cell",
+        F.col("a_id").alias("medoid_id"),
+        "n_vectors",
+        "sum_d2_micro",
+    )
