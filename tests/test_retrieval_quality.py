@@ -1,0 +1,74 @@
+"""Semantic pins for the r7 retrieval/curation additions beyond their
+oracle gates: the cluster-aware split must actually eliminate leakage, the
+medoid must be the true argmin, and recall evals must be well-formed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scraper_db_refine_merge_spark.plans.sampling import q147_leakage_free_split
+from scraper_db_refine_merge_spark.plans.vectors import (
+    _KM_ITERS,
+    _KM_K,
+    q146_ann_recall_eval,
+    q148_truncated_dim_recall,
+    q150_cluster_medoids,
+)
+
+
+def test_cluster_split_has_zero_leaked_pairs(spark, sf_dir):
+    rows = {r["strategy"]: r for r in q147_leakage_free_split(spark, sf_dir).collect()}
+    assert set(rows) == {"doc_hash", "cluster_hash"}
+    assert rows["cluster_hash"]["n_leaked_pairs"] == 0
+    # both strategies partition the whole corpus
+    n = sum(rows["doc_hash"][c] for c in ("n_train", "n_val", "n_test"))
+    nc = sum(rows["cluster_hash"][c] for c in ("n_train", "n_val", "n_test"))
+    assert n == nc > 0
+
+
+def test_medoid_is_true_argmin(spark, sf_dir):
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        _to_double,
+        kmeans_cells,
+    )
+    from scraper_db_refine_merge_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    got = {r["cell"]: r for r in q150_cluster_medoids(spark, sf_dir).collect()}
+    cells = (
+        kmeans_cells(e, k=_KM_K, iters=_KM_ITERS)
+        .select("vec_id", _to_double(F.col("embedding")).alias("v"), "cell")
+        .collect()
+    )
+    import math
+    from collections import defaultdict
+
+    by_cell = defaultdict(list)
+    for r in cells:
+        by_cell[r["cell"]].append((r["vec_id"], r["v"]))
+    assert set(got) == set(by_cell)
+    for cell, members in by_cell.items():
+        best = None
+        for aid, av in members:
+            # mirror the gated arithmetic: per-pair micro-floored d²,
+            # integer sum
+            tot = 0
+            for _, bv in members:
+                d2 = 0.0
+                for x, y in zip(av, bv):
+                    d2 += (x - y) * (x - y)
+                tot += math.floor(d2 * 1000000.0)
+            if best is None or (tot, aid) < best:
+                best = (tot, aid)
+        assert (got[cell]["sum_d2_micro"], got[cell]["medoid_id"]) == best
+        assert got[cell]["n_vectors"] == len(members)
+
+
+def test_recall_evals_well_formed(spark, sf_dir):
+    for q in (q146_ann_recall_eval, q148_truncated_dim_recall):
+        rows = q(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["n_exact"] == 5
+            assert 0 <= r["n_overlap"] <= r["n_exact"]
+            assert r["recall_bp"] == (10000 * r["n_overlap"]) // r["n_exact"]
