@@ -676,3 +676,66 @@ def fold_minhash_index(
     sig_new.unpersist()
     cand.unpersist()
     return store_read_part(spark, target_root, "pairs")
+
+
+def fold_contamination_index(
+    spark,
+    target_root: str,
+    protected_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> None:
+    """Fold a batch of PROTECTED (benchmark/eval) documents' distinct
+    k-shingle hashes into a persistent contamination blocklist — the
+    incremental form of the q143/q49 decontamination family: benchmark
+    suites arrive over time, and re-shingling the whole protected set per
+    arrival is O(total); this is O(batch).
+
+    Each fold commits one append-only ``blocked`` part (32-byte md5 hashes
+    only — raw shingle text never leaves the batch job) via the manifest
+    store, so commits are atomic, O(batch), and fold-order invariant: the
+    accumulated DISTINCT union equals the one-shot blocklist over all
+    protected docs (set union is associative/commutative/idempotent — the
+    oracle states exactly that).
+    """
+    from ..streaming.store import store_commit_parts
+
+    sh = (
+        word_shingles(protected_docs, id_col, text_col, k=k)
+        .select(F.md5(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    store_commit_parts({"blocked": sh}, target_root)
+
+
+def contamination_scan(
+    spark,
+    target_root: str,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, n_blocked): corpus documents sharing ≥1 distinct k-shingle
+    with the accumulated blocklist, with the count of blocked shingles.
+
+    One shuffle on the 32-byte shingle hash; the blocklist side is
+    DISTINCT'd across parts (batches may overlap), so a hot stop-shingle
+    contributes at most one row per corpus occurrence — bounded, no pair
+    explosion (the q143 join shape).
+    """
+    from ..streaming.store import store_read_part
+
+    blocked = store_read_part(spark, target_root, "blocked")
+    if blocked is None:
+        raise ValueError(f"no contamination index at {target_root}")
+    blocked = blocked.distinct()
+    sh = word_shingles(corpus, id_col, text_col, k=k).select(
+        F.col("doc").alias(id_col), F.md5(F.col("shingle")).alias("h")
+    )
+    return (
+        sh.join(blocked, "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_blocked"))
+    )

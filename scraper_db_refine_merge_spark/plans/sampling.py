@@ -1094,3 +1094,55 @@ def q147_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row_n.unionByName(row_c)
+
+
+# --------------------------------------------------------------------------
+# q151 — INCREMENTAL CONTAMINATION INDEX: the q143 decontamination
+# blocklist maintained as a fold (operators/dedup.fold_contamination_index)
+# — benchmark batches arrive over time, each commits only its own distinct
+# shingle hashes as an append-only manifest part, and the accumulated
+# blocklist equals the one-shot computation because DISTINCT set union is
+# associative/commutative/idempotent. The gate states exactly that: eval
+# docs (q47 split, unit >= 0.9) folded in TWO parity batches, then the
+# train split scanned against the accumulated index — the oracle computes
+# the same scan single-shot with no store at all. Completes the
+# incremental-index family (q113 MinHash, q129 LM, q131 PQ, q141
+# semantic) with the decontamination modality.
+@_register(
+    "q151_incremental_contamination_index",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_SQL_HASH_UNIT} AS unit,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    shidx AS (
+        SELECT doc_id, unit, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unit, md5(array_to_string(t[i:i+4], ' ')) AS h
+        FROM shidx
+    ),
+    blocked AS (SELECT DISTINCT h FROM sh WHERE unit >= 0.9),
+    tr AS (SELECT doc_id, h FROM sh WHERE unit < 0.8)
+    SELECT tr.doc_id, COUNT(*) AS n_blocked
+    FROM tr JOIN blocked ON tr.h = blocked.h
+    GROUP BY tr.doc_id
+    """,
+)
+def q151_incremental_contamination_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import contamination_scan, fold_contamination_index
+
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_unit(F.col("doc_id"))
+    ev = d.filter(u >= 0.9)
+    root = tempfile.mkdtemp(prefix="q151_contam_")
+    for i in range(2):
+        fold_contamination_index(
+            spark, root, ev.filter(F.col("doc_id") % 2 == i)
+        )
+    return contamination_scan(spark, root, d.filter(u < 0.8))
