@@ -60,8 +60,25 @@ def persist_tracked(df: DataFrame, level=None) -> DataFrame:
     """``df.persist()`` registered in the innermost active scope of the
     CALLING THREAD's cache registry."""
     df = df.persist(level) if level is not None else df.persist()
-    _registry()[-1].append(df)
+    # Resolve the registry BEFORE taking the lock: _registry() itself
+    # acquires _all_lock on a thread's first call, and the lock is not
+    # reentrant. The append itself happens under _all_lock so _drain()'s
+    # copy-and-clear swap can never lose a concurrent registration.
+    reg = _registry()
+    with _all_lock:
+        reg[-1].append(df)
     return df
+
+
+def _drain(entries: list) -> list:
+    """Atomically take ownership of an entry list's contents (ADVICE r7):
+    swap-under-lock so two drainers (a thread's own ``release_caches`` vs
+    the teardown ``release_all_threads``) each unpersist a disjoint set —
+    no pop/pop race, no double-unpersist."""
+    with _all_lock:
+        drained = entries[:]
+        entries.clear()
+    return drained
 
 
 @contextmanager
@@ -76,12 +93,14 @@ def cache_scope():
     """
     entries: list[DataFrame] = []
     st = _registry()
-    st.append(entries)
+    with _all_lock:
+        st.append(entries)
     try:
         yield
     finally:
-        st.pop()
-        for df in entries:
+        with _all_lock:
+            st.remove(entries)
+        for df in _drain(entries):
             df.unpersist()
 
 
@@ -96,8 +115,8 @@ def release_caches() -> int:
     """
     n = 0
     for entries in _registry():
-        while entries:
-            entries.pop().unpersist()
+        for df in _drain(entries):
+            df.unpersist()
             n += 1
     return n
 
@@ -108,17 +127,22 @@ def release_all_threads() -> int:
 
     For the main thread draining after a worker pool finished (e.g.
     ``bench.py --throughput``'s 4 streams) — pooled workers that wrap their
-    work in ``cache_scope()`` never need this. Call it only when no tracked
-    pipeline is still running: an in-flight job whose cache is released
-    recomputes (blocking=False) rather than breaking, but the persist's
-    point is lost.
+    work in ``cache_scope()`` never need this. Safe against a still-running
+    pipeline (ADVICE r7): each entry list is atomically swapped out under
+    ``_all_lock`` (see :func:`_drain`), so a concurrent ``release_caches``
+    or ``cache_scope`` exit unpersists a disjoint set — no IndexError, no
+    double-unpersist. Releasing a cache an in-flight job still reads only
+    forces a recompute (blocking=False), so the remaining cost of calling
+    this mid-pipeline is performance, not correctness.
     """
     n = 0
     with _all_lock:
-        stacks = list(_all_stacks)
-    for st in stacks:
-        for entries in st:
-            while entries:
-                entries.pop().unpersist()
-                n += 1
+        # Snapshot stacks AND their entry lists: a cache_scope exit may
+        # remove a list from its stack concurrently, but the list object
+        # itself stays drainable.
+        lists = [entries for st in _all_stacks for entries in st]
+    for entries in lists:
+        for df in _drain(entries):
+            df.unpersist()
+            n += 1
     return n

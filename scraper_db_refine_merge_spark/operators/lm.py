@@ -181,8 +181,19 @@ def lm_index_drift(spark, target_root: str, seq_a: int, seq_b: int) -> DataFrame
     """
     from ..streaming.store import store_read_part_version
 
+    def read_part(part, seq):
+        df = store_read_part_version(spark, target_root, part, seq)
+        if df is None:
+            # Mirror contamination_scan's missing-index error (ADVICE r7):
+            # a GC'd snapshot / never-committed seq otherwise surfaces as
+            # an opaque AttributeError on NoneType.
+            raise ValueError(
+                f"no retained snapshot {seq} for part {part!r} at {target_root}"
+            )
+        return df
+
     def counts(seq):
-        bi = store_read_part_version(spark, target_root, "bigrams", seq)
+        bi = read_part("bigrams", seq)
         return bi.groupBy("w1", "w2").agg(F.sum("cnt").alias("c"))
 
     ca = counts(seq_a).withColumnRenamed("c", "ca")
@@ -195,8 +206,8 @@ def lm_index_drift(spark, target_root: str, seq_a: int, seq_b: int) -> DataFrame
         .alias("grown"),
         F.sum(F.col("cb") - F.coalesce("ca", F.lit(0))).cast("long").alias("added"),
     )
-    va = store_read_part_version(spark, target_root, "tokens", seq_a).distinct()
-    vb = store_read_part_version(spark, target_root, "tokens", seq_b).distinct()
+    va = read_part("tokens", seq_a).distinct()
+    vb = read_part("tokens", seq_b).distinct()
     vocab_new = vb.join(va, "w", "anti").agg(F.count("*").cast("long").alias("v"))
     return (
         bigram_stats.select(F.lit("bigram_types_new").alias("metric"), F.col("new").alias("value"))

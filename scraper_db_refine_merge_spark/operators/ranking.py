@@ -24,12 +24,35 @@ survives 10^9 rows:
 
 The only non-distributed piece is the offsets table: |partitions| rows,
 config-bounded, joined back with AQE free to broadcast it.
+
+PARTITION-ID PINNING (r8, found by the q153 gate): the data branch and the
+stats branch both read the range exchange, and correctness requires them
+to see the SAME row → partition assignment. That held only while Catalyst
+reused one physical exchange for both branches; when per-branch column
+pruning makes the two exchange subplans differ (observed under the
+prefix-doubling self-joins of operators/substr.py), each branch gets its
+OWN exchange — AQE coalesces them to different partition counts and the
+range sampler may pick different boundaries — and spark_partition_id()
+silently disagrees across branches: lost rows in the __pid join, wrong
+offsets, run-to-run nondeterminism. Exchange reuse is an optimization,
+never a contract, so both entry points now pin the partitioning by
+materializing the range-partitioned frame once (localCheckpoint, the
+operators/graph.py iterative pattern): every consumer reads one RDD with
+frozen partitions. The cost is one local materialization of data that was
+just shuffled anyway; the window/stats/join pipeline stays lazy on top.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _pin_range_partitions(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+    """Range-partition and FREEZE the assignment (see module docstring):
+    returns a frame whose spark_partition_id() is consistent for every
+    downstream consumer, however many physical branches read it."""
+    return df.repartitionByRange(*order_cols).localCheckpoint()
 
 
 def with_global_ranks(
@@ -51,7 +74,7 @@ def with_global_ranks(
     the order is built from (used for peer grouping and distinct counts —
     directions live in ``order_cols``).
     """
-    rp = df.repartitionByRange(*order_cols)
+    rp = _pin_range_partitions(df, order_cols)
     d = rp.withColumn("__pid", F.spark_partition_id())
 
     wl = Window.partitionBy("__pid").orderBy(*order_cols)
@@ -183,22 +206,44 @@ def global_cumsum(
     ``order_cols`` must be a total order (include a unique tie-break):
     running sums are ROWS-frame semantics, and with ties the per-row prefix
     is otherwise nondeterministic — the same contract topk_per_group pins.
+
+    NULL parity (ADVICE r7): SQL ``SUM() OVER`` SKIPS nulls and is NULL
+    only while the whole prefix is null. The distributed form matches by
+    summing ``coalesce(value, 0)`` and separately prefix-COUNTing non-null
+    values (same two windows, zero extra shuffles) — the output is NULL
+    exactly when that running count is 0, else the null-skipping total.
     """
-    rp = df.repartitionByRange(*order_cols)
-    d = rp.withColumn("__pid", F.spark_partition_id()).withColumn("__v", value_col)
+    rp = _pin_range_partitions(df, order_cols)
+    d = (
+        rp.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", F.coalesce(value_col, F.lit(0)))
+        .withColumn("__nn", F.when(value_col.isNull(), 0).otherwise(1))
+    )
     wl = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("__lcs", F.sum("__v").over(wl))
-    stats = d.groupBy("__pid").agg(F.sum("__v").alias("__pt"))
+    d = d.withColumn("__lcs", F.sum("__v").over(wl)).withColumn(
+        "__lcn", F.sum("__nn").over(wl)
+    )
+    stats = d.groupBy("__pid").agg(
+        F.sum("__v").alias("__pt"), F.sum("__nn").alias("__pn")
+    )
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = stats.select(
-        "__pid", F.coalesce(F.sum("__pt").over(wo), F.lit(0)).alias("__off")
+        "__pid",
+        F.coalesce(F.sum("__pt").over(wo), F.lit(0)).alias("__off"),
+        F.coalesce(F.sum("__pn").over(wo), F.lit(0)).alias("__offn"),
     )
     return (
         d.join(offsets, "__pid")
-        .withColumn(out_col, F.col("__off") + F.col("__lcs"))
-        .drop("__pid", "__v", "__lcs", "__off")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__offn") + F.col("__lcn") > 0,
+                F.col("__off") + F.col("__lcs"),
+            ),
+        )
+        .drop("__pid", "__v", "__nn", "__lcs", "__lcn", "__off", "__offn")
     )

@@ -13,6 +13,7 @@ from . import (
     sampling,
     sketchq,
     streamq,
+    substrq,
     temporalq,
     textqueries,
     vectors,
@@ -21,6 +22,6 @@ from . import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation, sketchq, analytics, graphq):
+for mod in (relational, relational2, textqueries, vectors, multimodalq, sampling, dq, streamq, temporalq, curation, sketchq, analytics, graphq, substrq):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -14,7 +14,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -378,18 +378,18 @@ def q117_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q118 — ordered-sequence funnel: users with click → error → purchase IN
-# ORDER (not merely all three types present). The per-user event-type
-# sequence is built ONCE as a deterministically ordered array
-# (sort_array over (ts, event_id, type) structs — collect_list alone has
-# no order guarantee), and the in-order match is a single pass with
-# aggregate() carrying the stage index — the relational form of sequence
-# pattern matching (MATCH_RECOGNIZE's simple case) with one shuffle.
-# SKEW NOTE (CLOSED r7): the collect keys on user_id — one bot user with
-# 10^8 events makes this form's group a straggler AND a driver-sized
-# array. The skew-hardened equivalent is GATED as q135
-# (operators/skew.py funnel_two_phase: per-block transition functions
-# composed over calendar-bounded summaries); this single-collect form
-# stays as the bounded-key baseline its oracle mirrors directly.
+# ORDER (not merely all three types present) — the relational form of
+# sequence pattern matching (MATCH_RECOGNIZE's simple case).
+# DEFAULT = SKEW-HARDENED (VERDICT r7): operators/skew.py
+# funnel_two_phase — each (user, 30-min block) folds to a 4-int
+# transition FUNCTION of the funnel automaton (fold composition is
+# associative, so block splits cannot change the result), composed per
+# user over calendar-bounded block summaries. NO task ever collects one
+# user's full sequence, so a bot user with 10^8 events costs as many
+# tasks as it has active blocks instead of one straggler holding a
+# driver-sized array. The oracle mirrors the NAIVE single-sequence
+# min-position chain — value-hash equality is the equivalence proof
+# (same proof q135 runs on the deliberately skew-injected fixture).
 @_register(
     "q118_ordered_funnel",
     # ORACLE NOTE (r7): originally a list_reduce fold of the funnel
@@ -418,35 +418,15 @@ def q117_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q118_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    seq = (
-        e.groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("evs")
-        )
-        .select(
-            "user_id",
-            F.transform(F.col("evs"), lambda s: s["event_type"]).alias("path"),
-        )
+    from ..operators.skew import funnel_two_phase
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
     )
-    coded = F.transform(
-        F.col("path"),
-        lambda x: F.when(x == "click", 1)
-        .when(x == "error", 2)
-        .when(x == "purchase", 3)
-        .otherwise(0),
+    m = funnel_two_phase(
+        e, ["user_id"], "ts", ["click", "error", "purchase"],
+        val_col="event_type", block_sec=1800, order_tiebreak=["event_id"],
     )
-    stage = F.aggregate(
-        coded,
-        F.lit(0),
-        lambda acc, x: F.when((acc == 0) & (x == 1), 1)
-        .when((acc == 1) & (x == 2), 2)
-        .when((acc == 2) & (x == 3), 3)
-        .otherwise(acc),
-    )
-    m = seq.select("user_id", stage.alias("stage"))
     return m.agg(
         F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("reached_click"),
         F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("reached_error_after"),
@@ -457,13 +437,16 @@ def q118_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q119 — top event paths: the product-analytics "what do users actually
 # do" query — per (user, day) the deterministically ordered event-type
-# sequence joined into a path string, counted, top-20. Path construction
-# shuffles once on the session key; the count is a second keyed
-# aggregation on the (bounded-cardinality) path string. SKEW NOTE
-# (CLOSED r7): the session key (user, day) already bounds a group to one
-# user-day; for a pathological single hot DAY, the gated block-split form
-# is q134 (session_paths_two_phase sub-salts by time block and stitches
-# fragments — same machinery, hour blocks).
+# sequence joined into a path string, counted, top-20.
+# DEFAULT = SKEW-HARDENED (VERDICT r7): the ordered per-(user, day)
+# collect runs through operators/skew.py session_paths_two_phase with
+# HOUR blocks and a gap wider than a day — every user-day is exactly one
+# "session", but its path is built from per-(key, hour-block) FRAGMENTS
+# stitched in block order, so a pathological user-day with 10^8 events
+# spreads over up to 24 sort tasks instead of one straggler. The count is
+# a second keyed aggregation on the (bounded-cardinality) path string.
+# Oracle mirrors the naive single-collect form — hash equality is the
+# equivalence proof (q134 runs the same proof on the skewed fixture).
 @_register(
     "q119_top_event_paths",
     """
@@ -478,20 +461,22 @@ def q118_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q119_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    paths = (
-        e.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("evs")
-        )
-        .select(
-            F.array_join(
-                F.transform(F.col("evs"), lambda s: s["event_type"]), ">"
-            ).alias("path")
-        )
+    from ..operators.skew import session_paths_two_phase
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id",
+        "event_type",
+        "ts",
     )
+    # gap 86400 > any within-day gap → exactly one session per (user, day);
+    # hour blocks bound every sort task to one key-hour of events.
+    sp = session_paths_two_phase(
+        e, ["user_id", "day"], "ts", gap_sec=86400, val_col="event_type",
+        block_sec=3600, order_tiebreak=["event_id"],
+    )
+    paths = sp.select(F.array_join("path", ">").alias("path"))
     return (
         paths.groupBy("path")
         .agg(F.count("*").alias("n_sessions"))
@@ -501,17 +486,18 @@ def q119_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q122 — gap-session PATHS: q33's 30-minute-gap sessionization (lag +
-# running-sum session numbering, one user_id exchange reused by both
-# windows) composed with q119's ordered path strings — the real form of
-# the product-analytics path query, where "session" is behavioral, not a
-# calendar day. Output: top-20 session paths with session counts and the
-# mean session length in events (exact integer ratio rounded once).
-# SKEW NOTE (CLOSED r7): both windows key on user_id; for bot-user skew
-# the COUNTING half is gated as q123 (sessionize_two_phase) and the PATH
-# half is now gated as q134 (session_paths_two_phase: per-block fragments
-# + summary-pass session ids + per-session stitch) — use those forms when
-# keys can be hot; this one stays the bounded-key baseline.
+# q122 — gap-session PATHS: 30-minute-gap sessionization composed with
+# q119's ordered path strings — the real form of the product-analytics
+# path query, where "session" is behavioral, not a calendar day. Output:
+# top-20 session paths with session counts and the mean session length in
+# events (exact integer ratio rounded once).
+# DEFAULT = SKEW-HARDENED (VERDICT r7): operators/skew.py
+# session_paths_two_phase — per-(user, 30-min block) path FRAGMENTS,
+# session ids assigned over content-free fragment summaries bounded by
+# calendar time, fragments stitched per session — no task ever sorts a
+# hot user's full history (the single-window scale-killer). The oracle
+# mirrors the naive lag → running-sum → collect form — hash equality is
+# the equivalence proof (q134 runs it on the skew-injected fixture too).
 @_register(
     "q122_session_paths",
     """
@@ -543,31 +529,16 @@ def q119_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q122_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_session = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
-    ).otherwise(0)
-    numbered = e.withColumn("new_session", new_session).withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    from ..operators.skew import session_paths_two_phase
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
     )
-    paths = (
-        numbered.groupBy("user_id", "session_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type"))
-            ).alias("evs"),
-            F.count("*").alias("n_events"),
-        )
-        .select(
-            F.array_join(
-                F.transform(F.col("evs"), lambda s: s["event_type"]), ">"
-            ).alias("path"),
-            "n_events",
-        )
+    sp = session_paths_two_phase(
+        e, ["user_id"], "ts", gap_sec=1800, val_col="event_type",
+        order_tiebreak=["event_id"],
     )
+    paths = sp.select(F.array_join("path", ">").alias("path"), "n_events")
     return (
         paths.groupBy("path")
         .agg(

@@ -1,0 +1,210 @@
+"""Character-level (substring) dedup/decontamination queries (r8) — the
+one dedup modality the word-shingle family (q23-q25, q42-q46, q49, q103,
+q124, q143, q151) does not cover: exact shared CHARACTER spans, whatever
+the tokenization (Lee et al. 2022's suffix-array dedup, re-expressed
+Spark-first in operators/substr.py).
+
+- q152: training-side decontamination report — per TRAIN doc, how many of
+  its 32-char positions also occur verbatim anywhere in the EVAL split
+  (the drop/redact candidates). Hashed char-gram equi-join: shuffle keys
+  are 32-byte md5, the gram text never moves.
+- q153: corpus duplication profile — per doc, how many of its 32-char
+  positions occur ≥2 times ANYWHERE in the corpus, via prefix-doubling
+  suffix ranks (no gram materialization; O(positions·log L) fixed-width
+  shuffle bytes — the 100-TB path). The oracle computes the same profile
+  by direct substring extraction + self-join, so hash equality doubles as
+  the correctness proof of the distributed suffix-rank construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.substr import substring_contamination, suffix_ngram_groups
+from ..sources.tables import load_table
+from .sampling import _SQL_HASH_UNIT, hash_unit
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_L = 32
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# q152 — substring-level decontamination report. q143 answers "how many of
+# an eval doc's word-5-shingles appear in train"; this is the stricter
+# character-level form, reported from the TRAINING side (the docs a
+# pipeline would drop or redact): per train doc, the count of 32-char
+# positions whose exact substring occurs anywhere in the eval split.
+# Scale shape: one DISTINCT over eval gram hashes (eval/benchmark side is
+# small by nature), one left equi-join on the 32-byte hash (the distinct
+# bounds a hot gram to one row per train occurrence — no pair explosion),
+# one per-doc aggregation. Corpus-side stride (char_grams stride=k, exact
+# for spans >= L+k-1) is the knob that divides corpus row count at 100 TB;
+# the gate runs stride 1 so the oracle states positions exactly.
+@_register(
+    "q152_substring_decontamination",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text, {_SQL_HASH_UNIT} AS unit
+        FROM documents WHERE length(text) >= {_L}
+    ),
+    pos AS (
+        SELECT doc_id, unit, text,
+               unnest(range(1, length(text) - {_L} + 2)) AS i
+        FROM d
+    ),
+    g AS (SELECT doc_id, unit, md5(substr(text, i, {_L})) AS h FROM pos),
+    bench AS (SELECT DISTINCT h FROM g WHERE unit >= 0.9),
+    corpus AS (SELECT doc_id, h FROM g WHERE unit < 0.8)
+    SELECT corpus.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(COUNT(bench.h) AS BIGINT) AS n_matched,
+           COUNT(bench.h) > 0 AS contaminated
+    FROM corpus LEFT JOIN bench ON corpus.h = bench.h
+    GROUP BY corpus.doc_id
+    """,
+)
+def q152_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_unit(F.col("doc_id"))
+    train = d.filter(u < 0.8)
+    ev = d.filter(u >= 0.9)
+    return substring_contamination(train, ev, "doc_id", "text", _L)
+
+
+# --------------------------------------------------------------------------
+# q153 — corpus duplication profile via DISTRIBUTED SUFFIX RANKS: per doc,
+# (n_grams, n_repeated, max_occ) where n_repeated counts 32-char positions
+# whose substring occurs >= 2 times anywhere in the corpus and max_occ is
+# the doc's hottest span's occurrence count. The Spark side never extracts
+# a gram: operators/substr.suffix_ngram_groups builds rank structure with
+# 5 prefix-doubling rounds (equi-join on (doc, pos+h) + range-partitioned
+# dense_rank each), then two keyed aggregations on the (g1, g2) group key.
+# The oracle extracts substr(text, i, 32) directly and self-joins — value
+# equality of the per-doc profiles is the equivalence proof of the
+# prefix-doubling construction at corpus scale (the same proof strategy
+# as q134/q135 for the skew operators).
+@_register(
+    "q153_repeated_substrings",
+    f"""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - {_L} + 2)) AS i
+        FROM documents WHERE length(text) >= {_L}
+    ),
+    g AS (SELECT doc_id, substr(text, i, {_L}) AS gram FROM pos),
+    c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           CAST(MAX(c.n) AS BIGINT) AS max_occ
+    FROM g JOIN c USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q153_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = suffix_ngram_groups(d, "doc_id", "text", _L)
+    counts = g.groupBy("g1", "g2").agg(F.count("*").alias("__n"))
+    return (
+        g.join(counts, ["g1", "g2"])
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeated"),
+            F.max("__n").alias("max_occ"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q154 — duplicated-span REDACTION: the ACT step to q153's detect step —
+# every 32-char span that occurs elsewhere in the corpus is cut from the
+# text except its globally-first occurrence, overlapping/adjacent marks
+# merged, one splice per doc (operators/substr.redact_repeated_spans; the
+# one-pass semantics of Lee et al. 2022's dedup cut). The gate hashes the
+# FULL cleaned text of every doc, so span arithmetic, island merging, and
+# the splice HOF are all value-checked. The oracle reconstructs cleaned
+# text per CHARACTER (string_agg of kept chars) — the Spark side never
+# explodes per char; equality of the two constructions is the proof.
+@_register(
+    "q154_redact_repeated_spans",
+    f"""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - {_L} + 2)) AS i
+        FROM documents WHERE length(text) >= {_L}
+    ),
+    g AS (SELECT doc_id, i, md5(substr(text, i, {_L})) AS h FROM pos),
+    marked AS (
+        SELECT doc_id, i,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+        FROM g
+    ),
+    dup AS (SELECT doc_id, i FROM marked WHERE rn >= 2),
+    isl0 AS (
+        SELECT doc_id, i,
+               CASE WHEN MAX(i + {_L} - 1) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR i > MAX(i + {_L} - 1) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                    THEN 1 ELSE 0 END AS ni
+        FROM dup
+    ),
+    isl1 AS (
+        SELECT doc_id, i,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS grp
+        FROM isl0
+    ),
+    isl AS (
+        SELECT doc_id, grp, MIN(i) AS s, MAX(i) + {_L} - 1 AS e
+        FROM isl1 GROUP BY 1, 2
+    ),
+    ch AS (
+        SELECT doc_id, p, substr(text, p, 1) AS c,
+               EXISTS (SELECT 1 FROM isl s
+                       WHERE s.doc_id = ch0.doc_id AND ch0.p BETWEEN s.s AND s.e)
+                   AS rm
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+              FROM documents) ch0
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               COALESCE(string_agg(c, '' ORDER BY p) FILTER (WHERE NOT rm), '')
+                   AS cleaned
+        FROM ch GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+        FROM isl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(st.n_spans, 0) AS n_spans,
+           COALESCE(st.n_removed, 0) AS n_removed,
+           COALESCE(c.cleaned, d.text) AS cleaned
+    FROM documents d
+    LEFT JOIN stats st ON st.doc_id = d.doc_id
+    LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+    """,
+)
+def q154_redact_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substr import redact_repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return redact_repeated_spans(d, "doc_id", "text", _L)

@@ -79,18 +79,74 @@ def test_peer_groups_rank_correctly(spark):
 
 def test_no_unpartitioned_window_over_data(spark, sf_dir):
     """The only single-partition exchange allowed is the offsets table
-    (|partitions| rows): the raw-data window must key on __pid."""
+    (|partitions| rows): the raw-data window must key on __pid. The range
+    exchange itself now lives behind the pinned (checkpointed) frame — see
+    the partition-id pinning note in operators/ranking.py — so it is
+    asserted via test_pinned_frame_is_range_partitioned, not plan text."""
     spend = _spend(spark, sf_dir)
     out = with_global_ranks(
         spend, [F.col("cents").desc(), F.col("user_id")], ["cents", "user_id"],
         rank_col="rk",
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower(), plan
     data_windows = [
         ln for ln in plan.splitlines() if "Window" in ln and "__lrk" in ln
     ]
     assert data_windows and all("__pid" in ln for ln in data_windows), data_windows
+
+
+def test_pinned_frame_is_range_partitioned_and_frozen(spark, sf_dir):
+    """r8 partition-id pinning: the frame every branch reads is (a) actually
+    range-partitioned — per-partition key ranges are DISJOINT, so equal keys
+    never straddle a boundary and local ranks compose into global ones —
+    and (b) materialized (locally checkpointed), so spark_partition_id() is
+    evaluated once, not per physical branch."""
+    from scraper_db_refine_merge_spark.operators.ranking import _pin_range_partitions
+
+    spend = _spend(spark, sf_dir)
+    # AQE coalesces test-sized data to ONE range partition (64 MB advisory
+    # target) which would make the disjointness assertion vacuous — shrink
+    # the advisory size for this test only.
+    keys = (
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+    )
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    spark.conf.set(keys[0], "64b")
+    spark.conf.set(keys[1], "64b")
+    spark.conf.set(keys[2], "false")
+    try:
+        pinned = _pin_range_partitions(
+            spend, [F.col("cents").desc(), F.col("user_id")]
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # the frame is a scan over a materialized RDD (localCheckpoint), not a
+    # lazy exchange every consumer would re-evaluate (pinned.rdd itself is
+    # a fresh javaToPython wrapper, so assert on the plan)
+    assert "LogicalRDD" in pinned._jdf.queryExecution().optimizedPlan().toString()
+    key = F.struct(
+        (F.col("cents") * -1).alias("nc"), F.col("user_id").alias("uid")
+    )
+    parts = (
+        pinned.select("cents", "user_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.min(key).alias("lo"), F.max(key).alias("hi"))
+        .orderBy("__pid")
+        .collect()
+    )
+    assert len(parts) > 1  # the data actually spread over partitions
+    for prev, cur in zip(parts, parts[1:]):
+        assert (prev["hi"]["nc"], prev["hi"]["uid"]) <= (
+            cur["lo"]["nc"],
+            cur["lo"]["uid"],
+        ), (prev, cur)
 
 
 def test_global_ranks_with_nulls_in_order_keys(spark):
@@ -158,6 +214,28 @@ def test_global_cumsum_no_unpartitioned_window_over_data(spark, sf_dir):
         spend, [F.col("cents").desc(), F.col("user_id")], F.col("cents"), "cs"
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower(), plan
     data_windows = [ln for ln in plan.splitlines() if "Window" in ln and "__lcs" in ln]
     assert data_windows and all("__pid" in ln for ln in data_windows), data_windows
+
+
+def test_global_cumsum_null_parity_with_single_window(spark):
+    """ADVICE r7: SUM() OVER skips NULLs and is NULL only while the whole
+    prefix is null. Rows 0..9 all-null (expect NULL), then mixed nulls
+    (expect the null-skipping running total, never NULL again)."""
+    from scraper_db_refine_merge_spark.operators.ranking import global_cumsum
+
+    rows = [(i, None if (i < 10 or i % 3 == 0) else i * 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, v int").repartition(9)
+    order = [F.col("id")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = sorted(
+        map(tuple, df.select("id", F.sum("v").over(w).alias("cs")).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            global_cumsum(df, order, F.col("v"), "cs").select("id", "cs").collect(),
+        )
+    )
+    assert got == naive
+    assert got[0][1] is None and got[9][1] is None and got[10][1] is not None

@@ -516,3 +516,49 @@ def test_store_parts_retention_time_travel_and_gc(spark, tmp_path):
     v3 = sorted(r.k for r in store_read_part_version(spark, target, "t", 3).collect())
     assert v2 == [1, 2] and v3 == [1, 2, 3]
     assert len(os.listdir(os.path.join(target, "parts"))) == 3
+
+
+def test_release_all_threads_concurrent_with_worker_releases(spark):
+    """ADVICE r7: release_all_threads racing worker-thread release_caches /
+    cache_scope exits must never IndexError or double-unpersist — each
+    entry list is swapped out atomically under the registry lock, so the
+    union of all drains equals the set of persisted caches exactly."""
+    import threading
+
+    from scraper_db_refine_merge_spark.operators._cache import (
+        cache_scope,
+        persist_tracked,
+        release_all_threads,
+        release_caches,
+    )
+
+    freed = []
+    errors = []
+    stop = threading.Event()
+
+    def worker(seed):
+        try:
+            for i in range(8):
+                with cache_scope():
+                    persist_tracked(spark.range(seed * 100 + i, seed * 100 + i + 5)).count()
+                freed.append(release_caches())
+        except Exception as e:  # pragma: no cover - the assertion target
+            errors.append(e)
+
+    def reaper():
+        while not stop.is_set():
+            freed.append(release_all_threads())
+
+    workers = [threading.Thread(target=worker, args=(s,)) for s in range(4)]
+    rp = threading.Thread(target=reaper)
+    rp.start()
+    for t in workers:
+        t.start()
+    for t in workers:
+        t.join()
+    stop.set()
+    rp.join()
+    assert not errors, errors
+    # 4 workers x 8 scopes = 32 persists; every cache freed exactly once.
+    freed.append(release_all_threads())
+    assert sum(freed) == 32

@@ -1,0 +1,170 @@
+"""Character-level substring operators (operators/substr.py): the
+prefix-doubling suffix ranks must group positions EXACTLY like literal
+L-gram equality — including document tails, non-power-of-two L, and the
+multi-partition execution that exposed the with_global_ranks branch-
+consistency hazard (r8)."""
+
+from __future__ import annotations
+
+import collections
+
+from pyspark.sql import functions as F
+
+from scraper_db_refine_merge_spark.operators.substr import (
+    char_grams,
+    substring_contamination,
+    suffix_ngram_groups,
+)
+from scraper_db_refine_merge_spark.sources.tables import load_table
+
+ROWS = [
+    (1, "abcabcabcX"),
+    (2, "zabcabcq"),
+    (3, "short"),
+    (4, "aaaaaaaa"),
+    (5, "qqabcab"),
+]
+
+
+def _expected_groups(rows, L):
+    exp = collections.defaultdict(list)
+    for d, t in rows:
+        for i in range(1, len(t) - L + 2):
+            exp[t[i - 1 : i - 1 + L]].append((d, i))
+    return sorted(sorted(v) for v in exp.values())
+
+
+def test_suffix_groups_equal_literal_grouping(spark):
+    """L spanning powers of two and odd values, with repeats across and
+    within docs, self-overlapping runs (aaaa…), and tails shorter than L."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    for L in (1, 2, 3, 5, 7):
+        g = suffix_ngram_groups(df, "doc_id", "text", L)
+        by_key = collections.defaultdict(list)
+        for r in g.collect():
+            by_key[(r["g1"], r["g2"])].append((r["doc"], r["pos"]))
+        got = sorted(sorted(v) for v in by_key.values())
+        assert got == _expected_groups(ROWS, L), L
+
+
+def test_suffix_groups_match_hashed_grams_multipartition(spark, sf_dir):
+    """The r8 regression: at multi-partition scale, per-gram occurrence
+    counts from the rank construction must equal the direct md5-gram
+    grouping — this is exactly the shape whose two-branch exchange reuse
+    broke under AQE before partition pinning (nondeterministic, lost
+    rows). Runs twice to pin determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    L = 8
+
+    def profile():
+        g = suffix_ngram_groups(d, "doc_id", "text", L)
+        return sorted(
+            map(
+                tuple,
+                g.groupBy("g1", "g2")
+                .count()
+                .groupBy("count")
+                .agg(F.count("*").alias("n"))
+                .collect(),
+            )
+        )
+
+    truth = sorted(
+        map(
+            tuple,
+            char_grams(d, "doc_id", "text", L)
+            .groupBy("h")
+            .count()
+            .groupBy("count")
+            .agg(F.count("*").alias("n"))
+            .collect(),
+        )
+    )
+    assert truth  # non-degenerate fixture
+    first = profile()
+    assert first == truth
+    assert profile() == first
+
+
+def test_char_grams_stride_and_short_docs(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = sorted(
+        map(tuple, char_grams(df, "doc_id", "text", 3, stride=2, hashed=False).collect())
+    )
+    exp = []
+    for d, t in ROWS:
+        for i in range(1, len(t) - 1, 2):
+            exp.append((d, i, t[i - 1 : i + 2]))
+    assert got == sorted(exp)
+    # a doc shorter than L contributes nothing (and must not crash sequence())
+    tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    assert char_grams(tiny, "doc_id", "text", 3).count() == 0
+
+
+def test_substring_contamination_bruteforce(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor"), (3, "brown fox jumps")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a brown fox appears"), (101, "unrelated words")],
+        "doc_id long, text string",
+    )
+    L = 9
+    out = {
+        r["doc_id"]: (r["n_positions"], r["n_matched"], r["contaminated"])
+        for r in substring_contamination(corpus, bench, "doc_id", "text", L).collect()
+    }
+    bgrams = set()
+    for _, t in [(100, "a brown fox appears"), (101, "unrelated words")]:
+        bgrams |= {t[i : i + L] for i in range(len(t) - L + 1)}
+    exp = {}
+    for d, t in [(1, "the quick brown fox"), (2, "lorem ipsum dolor"), (3, "brown fox jumps")]:
+        grams = [t[i : i + L] for i in range(len(t) - L + 1)]
+        m = sum(1 for g in grams if g in bgrams)
+        exp[d] = (len(grams), m, m > 0)
+    assert out == exp
+    assert exp[1][2] and exp[3][2] and not exp[2][2]  # fixture non-trivial
+
+
+def test_redact_repeated_spans_handcase(spark):
+    """Docs 1 and 2 share the 8-char span 'ABCDEFGH'; doc 1 holds the
+    globally-first occurrence and keeps it, doc 2's copy is cut; doc 3 has
+    no repeats and passes through untouched."""
+    from scraper_db_refine_merge_spark.operators.substr import redact_repeated_spans
+
+    rows = [
+        (1, "..ABCDEFGH--"),
+        (2, "zzABCDEFGHyy"),
+        (3, "no repeats here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["cleaned"])
+        for r in redact_repeated_spans(df, "doc_id", "text", 8).collect()
+    }
+    # global first occurrence of 'ABCDEFGH' is (doc 1, pos 3) -> kept
+    assert out[1] == (0, 0, "..ABCDEFGH--")
+    # doc 2: the single marked position (pos 3) cuts [3, 10]
+    assert out[2] == (1, 8, "zzyy")
+    assert out[3] == (0, 0, "no repeats here at all")
+
+
+def test_redact_overlapping_spans_merge(spark):
+    """Two marked positions 4 apart with L=8 overlap -> ONE merged span;
+    and a doc whose every position is marked redacts to empty."""
+    from scraper_db_refine_merge_spark.operators.substr import redact_repeated_spans
+
+    rows = [
+        (1, "AAAABBBBCCCC....."),   # first occurrences, kept whole
+        (2, "AAAABBBBCCCCzzzzz"),   # positions 1 and 5 marked -> [1,12] merged
+        (3, "AAAABBBB"),            # fully covered -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["cleaned"])
+        for r in redact_repeated_spans(df, "doc_id", "text", 8).collect()
+    }
+    assert out[1] == (0, 0, "AAAABBBBCCCC.....")
+    assert out[2] == (1, 12, "zzzzz")
+    assert out[3] == (1, 8, "")

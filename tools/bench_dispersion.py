@@ -51,7 +51,15 @@ def main() -> int:
             flush=True,
         )
 
-    runs = [json.loads(l) for l in open(jsonl)]
+    all_runs = [json.loads(l) for l in open(jsonl)]
+    # Guard (ADVICE r7): a run recorded without oracle totals (oracle
+    # skipped / crashed) must not crash the final rewrite after all the
+    # bench time was spent — drop it from ratio stats and say so.
+    runs = [r for r in all_runs if r.get("oracle_total")]
+    n_dropped = len(all_runs) - len(runs)
+    if not runs:
+        print(f"no runs with oracle totals ({n_dropped} dropped); nothing to aggregate")
+        return 1
     spark_totals = [r["value"] for r in runs]
     oracle_totals = [r["oracle_total"] for r in runs]
     ratios = [round(s / o, 3) for s, o in zip(spark_totals, oracle_totals)]
@@ -85,6 +93,7 @@ def main() -> int:
         "spark_total_median": round(statistics.median(spark_totals), 3),
         "oracle_total_median": round(statistics.median(oracle_totals), 3),
         "median_per_run_ratio": round(statistics.median(ratios), 3),
+        "runs_dropped_no_oracle": n_dropped,
         "per_query": per_query,
     }
     with open(final, "w") as f:
