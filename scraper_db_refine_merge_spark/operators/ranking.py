@@ -74,17 +74,29 @@ def with_global_ranks(
     the order is built from (used for peer grouping and distinct counts —
     directions live in ``order_cols``).
     """
+    # Compute only what the requested outputs need (r8): every extra local
+    # window column is per-row work on the WHOLE relation, and the peer
+    # window is a second window pass — callers like the prefix-doubling
+    # suffix ranks (operators/substr.py) invoke this in a loop with only
+    # dense_rank_col set.
+    need_rank = bool(rank_col or percent_rank_col or cume_dist_col)
+    need_rn = ntile is not None
+    need_dense = bool(dense_rank_col)
+    need_peer = bool(cume_dist_col)
+
     rp = _pin_range_partitions(df, order_cols)
     d = rp.withColumn("__pid", F.spark_partition_id())
 
     wl = Window.partitionBy("__pid").orderBy(*order_cols)
-    peers = Window.partitionBy("__pid", *value_cols)
-    d = (
-        d.withColumn("__lrk", F.rank().over(wl))
-        .withColumn("__lrn", F.row_number().over(wl))
-        .withColumn("__ldr", F.dense_rank().over(wl))
-        .withColumn("__peer_n", F.count("*").over(peers))
-    )
+    if need_rank:
+        d = d.withColumn("__lrk", F.rank().over(wl))
+    if need_rn:
+        d = d.withColumn("__lrn", F.row_number().over(wl))
+    if need_dense:
+        d = d.withColumn("__ldr", F.dense_rank().over(wl))
+    if need_peer:
+        peers = Window.partitionBy("__pid", *value_cols)
+        d = d.withColumn("__peer_n", F.count("*").over(peers))
 
     # distinct count of the STRUCT, not the bare column list:
     # count(distinct a, b) drops rows where any column is NULL, while
@@ -93,21 +105,27 @@ def with_global_ranks(
     # partition's dense-rank offset when order keys contain NULLs
     # (ADVICE r6). A struct with null fields is itself non-null, and struct
     # distinctness matches window-ordering peer semantics (null == null).
-    stats = d.groupBy("__pid").agg(
-        F.count("*").alias("__n"),
-        F.count_distinct(F.struct(*[F.col(c) for c in value_cols])).alias("__nd"),
-    )
+    aggs = [F.count("*").alias("__n")]
+    if need_dense:
+        aggs.append(
+            F.count_distinct(F.struct(*[F.col(c) for c in value_cols])).alias("__nd")
+        )
+    stats = d.groupBy("__pid").agg(*aggs)
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = stats.select(
-        "__pid",
+    off_cols = [
+        F.col("__pid"),
         F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off_rows"),
-        F.coalesce(F.sum("__nd").over(wo), F.lit(0)).alias("__off_distinct"),
         F.sum("__n").over(
             Window.orderBy("__pid").rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias("__n_total"),
-    )
+    ]
+    if need_dense:
+        off_cols.append(
+            F.coalesce(F.sum("__nd").over(wo), F.lit(0)).alias("__off_distinct")
+        )
+    offsets = stats.select(*off_cols)
 
     out = d.join(offsets, "__pid")
     grank = F.col("__off_rows") + F.col("__lrk")
@@ -142,10 +160,12 @@ def with_global_ranks(
             .otherwise(r + F.floor((grn - big - 1) / q) + 1)
             .cast("int"),
         )
-    return out.drop(
-        "__pid", "__lrk", "__lrn", "__ldr", "__peer_n",
-        "__off_rows", "__off_distinct", "__n_total",
-    )
+    drop = ["__pid", "__off_rows", "__n_total"]
+    drop += ["__lrk"] if need_rank else []
+    drop += ["__lrn"] if need_rn else []
+    drop += ["__ldr", "__off_distinct"] if need_dense else []
+    drop += ["__peer_n"] if need_peer else []
+    return out.drop(*drop)
 
 
 def topk_per_group(

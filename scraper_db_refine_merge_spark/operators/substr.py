@@ -144,46 +144,26 @@ def suffix_ngram_groups(
 
     Each doubling round is one equi-join on (doc, pos+h) plus one
     distributed dense_rank (range-partitioned; see with_global_ranks) —
-    fixed-width rows throughout, O(log L) rounds. Positions with fewer
+    fixed-width rows throughout, O(log(L/h0)) rounds. Positions with fewer
     than ``length`` remaining characters are dropped from the OUTPUT (they
     have no full gram) but participate in rank construction, which is what
     makes in-document tail comparisons exact.
+
+    HYBRID SEED: the initial rank is taken directly on the h0 = min(8,
+    length)-char gram (substr caps at the doc end, so equal capped grams ⟺
+    equal capped-h0 suffixes — the induction base holds unchanged). An
+    8-char seed costs the same shuffle width as the two longs a doubling
+    round carries, and replaces the 3 cheapest-but-not-free rounds
+    (h = 1→2→4→8); doubling takes over where gram width would start to
+    dominate shuffle bytes.
     """
     if length < 1:
         raise ValueError("length must be >= 1")
-    chars = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
-        F.col(text_col).alias("__t"),
-        F.length(text_col).alias("__len"),
-    ).select(
-        "doc",
-        "pos",
-        "__len",
-        F.substr(F.col("__t"), F.col("pos"), F.lit(1)).alias("__ch"),
-    )
-    # No per-round checkpoint needed here: with_global_ranks itself pins
-    # (and thereby materializes) its range-partitioned frame each call —
-    # that both fixes the branch-consistency hazard its docstring describes
-    # (first observed through THIS operator's self-joins) and keeps each
-    # round's lineage O(1), the operators/graph.py iterative requirement.
-    d = with_global_ranks(
-        chars, [F.col("__ch")], ["__ch"], dense_rank_col="r"
-    ).select("doc", "pos", "__len", F.col("r").cast("long").alias("r"))
-
-    h = 1
+    # deepest ladder rung <= length (h0 = min(8, length) hybrid seed)
+    h = min(8, length)
     while h * 2 <= length:
-        nxt = d.select(
-            "doc", (F.col("pos") - h).alias("pos"), F.col("r").alias("__r2")
-        )
-        joined = (
-            d.join(nxt, ["doc", "pos"], "left")
-            .withColumn("__r2", F.coalesce("__r2", F.lit(-1)))
-        )
-        d = with_global_ranks(
-            joined, [F.col("r"), F.col("__r2")], ["r", "__r2"], dense_rank_col="__nr"
-        ).select("doc", "pos", "__len", F.col("__nr").cast("long").alias("r"))
         h *= 2
+    d = suffix_rank_ladder(df, id_col, text_col, [h])[h]
 
     full = d.filter(F.col("pos") <= F.col("__len") - (length - 1))
     if h == length:
@@ -273,3 +253,61 @@ def redact_repeated_spans(
         F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         splice.alias("cleaned"),
     )
+
+
+def suffix_rank_ladder(
+    df: DataFrame, id_col: str, text_col: str, lengths: list[int]
+) -> dict[int, DataFrame]:
+    """Rank snapshots at every requested dyadic prefix length, from ONE
+    prefix-doubling run: ``{h: (doc, pos, __len, r)}`` where two positions
+    share ``r`` at step h ⟺ their suffixes (truncated at the doc end)
+    agree on their first min(h, remaining) chars and, if shorter than h,
+    on their truncated length — so for positions with ≥ h real characters,
+    equal rank ⟺ identical h-char gram (the suffix_ngram_groups
+    semantics, observed at every rung instead of only the last).
+
+    ``lengths`` must be increasing and each a power-of-two multiple of the
+    seed h0 = min(8, lengths[0]) — i.e. exactly the ladder the doubling
+    visits. The marginal cost of an extra rung over the deepest one is
+    zero: the snapshots are the loop's own intermediates.
+    """
+    if not lengths or sorted(lengths) != list(lengths):
+        raise ValueError("lengths must be non-empty and increasing")
+    h0 = min(8, lengths[0])
+    for L in lengths:
+        q = L // h0
+        if h0 * q != L or q & (q - 1):
+            raise ValueError(f"length {L} is not h0*2^k for h0={h0}")
+    chars = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.sequence(F.lit(1), F.length(text_col))).alias("pos"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    ).select(
+        "doc",
+        "pos",
+        "__len",
+        F.substr(F.col("__t"), F.col("pos"), F.lit(h0)).alias("__g0"),
+    )
+    d = with_global_ranks(
+        chars, [F.col("__g0")], ["__g0"], dense_rank_col="r"
+    ).select("doc", "pos", "__len", F.col("r").cast("long").alias("r"))
+    out: dict[int, DataFrame] = {}
+    h = h0
+    if h in lengths:
+        out[h] = d
+    while h < max(lengths):
+        nxt = d.select(
+            "doc", (F.col("pos") - h).alias("pos"), F.col("r").alias("__r2")
+        )
+        joined = (
+            d.join(nxt, ["doc", "pos"], "left")
+            .withColumn("__r2", F.coalesce("__r2", F.lit(-1)))
+        )
+        d = with_global_ranks(
+            joined, [F.col("r"), F.col("__r2")], ["r", "__r2"], dense_rank_col="__nr"
+        ).select("doc", "pos", "__len", F.col("__nr").cast("long").alias("r"))
+        h *= 2
+        if h in lengths:
+            out[h] = d
+    return out

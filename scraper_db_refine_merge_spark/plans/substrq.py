@@ -14,6 +14,12 @@ Spark-first in operators/substr.py).
   shuffle bytes — the 100-TB path). The oracle computes the same profile
   by direct substring extraction + self-join, so hash equality doubles as
   the correctness proof of the distributed suffix-rank construction.
+- q154: duplicated-span REDACTION — the act step: cut every repeated span
+  except its globally-first occurrence; the gate hashes full cleaned text.
+- q155: q152 with corpus-side stride 4 — the 100-TB row-count knob, gated
+  (detects every shared span >= L+3; tightness pinned in pytest).
+- q156: dyadic duplication-length profile (rungs 8/16/32/64 from ONE
+  doubling run) + per-doc longest-repeated-substring bracket.
 """
 
 from __future__ import annotations
@@ -208,3 +214,128 @@ def q154_redact_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return redact_repeated_spans(d, "doc_id", "text", _L)
+
+
+# --------------------------------------------------------------------------
+# q155 — STRIDED substring decontamination: q152's exact join enumerates
+# every corpus position; at 100 TB the corpus side runs with stride k
+# (positions 1, 1+k, 1+2k, …), which divides corpus gram rows by k and
+# still detects EVERY shared span of length >= L+k-1 (such a span must
+# contain a full L-gram starting on a stride boundary; the probe side
+# stays stride 1). This gate pins that configuration (k=4, effective
+# threshold 35) — the oracle enumerates the same strided positions, so
+# the stride arithmetic itself is value-checked, and the pytest suite
+# separately proves the >= L+k-1 detection guarantee on adversarial
+# alignments (tests/test_substr.py).
+@_register(
+    "q155_strided_decontamination",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text, {_SQL_HASH_UNIT} AS unit
+        FROM documents WHERE length(text) >= {_L}
+    ),
+    cpos AS (
+        SELECT doc_id, unit, text,
+               unnest(range(1, length(text) - {_L} + 2, 4)) AS i
+        FROM d
+    ),
+    bpos AS (
+        SELECT doc_id, unit, text,
+               unnest(range(1, length(text) - {_L} + 2)) AS i
+        FROM d
+    ),
+    corpus AS (SELECT doc_id, md5(substr(text, i, {_L})) AS h FROM cpos
+               WHERE unit < 0.8),
+    bench AS (SELECT DISTINCT md5(substr(text, i, {_L})) AS h FROM bpos
+              WHERE unit >= 0.9)
+    SELECT corpus.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_positions,
+           CAST(COUNT(bench.h) AS BIGINT) AS n_matched,
+           COUNT(bench.h) > 0 AS contaminated
+    FROM corpus LEFT JOIN bench ON corpus.h = bench.h
+    GROUP BY corpus.doc_id
+    """,
+)
+def q155_strided_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_unit(F.col("doc_id"))
+    train = d.filter(u < 0.8)
+    ev = d.filter(u >= 0.9)
+    return substring_contamination(train, ev, "doc_id", "text", _L, stride=4)
+
+
+def _lrs_oracle() -> str:
+    rungs = "".join(
+        f"""
+    g{h} AS (
+        SELECT doc_id, substr(text, i, {h}) AS gram
+        FROM (SELECT doc_id, text, unnest(range(1, length(text) - {h} + 2)) AS i
+              FROM documents WHERE length(text) >= {h})
+    ),
+    c{h} AS (SELECT gram, COUNT(*) AS n FROM g{h} GROUP BY gram),
+    r{h} AS (
+        SELECT g.doc_id, CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS rep
+        FROM g{h} g JOIN c{h} c USING (gram) GROUP BY g.doc_id
+    ),"""
+        for h in (8, 16, 32, 64)
+    )
+    return f"""
+    WITH {rungs.rstrip(',')}
+    SELECT d.doc_id,
+           COALESCE(r8.rep, 0) AS rep8,
+           COALESCE(r16.rep, 0) AS rep16,
+           COALESCE(r32.rep, 0) AS rep32,
+           COALESCE(r64.rep, 0) AS rep64,
+           CAST(CASE WHEN COALESCE(r64.rep, 0) > 0 THEN 64
+                     WHEN COALESCE(r32.rep, 0) > 0 THEN 32
+                     WHEN COALESCE(r16.rep, 0) > 0 THEN 16
+                     WHEN COALESCE(r8.rep, 0) > 0 THEN 8
+                     ELSE 0 END AS INTEGER) AS lrs_bracket
+    FROM documents d
+    LEFT JOIN r8 ON r8.doc_id = d.doc_id
+    LEFT JOIN r16 ON r16.doc_id = d.doc_id
+    LEFT JOIN r32 ON r32.doc_id = d.doc_id
+    LEFT JOIN r64 ON r64.doc_id = d.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# q156 — dyadic DUPLICATION-LENGTH PROFILE: per doc, how many positions
+# start a duplicated span at each rung h ∈ {8, 16, 32, 64} and the
+# longest-repeated-substring bracket (largest rung with any repeat) — the
+# corpus statistic that tells a dedup pipeline WHERE to set L before
+# committing to a redaction threshold. One prefix-doubling run yields all
+# four rungs (operators/substr.suffix_rank_ladder: the snapshots are the
+# doubling loop's own intermediates — the marginal rung is free, which is
+# exactly what fixed-L gram hashing cannot offer). The oracle re-derives
+# every rung with direct substring extraction + self-join.
+@_register("q156_duplication_length_profile", _lrs_oracle())
+def q156_duplication_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substr import suffix_rank_ladder
+
+    d = load_table(spark, sf_dir, "documents")
+    ladder = suffix_rank_ladder(d, "doc_id", "text", [8, 16, 32, 64])
+    base = d.select("doc_id")
+    for h, dfh in ladder.items():
+        full = dfh.filter(F.col("pos") <= F.col("__len") - (h - 1))
+        counts = full.groupBy("r").agg(F.count("*").alias("__n"))
+        rep = (
+            full.join(counts, "r")
+            .filter(F.col("__n") > 1)
+            .groupBy(F.col("doc").alias("doc_id"))
+            .agg(F.count("*").alias(f"rep{h}"))
+        )
+        base = base.join(rep, "doc_id", "left")
+    out = base.select(
+        "doc_id",
+        *[F.coalesce(f"rep{h}", F.lit(0)).cast("long").alias(f"rep{h}") for h in (8, 16, 32, 64)],
+    )
+    bracket = (
+        F.when(F.col("rep64") > 0, 64)
+        .when(F.col("rep32") > 0, 32)
+        .when(F.col("rep16") > 0, 16)
+        .when(F.col("rep8") > 0, 8)
+        .otherwise(0)
+        .cast("int")
+    )
+    return out.withColumn("lrs_bracket", bracket)

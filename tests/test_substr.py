@@ -52,9 +52,11 @@ def test_suffix_groups_match_hashed_grams_multipartition(spark, sf_dir):
     counts from the rank construction must equal the direct md5-gram
     grouping — this is exactly the shape whose two-branch exchange reuse
     broke under AQE before partition pinning (nondeterministic, lost
-    rows). Runs twice to pin determinism."""
+    rows). Runs twice to pin determinism. L=20 with the 8-char hybrid seed
+    exercises a doubling round (8→16) AND the non-power-of-two overlap key
+    (r16[i], r16[i+4])."""
     d = load_table(spark, sf_dir, "documents")
-    L = 8
+    L = 20
 
     def profile():
         g = suffix_ngram_groups(d, "doc_id", "text", L)
@@ -168,3 +170,35 @@ def test_redact_overlapping_spans_merge(spark):
     assert out[1] == (0, 0, "AAAABBBBCCCC.....")
     assert out[2] == (1, 12, "zzzzz")
     assert out[3] == (1, 8, "")
+
+
+def test_stride_detection_guarantee(spark):
+    """Strided corpus-side enumeration (stride k) must detect EVERY shared
+    span of length >= L+k-1 regardless of alignment — place an (L+k-1)-char
+    shared span at every offset mod k and assert detection. Also pin that
+    the bound is tight: a span of only L chars at a worst-case alignment
+    is allowed to be (and here is) missed."""
+    L, k = 8, 4
+    span = "ABCDEFGHIJK"  # L+k-1 = 11 chars
+    assert len(span) == L + k - 1
+    corpus_rows = [
+        # pads of 0..k-1 'x's shift the span across all stride alignments
+        (i, "x" * i + span + "zz" + str(i)) for i in range(k)
+    ]
+    # tight-bound row: an L-char span placed so no stride-boundary L-gram
+    # fits inside it (starts at pos 2 with stride boundaries 1, 5, ...)
+    corpus_rows.append((99, "x" + span[:L] + "qqqqqq"))
+    bench = spark.createDataFrame([(1000, span + "---")], "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    from scraper_db_refine_merge_spark.operators.substr import substring_contamination
+
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in substring_contamination(
+            corpus, bench, "doc_id", "text", L, stride=k
+        ).collect()
+    }
+    for i in range(k):
+        assert out[i], f"alignment {i} missed a {L+k-1}-char shared span"
+    assert not out[99], "an L-char span at worst alignment should be missed (tight bound)"
