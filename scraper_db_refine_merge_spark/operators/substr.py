@@ -19,10 +19,11 @@ This module gives that modality two Spark-native shapes:
   construction by prefix doubling (Manber-Myers), distributed. Instead of
   materializing L bytes (or a 16-byte hash) per corpus position — an
   L-to-16× data blowup before the first shuffle — each position carries
-  two fixed-width longs, and ⌈log2 L⌉ rounds of (equi-join on (doc,
-  pos+h)) + (distributed dense_rank via operators/ranking.with_global_ranks
-  — range partition, never a single-task window) refine ranks until
-  rank equality ⟺ L-prefix equality. Total shuffled bytes are
+  two fixed-width longs, and O(log L) rounds of (LEAD(r, h) over a
+  per-doc window — positions are dense, so the row h ahead IS pos+h) +
+  (distributed dense_rank via operators/ranking.with_global_ranks —
+  range partition, never a single-task window) refine ranks until rank
+  equality ⟺ L-prefix equality. Total shuffled bytes are
   O(positions · log L), independent of L's byte width, and the machinery
   extends to full suffix ordering (longest-repeated-substring, arbitrary-
   length repeats) that fixed-L hashing cannot express.
@@ -49,7 +50,7 @@ gram extraction with substr()/md5() byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ranking import with_global_ranks
@@ -142,7 +143,7 @@ def suffix_ngram_groups(
     second component is the same rank shifted by 0 and the pair is still
     exact).
 
-    Each doubling round is one equi-join on (doc, pos+h) plus one
+    Each doubling round is one LEAD over the per-doc window plus one
     distributed dense_rank (range-partitioned; see with_global_ranks) —
     fixed-width rows throughout, O(log(L/h0)) rounds. Positions with fewer
     than ``length`` remaining characters are dropped from the OUTPUT (they
@@ -165,17 +166,19 @@ def suffix_ngram_groups(
         h *= 2
     d = suffix_rank_ladder(df, id_col, text_col, [h])[h]
 
-    full = d.filter(F.col("pos") <= F.col("__len") - (length - 1))
     if h == length:
-        return full.select(
+        return d.filter(F.col("pos") <= F.col("__len") - (length - 1)).select(
             "doc", "pos", F.col("r").alias("g1"), F.col("r").alias("g2")
         )
+    # overlap rank via LEAD (dense positions — see suffix_rank_ladder); a
+    # full position always has a real rank at pos+off (off < h <= length)
     off = length - h
-    shifted = d.select(
-        "doc", (F.col("pos") - off).alias("pos"), F.col("r").alias("g2")
+    w_doc = Window.partitionBy("doc").orderBy("pos")
+    return (
+        d.withColumn("g2", F.lead("r", off).over(w_doc))
+        .filter(F.col("pos") <= F.col("__len") - (length - 1))
+        .select("doc", "pos", F.col("r").alias("g1"), "g2")
     )
-    # a full position always has a real rank at pos+off (off < h <= length)
-    return full.join(shifted, ["doc", "pos"]).select("doc", "pos", F.col("r").alias("g1"), "g2")
 
 
 def redact_repeated_spans(
@@ -200,7 +203,6 @@ def redact_repeated_spans(
     HOF over the doc's merged spans (no per-character explosion — the
     oracle does that, this side never does).
     """
-    from pyspark.sql import Window
 
     cg = char_grams(df, id_col, text_col, length)
     stats = cg.groupBy("h").agg(
@@ -296,16 +298,19 @@ def suffix_rank_ladder(
     h = h0
     if h in lengths:
         out[h] = d
+    # rank[pos+h] is a LEAD, not a join: positions are DENSE per doc
+    # (1..len), so the row h ahead in (doc, pos) order is exactly pos+h.
+    # One per-doc window (bounded by the doc's own length — the same
+    # inherent bound as any per-doc output) replaces a corpus-sized
+    # self-equi-join per round; the -1 fill for leads past the doc end is
+    # the sentinel the module docstring's induction relies on.
+    w_doc = Window.partitionBy("doc").orderBy("pos")
     while h < max(lengths):
-        nxt = d.select(
-            "doc", (F.col("pos") - h).alias("pos"), F.col("r").alias("__r2")
-        )
-        joined = (
-            d.join(nxt, ["doc", "pos"], "left")
-            .withColumn("__r2", F.coalesce("__r2", F.lit(-1)))
+        paired = d.withColumn(
+            "__r2", F.coalesce(F.lead("r", h).over(w_doc), F.lit(-1))
         )
         d = with_global_ranks(
-            joined, [F.col("r"), F.col("__r2")], ["r", "__r2"], dense_rank_col="__nr"
+            paired, [F.col("r"), F.col("__r2")], ["r", "__r2"], dense_rank_col="__nr"
         ).select("doc", "pos", "__len", F.col("__nr").cast("long").alias("r"))
         h *= 2
         if h in lengths:

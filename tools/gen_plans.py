@@ -44,6 +44,11 @@ NAMES = [
     "q137_dsir_stratified_selection", "q138_semantic_dedup",
     "q139_source_mix", "q140_curriculum_schedule",
     "q141_incremental_semantic_index",
+    # r8 additions: the substring (char-level) dedup family and the
+    # skew-hardened defaults that replaced the plain-window q118/q119/q122
+    "q152_substring_decontamination", "q153_repeated_substrings",
+    "q154_redact_repeated_spans", "q155_strided_decontamination",
+    "q156_duplication_length_profile",
 ]
 
 
