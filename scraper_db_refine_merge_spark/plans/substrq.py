@@ -339,3 +339,119 @@ def q156_duplication_length_profile(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("int")
     )
     return out.withColumn("lrs_bracket", bracket)
+
+
+# --------------------------------------------------------------------------
+# q157 — the CORPUS BUILD composed end-to-end: the query a training-data
+# pipeline runs to produce a shard manifest from raw documents —
+#   (1) quality gate (length >= 100 chars AND >= 20 whitespace tokens),
+#   (2) exact dedup keep-smallest-id (q23's content hash),
+#   (3) char-level benchmark decontamination DROP (q152's 32-gram join
+#       against the eval split — contaminated docs removed, not reported),
+#   (4) deterministic shard manifest (q142's md5-permutation + ntile, 8
+#       shards, order-independent content fingerprint).
+# Each stage is individually gated elsewhere; this gates their COMPOSITION
+# (the q109 pattern, for the curation+decontamination+export half of the
+# pipeline that q109's dedup half doesn't cover). Scale shape inherits
+# from the pieces: hash groupBys with map-side combine, a DISTINCT-bounded
+# gram join, and the distributed ranking ntile — no new shuffle classes.
+@_register(
+    "q157_corpus_build",
+    rf"""
+    WITH d AS (
+        SELECT doc_id, text, {_SQL_HASH_UNIT} AS unit,
+               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    cand AS (
+        SELECT * FROM d
+        WHERE unit < 0.8 AND length(text) >= 100 AND n_tokens >= 20
+    ),
+    hashes AS (
+        SELECT doc_id, text, n_tokens,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS ch
+        FROM cand
+    ),
+    canon AS (SELECT ch, MIN(doc_id) AS canonical_id FROM hashes GROUP BY ch),
+    deduped AS (
+        SELECT h.doc_id, h.text, h.n_tokens
+        FROM hashes h JOIN canon c ON h.ch = c.ch AND h.doc_id = c.canonical_id
+    ),
+    bench AS (
+        SELECT DISTINCT md5(substr(text, i, {_L})) AS h
+        FROM (SELECT text, unnest(range(1, length(text) - {_L} + 2)) AS i
+              FROM d WHERE unit >= 0.9 AND length(text) >= {_L})
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM (SELECT doc_id, md5(substr(text, i, {_L})) AS h
+              FROM (SELECT doc_id, text, unnest(range(1, length(text) - {_L} + 2)) AS i
+                    FROM deduped WHERE length(text) >= {_L})) g
+        JOIN bench b ON g.h = b.h
+    ),
+    clean AS (
+        SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS pk,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS fp_unit
+        FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    o AS (
+        SELECT doc_id, n_tokens, fp_unit,
+               CAST(NTILE(8) OVER (ORDER BY pk, doc_id) AS INTEGER) AS shard
+        FROM clean
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(fp_unit) % 2147483648 AS BIGINT) AS content_fp
+    FROM o
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q157_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+    from ..operators.dedup import normalized_text
+    from ..operators.ranking import with_global_ranks
+
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_unit(F.col("doc_id"))
+    cand = (
+        d.filter(u < 0.8)
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .filter((F.length("text") >= 100) & (F.col("n_tokens") >= 20))
+    )
+    hashes = cand.withColumn("ch", F.md5(normalized_text(F.col("text"))))
+    canon = hashes.groupBy("ch").agg(F.min("doc_id").alias("canonical_id"))
+    deduped = hashes.join(
+        canon,
+        (hashes["ch"] == canon["ch"]) & (hashes["doc_id"] == canon["canonical_id"]),
+    ).select(hashes["doc_id"], hashes["text"], hashes["n_tokens"])
+    bench = d.filter(u >= 0.9)
+    contaminated = (
+        substring_contamination(deduped, bench, "doc_id", "text", _L)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = deduped.join(contaminated, "doc_id", "anti").select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.col("doc_id").cast("string")).alias("pk"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("fp_unit"),
+    )
+    r = with_global_ranks(
+        clean, [F.col("pk"), F.col("doc_id")], ["pk", "doc_id"], ntile=("shard", 8)
+    )
+    return (
+        r.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr(
+                "CAST(pmod(SUM(CAST(fp_unit AS DECIMAL(38,0))), 2147483648) AS BIGINT)"
+            ).alias("content_fp"),
+        )
+        .orderBy("shard")
+    )

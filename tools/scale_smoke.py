@@ -229,6 +229,20 @@ def main():
 
         return mmr_rerank(v, v.filter(F.col("vec_id") < 3), k=8, n_candidates=20)
 
+    def _substr_contam(d):
+        from scraper_db_refine_merge_spark.operators.substr import substring_contamination
+        from scraper_db_refine_merge_spark.plans.sampling import hash_unit
+
+        u = hash_unit(F.col("doc_id"))
+        return substring_contamination(
+            d.filter(u < 0.8), d.filter(u >= 0.9), "doc_id", "text", 32, stride=4
+        )
+
+    def _suffix_groups(d):
+        from scraper_db_refine_merge_spark.operators.substr import suffix_ngram_groups
+
+        return suffix_ngram_groups(d, "doc_id", "text", 32)
+
     def _bm25(d):
         from scraper_db_refine_merge_spark.plans.catalog import QUERIES  # noqa: F401
         from scraper_db_refine_merge_spark.plans.analytics import _BM25_TERMS
@@ -439,6 +453,25 @@ def main():
             "bm25_term_aggs",
             lambda: _bm25(base_docs).count(),
             lambda: _bm25(docs).count(),
+        ),
+        (
+            # q155's strided char-gram decontamination (the 100 TB config):
+            # per-position rows are the modality's inherent cost — growth
+            # must track positions (linear in corpus bytes), the DISTINCT
+            # probe side bounding hot grams exactly like shingle q143
+            "substring_contamination(stride4)",
+            lambda: _substr_contam(base_docs).count(),
+            lambda: _substr_contam(docs).count(),
+        ),
+        (
+            # q153's prefix-doubling suffix ranks: O(log L) rounds of
+            # fixed-width rank refinement — growth must track the range
+            # sorts (linear-ish), never a per-round blowup. Replicated
+            # copies multiply every gram group by the factor, so the
+            # group-join output stays per-position (linear).
+            "suffix_ngram_groups(L=32)",
+            lambda: _suffix_groups(base_docs).count(),
+            lambda: _suffix_groups(docs).count(),
         ),
         (
             # pair OUTPUT grows ~quadratically in the replication factor
