@@ -231,12 +231,14 @@ def lm_scores_from_index(
     from ..streaming.store import store_read_part
 
     bi_parts = store_read_part(spark, target_root, "bigrams")
+    tok_parts = store_read_part(spark, target_root, "tokens")
+    if bi_parts is None or tok_parts is None:
+        # mirror contamination_scan's missing-index error (the ADVICE r7
+        # class): never let a missing store surface as NoneType.groupBy
+        raise ValueError(f"no committed LM index at {target_root}")
     c12 = bi_parts.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
     c1 = bi_parts.groupBy("w1").agg(F.sum("cnt").alias("c1"))
-    v = (
-        store_read_part(spark, target_root, "tokens")
-        .agg(F.count_distinct("w").alias("v"))
-    )
+    v = tok_parts.agg(F.count_distinct("w").alias("v"))
     bi = doc_bigrams(docs, id_col, text_col)
     return _score_with_counts(bi, c12, c1, v, scale)
 

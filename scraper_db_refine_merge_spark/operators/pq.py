@@ -353,4 +353,8 @@ def pq_codes_from_index(spark, target_root: str) -> DataFrame:
     """The accumulated (vec_id, s, code) table of a folded PQ index."""
     from ..streaming.store import store_read_part
 
-    return store_read_part(spark, target_root, "codes")
+    codes = store_read_part(spark, target_root, "codes")
+    if codes is None:
+        # mirror contamination_scan's missing-index error (ADVICE r7 class)
+        raise ValueError(f"no committed PQ index at {target_root}")
+    return codes

@@ -73,6 +73,10 @@ def char_grams(
     finds every shared span of length ≥ ``length``+k-1 (any such span
     contains a full gram starting on a stride-k boundary).
     """
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
     gram = F.substr(F.col(text_col), F.col("pos"), F.lit(length))
     return (
         df.filter(F.length(text_col) >= length)  # sequence() needs stop >= start

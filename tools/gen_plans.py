@@ -48,7 +48,7 @@ NAMES = [
     # skew-hardened defaults that replaced the plain-window q118/q119/q122
     "q152_substring_decontamination", "q153_repeated_substrings",
     "q154_redact_repeated_spans", "q155_strided_decontamination",
-    "q156_duplication_length_profile",
+    "q156_duplication_length_profile", "q157_corpus_build",
 ]
 
 
