@@ -99,7 +99,16 @@ def cache_scope():
         yield
     finally:
         with _all_lock:
-            st.remove(entries)
+            # Remove by IDENTITY, not equality (ADVICE r8): list.remove()
+            # removes the first element that compares EQUAL, and a scope
+            # that persisted nothing has entries == [] — equal to the
+            # thread's root registry at index 0, which remove() would
+            # delete instead, corrupting the stack (later persists would
+            # land in this already-exited scope and leak past it).
+            for i in range(len(st) - 1, -1, -1):
+                if st[i] is entries:
+                    del st[i]
+                    break
         for df in _drain(entries):
             df.unpersist()
 

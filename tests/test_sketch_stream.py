@@ -562,3 +562,67 @@ def test_release_all_threads_concurrent_with_worker_releases(spark):
     # 4 workers x 8 scopes = 32 persists; every cache freed exactly once.
     freed.append(release_all_threads())
     assert sum(freed) == 32
+
+
+def test_cache_scope_empty_inner_scope_preserves_registry(spark):
+    """ADVICE r8 (medium, regression from the r8 locking rework): exiting a
+    scope must remove the scope's OWN list by identity. ``st.remove(entries)``
+    removes the first list comparing EQUAL — an inner scope that persisted
+    nothing has ``entries == []``, equal to the thread's root registry at
+    index 0, so the root was removed instead: later persists landed in the
+    already-exited scope's list and leaked past it, and the outer scope
+    drained entries it never created."""
+    from scraper_db_refine_merge_spark.operators._cache import (
+        _registry,
+        cache_scope,
+        persist_tracked,
+        release_caches,
+    )
+
+    release_caches()
+    st = _registry()
+    root = st[0]
+    assert root == [] and len(st) == 1
+    outer_df = None
+    with cache_scope():
+        with cache_scope():
+            pass  # inner scope persists nothing: entries == [] == root
+        # The root registry object must still be index 0 (identity, not a
+        # re-created equal list), and the stack depth must be exactly 2.
+        assert st[0] is root and len(st) == 2
+        outer_df = persist_tracked(spark.range(5))
+        outer_df.count()
+        assert outer_df.storageLevel.useMemory
+    # Outer scope exit drained exactly its own entry.
+    assert not outer_df.storageLevel.useMemory
+    assert st[0] is root and len(st) == 1
+    # Nothing leaked into the root registry.
+    assert release_caches() == 0
+
+
+def test_cache_scope_nested_exit_drains_own_entries_only(spark):
+    """Companion to the identity fix: with the corrupted stack, a persist
+    made AFTER an empty inner scope exited would register in the dead inner
+    list and survive the outer scope's exit. Assert the full nesting drains
+    each scope's caches at its own exit and nothing survives."""
+    from scraper_db_refine_merge_spark.operators._cache import (
+        cache_scope,
+        persist_tracked,
+        release_caches,
+    )
+
+    release_caches()
+    with cache_scope():
+        a = persist_tracked(spark.range(3))
+        a.count()
+        with cache_scope():
+            pass
+        b = persist_tracked(spark.range(4))
+        b.count()
+        with cache_scope():
+            c = persist_tracked(spark.range(6))
+            c.count()
+        assert not c.storageLevel.useMemory  # inner drained at inner exit
+        assert a.storageLevel.useMemory and b.storageLevel.useMemory
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+    assert release_caches() == 0
