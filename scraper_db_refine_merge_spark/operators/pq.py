@@ -242,6 +242,7 @@ def ivf_pq_topk(
     label_col: str = "label",
     k_neighbors: int = 5,
     nprobe: int = 2,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ (the FAISS IVFADC shape): coarse per-label centroid cells +
     product quantization of the RESIDUALS (v − centroid(cell)), queried by
@@ -249,6 +250,14 @@ def ivf_pq_topk(
     residual. Residual quantization is what makes PQ codes sharp at scale:
     residual norms are much smaller than vector norms, so the same 16
     codewords cover a far tighter distribution.
+
+    ``train_iters > 0`` refines the RESIDUAL codebook with that many
+    per-subspace Lloyd rounds (pq_codebook_trained) instead of the
+    md5-sampled baseline — residuals are exactly where k-means refinement
+    pays most (FAISS trains IVFADC codebooks on residuals; Jégou 2011
+    §IV-B), and the refinement state stays config-constant (m·k
+    codewords), so the scale shape is unchanged: each round is one more
+    broadcast-codebook join over the residual subvector map.
 
     Deterministic end-to-end: exact-decimal centroids (label_centroids),
     rounded-cosine cell assignment with id tie-breaks, md5-priority
@@ -278,7 +287,11 @@ def ivf_pq_topk(
     # pq_encode always emits the id as 'vec_id' — normalize the cell lookup
     # (and every downstream reference) to that name, or any non-default
     # id_col raises AnalysisException (ADVICE r6).
-    cb = pq_codebook(resid, id_col, "rvec")
+    cb = (
+        pq_codebook_trained(resid, id_col, "rvec", iters=train_iters)
+        if train_iters
+        else pq_codebook(resid, id_col, "rvec")
+    )
     codes = pq_encode(resid, cb, id_col, "rvec").join(
         resid.select(F.col(id_col).alias("vec_id"), "cell"), "vec_id"
     )

@@ -36,10 +36,12 @@ range sampler may pick different boundaries — and spark_partition_id()
 silently disagrees across branches: lost rows in the __pid join, wrong
 offsets, run-to-run nondeterminism. Exchange reuse is an optimization,
 never a contract, so both entry points now pin the partitioning by
-materializing the range-partitioned frame once (localCheckpoint, the
-operators/graph.py iterative pattern): every consumer reads one RDD with
-frozen partitions. The cost is one local materialization of data that was
-just shuffled anyway; the window/stats/join pipeline stays lazy on top.
+materializing the range-partitioned frame once (reliable ``checkpoint()``
+when a checkpoint dir is configured, ``localCheckpoint()`` otherwise —
+see ``_pin_range_partitions`` for the durability contract): every
+consumer reads one RDD with frozen partitions. The cost is one
+materialization of data that was just shuffled anyway; the
+window/stats/join pipeline stays lazy on top.
 """
 
 from __future__ import annotations
@@ -51,8 +53,35 @@ from pyspark.sql import functions as F
 def _pin_range_partitions(df: DataFrame, order_cols: list[Column]) -> DataFrame:
     """Range-partition and FREEZE the assignment (see module docstring):
     returns a frame whose spark_partition_id() is consistent for every
-    downstream consumer, however many physical branches read it."""
-    return df.repartitionByRange(*order_cols).localCheckpoint()
+    downstream consumer, however many physical branches read it.
+
+    DURABILITY CONTRACT (VERDICT r9 item 6). Pinning must truncate lineage
+    — the suffix-rank ladder (operators/substr.py) stacks O(log L) rounds,
+    and each round reads its pinned frame through TWO branches, so an
+    un-truncated plan doubles per round (exponential analysis cost; the
+    same reason operators/graph.py checkpoints its iterations). The two
+    lineage-truncating materializations Spark offers trade durability:
+
+    - ``checkpoint()`` (reliable): blocks written to the configured
+      checkpoint directory (HDFS/S3 on a cluster) — an executor loss after
+      the checkpoint recovers by re-reading the checkpoint files. This is
+      the production path: clusters MUST call
+      ``spark.sparkContext.setCheckpointDir(...)`` (job-deployment config),
+      and this helper uses it whenever one is set.
+    - ``localCheckpoint()`` (fallback): executor-local, unreplicated
+      blocks — lineage is truncated, so one executor loss after the
+      checkpoint fails the JOB (never the answer). Acceptable in local
+      mode and single-JVM tests, where executor loss == process death
+      anyway; on a real cluster it is a documented availability (not
+      correctness) cliff, removed by setting a checkpoint dir.
+
+    Both are eager: pinning runs a job at plan-building time (the frame
+    was just shuffled by the range exchange; the materialization is a
+    read-back of that shuffle, not a recompute of the input lineage)."""
+    rp = df.repartitionByRange(*order_cols)
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return rp.checkpoint()
+    return rp.localCheckpoint()
 
 
 def with_global_ranks(

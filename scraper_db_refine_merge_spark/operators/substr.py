@@ -243,7 +243,11 @@ def redact_repeated_spans(
         F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
     )
     t = F.col(text_col)
-    joined = df.join(spans, F.col(id_col) == F.col("doc"), "left")
+    # dataframe-qualified join keys (ADVICE r8): a bare F.col(id_col) ==
+    # F.col("doc") is ambiguous the moment the caller's frame itself
+    # carries a 'doc' column (AnalysisException), and a caller whose
+    # id_col IS 'doc' would make the predicate trivially self-referential.
+    joined = df.join(spans, df[id_col] == spans["doc"], "left").drop(spans["doc"])
     splice = F.aggregate(
         F.coalesce(F.col("__spans"), F.array().cast("array<struct<s:int,e:int>>")),
         F.struct(F.lit(1).alias("cur"), F.lit("").alias("acc")),

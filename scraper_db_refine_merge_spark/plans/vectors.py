@@ -706,6 +706,159 @@ def q133_trained_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q158 — IVF-PQ with a TRAINED residual codebook (VERDICT r7/r9 item: plumb
+# train_iters through ivf_pq_topk): the q130 pipeline with the residual
+# codebook refined by 2 per-subspace Lloyd rounds. Residuals are exactly
+# where k-means refinement pays most — FAISS trains IVFADC subquantizers on
+# residuals (Jégou 2011 §IV-B) — and the oracle replays the identical
+# deterministic iterations as generated CTEs over the residual subvectors
+# (same machinery as q133, applied after the q130 cell-assignment prefix).
+# tests/test_pq.py additionally pins that the trained RESIDUAL codebook's
+# quantization error lands strictly below the sampled baseline's.
+
+
+def _ivf_pq_trained_oracle(iters: int = _PQT_ITERS) -> str:
+    parts = [
+        f"""
+    cent_long AS (
+        SELECT label, pos,
+               ROUND(CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS cval
+        FROM (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS val
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(cval ORDER BY pos) AS cv FROM cent_long GROUP BY label),
+    vc AS (
+        SELECT vec_id, qv, label, cv,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS sim
+        FROM (SELECT e.vec_id, e.embedding AS qv, c.label, c.cv
+              FROM embeddings e CROSS JOIN cent c)
+    ),
+    cells AS (
+        SELECT vec_id, qv AS v, label AS cell, cv FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+            FROM vc
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT vec_id, cell,
+               list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) - cv[i]) AS rv
+        FROM cells
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    seeds AS (
+        SELECT rv, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        FROM resid
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    )""",
+        f"cb0 AS (SELECT j, s, {_PQ_RSLICE} AS cbv FROM seeds CROSS JOIN subs)",
+        f"sub AS (SELECT vec_id, cell, s, {_PQ_RSLICE} AS sv FROM resid CROSS JOIN subs)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT vec_id, s, j, {_PQ_RD2} AS d2 FROM sub JOIN cb{i} USING (s))"
+        )
+        parts.append(
+            f"""
+    asg{i} AS (
+        SELECT vec_id, s, j FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""
+    upd{i} AS (
+        SELECT s, j, list(cval ORDER BY pos) AS cbv FROM (
+            SELECT s, j, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS cval
+            FROM (
+                SELECT a.s AS s, a.j AS j,
+                       unnest(range(1, 9)) AS pos,
+                       unnest(sub.sv) AS val
+                FROM asg{i} a JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s
+            )
+            GROUP BY s, j, pos
+        ) GROUP BY s, j
+    )"""
+        )
+        parts.append(
+            f"""
+    cb{i + 1} AS (
+        SELECT c.s, c.j, COALESCE(u.cbv, c.cbv) AS cbv
+        FROM cb{i} c LEFT JOIN upd{i} u ON u.s = c.s AND u.j = c.j
+    )"""
+        )
+    fin = f"cb{iters}"
+    ctes = ",".join(parts)
+    return f"""
+    WITH {ctes},
+    dists AS (SELECT vec_id, cell, s, j, {_PQ_RD2} AS d2 FROM sub JOIN {fin} USING (s)),
+    codes AS (
+        SELECT vec_id, cell, s, j AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    qprob AS (
+        SELECT vec_id AS query_id, qv, label AS cell, cv FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+            FROM vc WHERE vec_id < 5
+        ) WHERE rn <= 2
+    ),
+    qres AS (
+        SELECT query_id, cell,
+               list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) - cv[i]) AS rv
+        FROM qprob
+    ),
+    qsub AS (SELECT query_id, cell, s, {_PQ_RSLICE} AS sv FROM qres CROSS JOIN subs),
+    lut AS (
+        SELECT query_id, cell, s, j,
+               CAST(floor({_PQ_RD2} * 1000000 + 0.5) AS BIGINT) AS pd2
+        FROM qsub JOIN {fin} USING (s)
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.pd2) AS BIGINT) AS adc_units
+        FROM codes c
+        JOIN lut l ON l.cell = c.cell AND l.s = c.s AND l.j = c.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_units, rn AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_units, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@_register("q158_ivf_pq_trained", _ivf_pq_trained_oracle())
+def q158_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        e,
+        queries,
+        "vec_id",
+        "embedding",
+        "label",
+        k_neighbors=5,
+        nprobe=2,
+        train_iters=_PQT_ITERS,
+    )
+
+
+# --------------------------------------------------------------------------
 # q138 — SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, public): k-means
 # cluster the embeddings (q51's deterministic machinery), restrict the
 # quadratic near-dup search to WITHIN each cluster, drop every vector with a

@@ -160,6 +160,67 @@ def test_trained_codebook_strictly_reduces_quantization_error(spark, sf_dir):
     assert e_trained < e_base, (e_trained, e_base)
 
 
+def _residuals(spark, sf_dir):
+    """(vec_id, cell, rvec): per-vector residual vs own-cell centroid —
+    the exact frame ivf_pq_topk trains its codebook on."""
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        ivf_assign,
+        label_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(e, "embedding", "label")
+    assigned = ivf_assign(e, cent, "vec_id", "embedding", "label")
+    return assigned.join(
+        F.broadcast(cent.withColumnRenamed("label", "cell")), "cell"
+    ).select(
+        "vec_id",
+        "cell",
+        F.zip_with("embedding", "centroid", lambda x, y: x.cast("double") - y).alias("rvec"),
+    )
+
+
+def test_trained_residual_codebook_strictly_reduces_quantization_error(spark, sf_dir):
+    """VERDICT r9 item 4: training must pay on RESIDUALS specifically —
+    2 Lloyd rounds over the residual frame ivf_pq_topk quantizes must land
+    strictly below the md5-sampled residual codebook's total quantization
+    error (mirrors the q133 full-vector assertion above)."""
+    from scraper_db_refine_merge_spark.operators.pq import (
+        pq_codebook_trained,
+        pq_quantization_error,
+    )
+
+    resid = _residuals(spark, sf_dir)
+    base = pq_codebook(resid, "vec_id", "rvec")
+    trained = pq_codebook_trained(resid, "vec_id", "rvec", iters=2)
+    e_base = pq_quantization_error(resid, base, "vec_id", "rvec").first()["err_units"]
+    e_trained = pq_quantization_error(resid, trained, "vec_id", "rvec").first()["err_units"]
+    assert e_trained < e_base, (e_trained, e_base)
+
+
+def test_trained_ivf_pq_planted_near_copy_is_rank1(spark, sf_dir):
+    """The residual planted-copy guarantee must survive codebook training:
+    the near-copy's residual still encodes to the query-residual's argmin
+    codewords under the trained residual codebook — rank 1 per query."""
+    from scraper_db_refine_merge_spark.operators.pq import ivf_pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    planted = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.0005)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(planted)
+    top = ivf_pq_topk(
+        corpus, queries, "vec_id", "embedding", "label", k_neighbors=1, train_iters=2
+    )
+    got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert got == {q: q + 1_000_000 for q in range(5)}, got
+
+
 def test_trained_pq_planted_near_copy_is_rank1(spark, sf_dir):
     """The sampled-codebook planted-copy guarantee must survive training:
     a near-copy still encodes to its query's argmin codewords under the

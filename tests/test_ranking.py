@@ -173,6 +173,47 @@ def test_global_ranks_with_nulls_in_order_keys(spark):
     assert got == naive
 
 
+def test_reliable_checkpoint_path_when_dir_configured(spark, sf_dir, tmp_path):
+    """VERDICT r9 item 6: with a checkpoint dir configured (the production
+    deployment contract — setCheckpointDir to HDFS/S3 on a cluster),
+    pinning takes the RELIABLE checkpoint path: blocks written under the
+    dir (executor loss recovers by re-reading them, no lineage cliff), and
+    the ranking family stays bit-identical to the single window."""
+    import glob
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None, "suite default must be the local fallback"
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        spend = _spend(spark, sf_dir)
+        order = [F.col("cents").desc(), F.col("user_id")]
+        w = Window.orderBy(*order)
+        naive = {
+            r["user_id"]: r["rk"]
+            for r in spend.select("user_id", F.rank().over(w).alias("rk")).collect()
+        }
+        got = {
+            r["user_id"]: r["rk"]
+            for r in with_global_ranks(
+                spend, order, ["cents", "user_id"], rank_col="rk"
+            ).collect()
+        }
+        assert got == naive
+        written = [
+            f for f in glob.glob(os.path.join(ckpt, "**"), recursive=True)
+            if os.path.isfile(f)
+        ]
+        assert written, "reliable checkpoint path wrote nothing under the dir"
+    finally:
+        # restore the no-dir state so the rest of the suite keeps the
+        # documented local fallback (and never writes into pytest's
+        # about-to-be-removed tmp dir)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+
+
 def test_global_cumsum_equals_single_window(spark, sf_dir):
     from scraper_db_refine_merge_spark.operators.ranking import global_cumsum
 

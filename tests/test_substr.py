@@ -172,6 +172,26 @@ def test_redact_overlapping_spans_merge(spark):
     assert out[3] == (1, 8, "")
 
 
+def test_redact_caller_frame_with_doc_column(spark):
+    """ADVICE r8: the span join must use dataframe-qualified keys — a
+    caller frame that already carries a 'doc' column (the gram tables'
+    internal name) previously raised AnalysisException on the ambiguous
+    F.col('doc') reference."""
+    from scraper_db_refine_merge_spark.operators.substr import redact_repeated_spans
+
+    rows = [
+        (1, "..ABCDEFGH--", "extra1"),
+        (2, "zzABCDEFGHyy", "extra2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, doc string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["cleaned"])
+        for r in redact_repeated_spans(df, "doc_id", "text", 8).collect()
+    }
+    assert out[1] == (0, 0, "..ABCDEFGH--")
+    assert out[2] == (1, 8, "zzyy")
+
+
 def test_stride_detection_guarantee(spark):
     """Strided corpus-side enumeration (stride k) must detect EVERY shared
     span of length >= L+k-1 regardless of alignment — place an (L+k-1)-char

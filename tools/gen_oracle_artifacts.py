@@ -3,10 +3,15 @@
 - LOCAL_ORACLE_r{N}.json      — FULL catalog vs DuckDB at sf0.01 (the
   driver's correctness SF), streaming replays included.
 - LOCAL_ORACLE_SF01_r{N}.json — batch queries re-verified at sf0.1.
-  Streaming replays and store-fold harnesses are excluded there: their
-  inputs are harness-authored batches (capped by HARNESS_ID_CAP), not the
-  sf tables, so a second SF adds noise, minutes of replay wall-clock, and
-  no coverage.
+  Streaming replays and store-fold harnesses are excluded there (their
+  inputs are harness-authored batches, not the sf tables) and covered by
+  the third artifact instead:
+- LOCAL_ORACLE_STREAM_SF01_r{N}.json — the streaming replay / store-fold
+  family driven from the sf0.1 tables (VERDICT r9 item 7: the family was
+  only ever verified at sf0.01). HARNESS_ID_CAP (plans/streamq.py) is a
+  no-op at sf0.1 ids, so every replay ingests the full 10× batch volume —
+  a real volume check on the foreachBatch MERGE / watermark / store-fold
+  paths, still oracle-compared row-for-row.
 
 Usage: PYTHONPATH=. python tools/gen_oracle_artifacts.py <round>   # e.g. 6
 """
@@ -50,7 +55,15 @@ def main() -> int:
         json.dump(sf01, f, indent=1, default=str)
     n_bad1 = sum(1 for r in sf01.values() if r.get("status") not in ("OK", "rows_only"))
     print(f"sf0.1 batch: {len(sf01)} queries, {n_bad1} failing")
-    return 1 if (n_bad or n_bad1) else 0
+
+    stream = run("/root/testdata/sf0.1", sorted(STREAMING_REPLAYS))
+    with open(f"LOCAL_ORACLE_STREAM_SF01_r{rnd:02d}.json", "w") as f:
+        json.dump(stream, f, indent=1, default=str)
+    n_bad2 = sum(
+        1 for r in stream.values() if r.get("status") not in ("OK", "rows_only")
+    )
+    print(f"sf0.1 streaming replays: {len(stream)} queries, {n_bad2} failing")
+    return 1 if (n_bad or n_bad1 or n_bad2) else 0
 
 
 if __name__ == "__main__":
