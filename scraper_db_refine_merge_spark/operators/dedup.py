@@ -72,24 +72,34 @@ def word_shingles(
     Built with sequence+transform+explode (all codegen'd). ``max_shingle_freq``
     drops shingles appearing in more than that many docs — the skew guard for
     corpus-scale joins.
+
+    The two projections are single ``selectExpr`` strings, not stacked
+    ``F.*`` builders: every ``F.*`` call is a py4j round-trip, and this
+    constructor sits inside q25's verify path where it is built TWICE per
+    query — measured ~80 ms of pure driver-side expression construction per
+    build at r10 vs ~2 ms for the one-string JVM parse of the identical
+    Catalyst expressions. Constant cost, but the per-query bench pays it on
+    every invocation.
     """
     # Materialize the token array in its own projection FIRST: inlining the
     # split() into the explode generator makes Spark re-evaluate it per output
     # row (~5x slower, measured at sf0.1).
-    tokenized = df.select(
-        F.col(id_col).alias("doc"), F.split(normalized_text(F.col(text_col)), " ").alias("__toks")
+    tokenized = df.selectExpr(
+        f"`{id_col}` AS doc",
+        f"split(lower(regexp_replace(trim(`{text_col}`), '\\\\s+', ' ')), ' ') AS __toks",
     )
-    toks = F.col("__toks")
-    # sequence(0, n) descends when n < 0, so short docs need an explicit empty
-    idx = F.when(F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    # Duplicate shingles can only occur WITHIN a document, so per-row
+    # sequence(0, n) descends when n < 0, so short docs need an explicit
+    # empty; duplicate shingles can only occur WITHIN a document, so per-row
     # array_distinct before the explode yields globally-distinct (doc,
     # shingle) rows with zero shuffle — the whole operator stays a narrow
     # map, and consumers can recompute it cheaper than caching it.
-    out = tokenized.select("doc", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    out = tokenized.selectExpr(
+        "doc",
+        f"""explode(array_distinct(transform(
+            CASE WHEN size(__toks) >= {k} THEN sequence(0, size(__toks) - {k})
+                 ELSE CAST(array() AS array<int>) END,
+            i -> array_join(slice(__toks, i + 1, {k}), ' ')))) AS shingle""",
+    )
     if max_shingle_freq is not None:
         freq = out.groupBy("shingle").agg(F.count("*").alias("__f"))
         out = (
@@ -169,12 +179,15 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = MINHASH_NUM_HASH
     # common-subexpression elimination is not guaranteed across aggregate
     # buffers — inline, the 8 lanes can evaluate 8 md5s per row (measured
     # ~15% slower at sf0.1; 8× the hash cost in the worst case at scale).
-    hashed = shingle_df.select("doc", F.md5(F.col("shingle")).alias("__h"))
+    # F.expr strings (one JVM parse each) over stacked F.* builders: same
+    # Catalyst expressions, ~7× less py4j construction time (r10 q25
+    # profiling — see word_shingles).
+    hashed = shingle_df.selectExpr("doc", "md5(shingle) AS __h")
     aggs = [
-        F.min(F.substring(F.col("__h"), 4 * j + 1, 4)).alias(f"h{j}")
+        F.expr(f"min(substring(__h, {4 * j + 1}, 4)) AS h{j}")
         for j in range(num_hashes)
     ]
-    return hashed.groupBy("doc").agg(*aggs, F.count("*").alias("n_shingles"))
+    return hashed.groupBy("doc").agg(*aggs, F.expr("count(*) AS n_shingles"))
 
 
 def lsh_candidate_pairs(
@@ -185,23 +198,20 @@ def lsh_candidate_pairs(
     """Banding: docs sharing any full band of the signature become candidates.
 
     Implemented as explode-to-(band, band_sig) + self equi-join on the band
-    signature — linear shuffle, no all-pairs comparison.
+    signature — linear shuffle, no all-pairs comparison. The band structs
+    are one ``inline(array(...))`` selectExpr (single JVM parse; see the
+    construction-cost note on word_shingles) and inline() emits the struct
+    fields as columns directly — one projection instead of two.
     """
     n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[F.col(f"h{b * band_size + i}") for i in range(band_size)]).alias(
-                    "band_sig"
-                ),
-            )
-            for b in range(n_bands)
-        ]
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws('|', {lanes}) AS band_sig)".format(
+            b=b,
+            lanes=", ".join(f"h{b * band_size + i}" for i in range(band_size)),
+        )
+        for b in range(n_bands)
     )
-    exploded = signatures.select("doc", F.explode(bands).alias("b")).select(
-        "doc", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
-    )
+    exploded = signatures.selectExpr("doc", f"inline(array({structs}))")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -266,33 +276,28 @@ def minhash_dedup_pairs(
     # per-doc sizes table both GROW with the corpus, so a broadcast hint is
     # an eventual OOM; AQE broadcasts them at runtime while they are
     # genuinely small and switches to hash-partitioned joins beyond that.
-    a_ids = cand.select("a_id").distinct()
-    b_ids = cand.select("b_id").distinct()
+    # Candidate doc ids via a 2-element explode + ONE distinct (r10 q25
+    # profiling): the previous per-side distinct + unionByName + distinct
+    # ran THREE id-keyed shuffles and seven driver-side plan ops for the
+    # same set — the explode form is one shuffle and one op, which matters
+    # both at corpus scale (two fewer exchanges of a corpus-growing id set)
+    # and on the bench (q25's warm time was ~2/3 driver-side plan
+    # construction/analysis).
+    cand_doc_ids = cand.selectExpr("explode(array(a_id, b_id)) AS doc").distinct()
     if persist_shingles is not None or max_shingle_freq is not None:
         # Materialized shingles (reuse the cache), or a frequency cap
         # (whose counts must come from the FULL corpus shingle set):
         # semi-join AFTER shingling.
-        cand_sh = (
-            sh.join(
-                a_ids.select(F.col("a_id").alias("doc"))
-                .unionByName(b_ids.select(F.col("b_id").alias("doc")))
-                .distinct(),
-                "doc",
-                "semi",
-            )
-        )
+        cand_sh = sh.join(cand_doc_ids, "doc", "semi")
     else:
         # No materialized shingles → push the restriction UPSTREAM of the
         # explode: semi-join the RAW docs to the union of candidate ids,
         # tokenize+explode ONCE (candidates are a sliver of the corpus) —
         # one restricted pass instead of two full corpus passes (measured
         # ~2× on q25 at sf0.1).
-        cand_ids = (
-            a_ids.select(F.col("a_id").alias(id_col))
-            .unionByName(b_ids.select(F.col("b_id").alias(id_col)))
-            .distinct()
+        dc = df.join(
+            cand_doc_ids.selectExpr(f"doc AS `{id_col}`"), id_col, "semi"
         )
-        dc = df.join(cand_ids, id_col, "semi")
         cand_sh = word_shingles(dc, id_col, text_col, k)
     # Verify via per-doc shingle ARRAYS + array_intersect, not an exploded
     # (pair × shingle) equi-join (VERDICT r6 item 2 — q25's verify-join
@@ -308,29 +313,29 @@ def minhash_dedup_pairs(
     # single-document shingle counts — the same per-doc envelope every
     # verify strategy must hold in memory.
     arrs = persist_tracked(
-        cand_sh.groupBy("doc").agg(F.collect_list("shingle").alias("__arr"))
+        cand_sh.groupBy("doc").agg(F.expr("collect_list(shingle) AS __arr"))
     )
-    aa = arrs.select(F.col("doc").alias("a_id"), F.col("__arr").alias("__arr_a"))
-    bb = arrs.select(F.col("doc").alias("b_id"), F.col("__arr").alias("__arr_b"))
+    aa = arrs.selectExpr("doc AS a_id", "__arr AS __arr_a")
+    bb = arrs.selectExpr("doc AS b_id", "__arr AS __arr_b")
     return (
         cand.join(aa, "a_id")
         .join(bb, "b_id")
-        .select(
+        .selectExpr(
             "a_id",
             "b_id",
-            F.size(F.array_intersect("__arr_a", "__arr_b")).alias("intersection"),
-            (F.size("__arr_a") + F.size("__arr_b")).alias("__nab"),
+            "size(array_intersect(__arr_a, __arr_b)) AS intersection",
+            "(size(__arr_a) + size(__arr_b)) AS __nab",
         )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("intersection").cast("double")
-                / (F.col("__nab") - F.col("intersection")).cast("double"),
-                4,
-            ),
+        # second projection computes jaccard from the named sizes (withColumn
+        # would rebuild the full projection a second time driver-side)
+        .selectExpr(
+            "a_id",
+            "b_id",
+            "intersection",
+            "round(CAST(intersection AS DOUBLE)"
+            " / CAST(__nab - intersection AS DOUBLE), 4) AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "intersection", "jaccard")
+        .where(F.col("jaccard") >= threshold)
     )
 
 
