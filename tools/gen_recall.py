@@ -6,9 +6,23 @@ RECALL_r{N}.json with per-query recall_bp plus min/mean per (query, sf).
 Every pipeline under eval is fully deterministic (md5 hyperplanes,
 5-dp-rounded cosine, id tie-breaks), so these numbers are exact constants
 per SF: the committed artifact is a TREND LINE, and
-tests/test_retrieval_quality.py pins the sf0.001 floors — an LSH or
-codebook regression that drops recall flips the suite red instead of
-sliding silently.
+tests/test_retrieval_quality.py pins floors — an LSH or codebook
+regression that drops recall flips the suite red instead of sliding
+silently.
+
+TWO recall families, because the synthetic embeddings are near-uniform
+(true-neighbor cosines ~0 with a flat spectrum — see
+tests/test_pq.py::test_planted_near_copy_is_rank1's data note):
+
+- ``natural``: q146/q148 as registered — recall of LSH / truncated-dim
+  retrieval against exact top-5 on the raw tables. On uniform data this
+  is ~0 BY CONSTRUCTION (there is no neighborhood structure to recover);
+  it is recorded for the trend, not gated.
+- ``planted``: each query gets 5 deterministic near-copies injected into
+  the corpus (dim-0 bumped by (j+1)·1e-4), making exact top-5 = the
+  planted set. Recall of the SAME retrieval pipelines on this corpus
+  measures the OPERATOR (bucket collision of near-identical vectors,
+  prefix-dominance under truncation) — this is the floor-gated number.
 
 Usage: PYTHONPATH=. python tools/gen_recall.py <round>   # e.g. r10
 """
@@ -29,13 +43,73 @@ SF_DIRS = {
 EVALS = ("q146_ann_recall_eval", "q148_truncated_dim_recall")
 
 
+def planted_corpus(spark, sf_dir: str):
+    """(corpus, queries): the sf embeddings plus 5 deterministic near-copies
+    of each query (vec_id q + 1M·(j+1), dim-0 bumped by (j+1)·1e-4) — exact
+    cosine top-5 per query is exactly the planted set, so recall of any
+    approximate pipeline against it measures the operator, not the data."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 5)
+
+    def bumped(b: float):
+        return F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(b)).otherwise(F.lit(0.0)),
+        )
+
+    corpus = e
+    for j in range(5):
+        corpus = corpus.unionByName(
+            qs.select(
+                (F.col("vec_id") + 1_000_000 * (j + 1)).alias("vec_id"),
+                bumped(0.0001 * (j + 1)).alias("embedding"),
+                "label",
+            )
+        )
+    return corpus, qs
+
+
+def planted_recall_bp(spark, sf_dir: str) -> dict[str, dict[int, int]]:
+    """Per-query recall_bp of the LSH index and 16-dim truncated retrieval
+    on the planted corpus — the floor-gated operator-quality numbers."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    corpus, qs = planted_corpus(spark, sf_dir)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(corpus, qs, k=5).collect()}
+
+    def recall(approx_df) -> dict[int, int]:
+        approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+        out = {}
+        for q in range(5):
+            ex = {n for (qq, n) in exact if qq == q}
+            ov = len(ex & {n for (qq, n) in approx if qq == q})
+            out[q] = (10000 * ov) // max(len(ex), 1)
+        return out
+
+    ct = corpus.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    qt = qs.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    return {
+        "lsh": recall(lsh_topk(corpus, qs, k=5)),
+        "trunc16": recall(cosine_topk(ct, qt, k=5)),
+    }
+
+
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "rX"
     from scraper_db_refine_merge_spark.plans.catalog import QUERIES
     from scraper_db_refine_merge_spark.session import get_spark
 
     spark = get_spark("gen_recall")
-    doc: dict = {"evals": {}}
+    doc: dict = {"evals": {}, "planted": {}}
     for name in EVALS:
         doc["evals"][name] = {}
         for sf, sf_dir in SF_DIRS.items():
@@ -50,6 +124,12 @@ def main() -> int:
                 "mean_bp": round(sum(bps) / len(bps), 1),
             }
             print(f"{name} {sf}: min {min(bps)} mean {doc['evals'][name][sf]['mean_bp']}")
+    for sf, sf_dir in SF_DIRS.items():
+        pr = planted_recall_bp(spark, sf_dir)
+        doc["planted"][sf] = {
+            k: {"per_query_bp": v, "min_bp": min(v.values())} for k, v in pr.items()
+        }
+        print(f"planted {sf}: " + " ".join(f"{k} min {min(v.values())}" for k, v in pr.items()))
     out = os.path.join(ROOT, f"RECALL_{rnd}.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
