@@ -15,18 +15,25 @@ This module gives that modality two Spark-native shapes:
   exactly — the standard stride trick that divides corpus-side row count
   by k at a bounded loss of threshold resolution.
 
-- :func:`suffix_ngram_groups` — the 100-TB path: suffix-array RANK
-  construction by prefix doubling (Manber-Myers), distributed. Instead of
-  materializing L bytes (or a 16-byte hash) per corpus position — an
-  L-to-16× data blowup before the first shuffle — each position carries
-  two fixed-width longs, and O(log L) rounds of (LEAD(r, h) over a
-  per-doc window — positions are dense, so the row h ahead IS pos+h) +
-  (distributed dense_rank via operators/ranking.with_global_ranks —
-  range partition, never a single-task window) refine ranks until rank
-  equality ⟺ L-prefix equality. Total shuffled bytes are
-  O(positions · log L), independent of L's byte width, and the machinery
-  extends to full suffix ordering (longest-repeated-substring, arbitrary-
-  length repeats) that fixed-L hashing cannot express.
+- :func:`suffix_ngram_groups` — the 100-TB path: prefix-doubling GROUP-ID
+  construction (the equality core of Manber-Myers suffix ranks),
+  distributed. Instead of materializing L bytes (or a 16-byte hash) per
+  corpus position — an L-to-16× data blowup before the first shuffle —
+  each position carries two fixed-width longs, and O(log L) rounds of
+  (LEAD(r, h) over a per-doc window — positions are dense, so the row h
+  ahead IS pos+h) + (hash-bucketed dense group ids, see
+  :func:`_dense_group_ids`) refine ids until id equality ⟺ L-prefix
+  equality. Total shuffled bytes are O(positions · log L), independent of
+  L's byte width. EQUALITY CONTRACT (r10): every consumer (q153 group
+  counts, q156 duplication profile, the (g1, g2) overlap keys) compares
+  ids for EQUALITY only, so the ids are deterministic dense group ids,
+  NOT lexicographic ranks — dropping the order requirement removes the
+  per-round range exchange, the partition-pinning materialization and its
+  checkpoint-durability caveat, and one full shuffle per round (measured
+  13 s → ~5 s on q153 at sf0.1). Full lexicographic suffix ordering
+  (longest-repeated-substring positions in order) would reinstate
+  with_global_ranks in the per-round step — the machinery is otherwise
+  identical.
 
 Rank-equality semantics (why no sentinel rows are needed): the h-rank of
 a position is built from SAME-DOCUMENT lookups of (doc, pos+h); a lookup
@@ -53,7 +60,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ranking import with_global_ranks
+from ._cache import persist_tracked
 
 
 def char_grams(
@@ -265,16 +272,67 @@ def redact_repeated_spans(
     )
 
 
+def _dense_group_ids(
+    d: DataFrame, key_cols: list[str], out_col: str = "r"
+) -> DataFrame:
+    """Deterministic dense GROUP IDS for ``key_cols`` under an
+    equality-only contract: every distinct key tuple gets a unique long in
+    1..#distinct, equal tuples share it, and the assignment is stable
+    across runs/partitionings — but carries NO order relation to the keys.
+
+    Shape (r10, replacing per-round with_global_ranks in the ladder):
+    hash-bucket the key (xxhash64 mod shuffle.partitions — equal keys
+    always co-bucket), dense_rank within each bucket over the key's total
+    order, then add per-bucket offsets so bucket id ranges are disjoint.
+    The offsets come from one |buckets|-row aggregate COLLECTED to the
+    driver and inlined as a literal array — the same driver-side scalar
+    class as Spark's own range-partitioner sample, and it makes bucket →
+    offset a pure row function: no second plan branch, no partition-id
+    pinning, no checkpoint, one shuffle total (the bucket window's).
+
+    The input is persist_tracked'd (the offsets aggregate and the windowed
+    output both read it; tracked so callers release via the standard cache
+    lifecycle). At corpus scale pass through a frame that is cheap to hold:
+    the ladder's rounds are fixed-width (doc, pos, len, r, r2) rows.
+    """
+    spark = d.sparkSession
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    dd = persist_tracked(
+        d.withColumn(
+            "__b", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+        )
+    )
+    counts = {
+        r["__b"]: r["__nd"]
+        for r in dd.groupBy("__b")
+        .agg(F.count_distinct(F.struct(*key_cols)).alias("__nd"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for i in range(n_buckets):
+        offsets.append(acc)
+        acc += counts.get(i, 0)
+    off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
+    wl = Window.partitionBy("__b").orderBy(*key_cols)
+    return (
+        dd.withColumn("__lr", F.dense_rank().over(wl))
+        .withColumn(out_col, F.element_at(off_arr, F.col("__b") + 1) + F.col("__lr"))
+        .drop("__b", "__lr", *[c for c in key_cols if c != out_col])
+    )
+
+
 def suffix_rank_ladder(
     df: DataFrame, id_col: str, text_col: str, lengths: list[int]
 ) -> dict[int, DataFrame]:
-    """Rank snapshots at every requested dyadic prefix length, from ONE
+    """Group-id snapshots at every requested dyadic prefix length, from ONE
     prefix-doubling run: ``{h: (doc, pos, __len, r)}`` where two positions
     share ``r`` at step h ⟺ their suffixes (truncated at the doc end)
     agree on their first min(h, remaining) chars and, if shorter than h,
     on their truncated length — so for positions with ≥ h real characters,
-    equal rank ⟺ identical h-char gram (the suffix_ngram_groups
-    semantics, observed at every rung instead of only the last).
+    equal id ⟺ identical h-char gram (the suffix_ngram_groups semantics,
+    observed at every rung instead of only the last). Ids are EQUALITY
+    group ids (see _dense_group_ids), not lexicographic ranks — every
+    consumer compares them for equality only.
 
     ``lengths`` must be increasing and each a power-of-two multiple of the
     seed h0 = min(8, lengths[0]) — i.e. exactly the ladder the doubling
@@ -299,14 +357,12 @@ def suffix_rank_ladder(
         "__len",
         F.substr(F.col("__t"), F.col("pos"), F.lit(h0)).alias("__g0"),
     )
-    d = with_global_ranks(
-        chars, [F.col("__g0")], ["__g0"], dense_rank_col="r"
-    ).select("doc", "pos", "__len", F.col("r").cast("long").alias("r"))
+    d = _dense_group_ids(chars, ["__g0"]).select("doc", "pos", "__len", "r")
     out: dict[int, DataFrame] = {}
     h = h0
     if h in lengths:
         out[h] = d
-    # rank[pos+h] is a LEAD, not a join: positions are DENSE per doc
+    # id[pos+h] is a LEAD, not a join: positions are DENSE per doc
     # (1..len), so the row h ahead in (doc, pos) order is exactly pos+h.
     # One per-doc window (bounded by the doc's own length — the same
     # inherent bound as any per-doc output) replaces a corpus-sized
@@ -314,12 +370,16 @@ def suffix_rank_ladder(
     # the sentinel the module docstring's induction relies on.
     w_doc = Window.partitionBy("doc").orderBy("pos")
     while h < max(lengths):
-        paired = d.withColumn(
-            "__r2", F.coalesce(F.lead("r", h).over(w_doc), F.lit(-1))
+        paired = d.select(
+            "doc",
+            "pos",
+            "__len",
+            F.col("r").alias("__r1"),
+            F.coalesce(F.lead("r", h).over(w_doc), F.lit(-1)).alias("__r2"),
         )
-        d = with_global_ranks(
-            paired, [F.col("r"), F.col("__r2")], ["r", "__r2"], dense_rank_col="__nr"
-        ).select("doc", "pos", "__len", F.col("__nr").cast("long").alias("r"))
+        d = _dense_group_ids(paired, ["__r1", "__r2"]).select(
+            "doc", "pos", "__len", "r"
+        )
         h *= 2
         if h in lengths:
             out[h] = d
