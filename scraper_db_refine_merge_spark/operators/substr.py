@@ -290,33 +290,33 @@ def _dense_group_ids(
     offset a pure row function: no second plan branch, no partition-id
     pinning, no checkpoint, one shuffle total (the bucket window's).
 
-    The input is persist_tracked'd (the offsets aggregate and the windowed
-    output both read it; tracked so callers release via the standard cache
-    lifecycle). At corpus scale pass through a frame that is cheap to hold:
-    the ladder's rounds are fixed-width (doc, pos, len, r, r2) rows.
+    ONE full shuffle total: the WINDOWED frame is what gets persisted, and
+    the per-bucket totals are ``max(__lr)`` (≡ the bucket's distinct count)
+    grouped on ``__b`` — the window's own hashpartitioning(__b) satisfies
+    that aggregation, so the offsets job is a partial agg +
+    |buckets|-row collect over the cached blocks with NO second exchange.
+    Tracked persist: callers release via the standard cache lifecycle. At
+    corpus scale the cached rounds are fixed-width (doc, pos, len, r, r2)
+    rows.
     """
     spark = d.sparkSession
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    dd = persist_tracked(
-        d.withColumn(
-            "__b", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
-        )
+    dd = d.withColumn(
+        "__b", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
     )
+    wl = Window.partitionBy("__b").orderBy(*key_cols)
+    win = persist_tracked(dd.withColumn("__lr", F.dense_rank().over(wl)))
     counts = {
         r["__b"]: r["__nd"]
-        for r in dd.groupBy("__b")
-        .agg(F.count_distinct(F.struct(*key_cols)).alias("__nd"))
-        .collect()
+        for r in win.groupBy("__b").agg(F.max("__lr").alias("__nd")).collect()
     }
     offsets, acc = [], 0
     for i in range(n_buckets):
         offsets.append(acc)
         acc += counts.get(i, 0)
     off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
-    wl = Window.partitionBy("__b").orderBy(*key_cols)
     return (
-        dd.withColumn("__lr", F.dense_rank().over(wl))
-        .withColumn(out_col, F.element_at(off_arr, F.col("__b") + 1) + F.col("__lr"))
+        win.withColumn(out_col, F.element_at(off_arr, F.col("__b") + 1) + F.col("__lr"))
         .drop("__b", "__lr", *[c for c in key_cols if c != out_col])
     )
 
