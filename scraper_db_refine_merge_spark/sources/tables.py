@@ -14,6 +14,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,18 +104,40 @@ def normalize_events(spark: SparkSession, sf_dir: str) -> str:
     return dst
 
 
+# Per-session DataFrame memo (r10): every spark.read.parquet() is a driver
+# round-trip plus a footer/schema resolution — ~60 ms each, and the star
+# queries load five tables per build. DataFrames are immutable lazy plans,
+# so handing every caller the same object per (session, dir, table) is
+# semantically free; entries die with their session (WeakKeyDictionary).
+# The test tables are static for a process lifetime; a data-regenerating
+# caller starts a new session (as the driver and all tools do).
+_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    per = _MEMO.get(spark)
+    if per is None:
+        per = _MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = per.get(key)
+    if df is not None:
+        return df
     if name == "events":
         src = os.path.join(sf_dir, f"{name}.parquet")
+        df = None
         if os.environ.get("SPARK_GRAFT_EVENTS_CACHE", "1") != "0":
             try:
-                return spark.read.parquet(normalize_events(spark, sf_dir))
+                df = spark.read.parquet(normalize_events(spark, sf_dir))
             except Exception:
-                pass  # cache unavailable (read-only tmp, race) → raw path
-        return _load_events_raw(spark, src)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+                df = None  # cache unavailable (read-only tmp, race) → raw path
+        if df is None:
+            df = _load_events_raw(spark, src)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    per[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
