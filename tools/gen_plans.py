@@ -49,6 +49,8 @@ NAMES = [
     "q152_substring_decontamination", "q153_repeated_substrings",
     "q154_redact_repeated_spans", "q155_strided_decontamination",
     "q156_duplication_length_profile", "q157_corpus_build",
+    # r10 addition: IVF-PQ with the Lloyd-trained residual codebook
+    "q158_ivf_pq_trained",
 ]
 
 
