@@ -172,6 +172,26 @@ def test_redact_overlapping_spans_merge(spark):
     assert out[3] == (1, 8, "")
 
 
+def test_dense_group_ids_dense_and_partition_invariant(spark):
+    """r10 ladder core: ids are 1..#distinct (dense), equality classes
+    match key classes exactly, and the assignment is a pure function of
+    row VALUES — identical under any input partitioning (the property the
+    old pinning machinery existed to enforce)."""
+    from scraper_db_refine_merge_spark.operators.substr import _dense_group_ids
+
+    df = spark.createDataFrame([(i, f"k{i % 7}") for i in range(1000)], "id long, k string")
+    out = {r["id"]: r["r"] for r in _dense_group_ids(df, ["k"]).collect()}
+    out17 = {
+        r["id"]: r["r"] for r in _dense_group_ids(df.repartition(17), ["k"]).collect()
+    }
+    assert out == out17
+    ids_per_key: dict[int, set] = {}
+    for i, r in out.items():
+        ids_per_key.setdefault(i % 7, set()).add(r)
+    assert all(len(s) == 1 for s in ids_per_key.values())
+    assert sorted(next(iter(s)) for s in ids_per_key.values()) == list(range(1, 8))
+
+
 def test_redact_caller_frame_with_doc_column(spark):
     """ADVICE r8: the span join must use dataframe-qualified keys — a
     caller frame that already carries a 'doc' column (the gram tables'
