@@ -362,25 +362,42 @@ def suffix_rank_ladder(
     h = h0
     if h in lengths:
         out[h] = d
-    # id[pos+h] is a LEAD, not a join: positions are DENSE per doc
-    # (1..len), so the row h ahead in (doc, pos) order is exactly pos+h.
-    # One per-doc window (bounded by the doc's own length — the same
-    # inherent bound as any per-doc output) replaces a corpus-sized
-    # self-equi-join per round; the -1 fill for leads past the doc end is
+    # id[pos+j·h] is a LEAD, not a join: positions are DENSE per doc
+    # (1..len), so the row j·h ahead in (doc, pos) order is exactly
+    # pos+j·h. One per-doc window (bounded by the doc's own length — the
+    # same inherent bound as any per-doc output) computes every lead of a
+    # round in a single pass; the -1 fill for leads past the doc end is
     # the sentinel the module docstring's induction relies on.
+    #
+    # RADIX (r10): each round multiplies h by the largest power-of-two
+    # radix (≤8) that lands exactly on the next REQUESTED rung — the
+    # standard generalization of prefix doubling (the (r[p], r[p+h], …,
+    # r[p+(k-1)h]) tuple's equality classes are the truncated kh-prefix
+    # classes, component truncation sentinels included). A single-rung
+    # request like suffix_ngram_groups(L=32) climbs 8→32 in ONE radix-4
+    # round (two rankings total instead of three); a dyadic multi-rung
+    # request (q156's [8,16,32,64]) still steps radix-2 because every
+    # intermediate rung is demanded. Row width stays bounded: ≤8 longs,
+    # the same bytes as the seed round's 8-char gram.
     w_doc = Window.partitionBy("doc").orderBy("pos")
     while h < max(lengths):
+        nxt = min(L for L in lengths if L > h)
+        radix = min(nxt // h, 8)
+        keys = ["__r1"] + [f"__r{j + 1}" for j in range(1, radix)]
         paired = d.select(
             "doc",
             "pos",
             "__len",
             F.col("r").alias("__r1"),
-            F.coalesce(F.lead("r", h).over(w_doc), F.lit(-1)).alias("__r2"),
+            *[
+                F.coalesce(F.lead("r", h * j).over(w_doc), F.lit(-1)).alias(
+                    f"__r{j + 1}"
+                )
+                for j in range(1, radix)
+            ],
         )
-        d = _dense_group_ids(paired, ["__r1", "__r2"]).select(
-            "doc", "pos", "__len", "r"
-        )
-        h *= 2
+        d = _dense_group_ids(paired, keys).select("doc", "pos", "__len", "r")
+        h *= radix
         if h in lengths:
             out[h] = d
     return out
