@@ -51,6 +51,12 @@ EXTENDED_QUERIES = [
     "q135_skewed_ordered_funnel",
     "q139_source_mix",
     "q153_repeated_substrings",
+    # r11 (VERDICT r10 item 5): the two families with zero timed coverage —
+    # curation (DSIR importance weights: hashed-ngram feature vectors +
+    # per-doc log-ratio scoring) and multimodal (Arrow-batched mapInPandas
+    # media feature extraction over binary columns).
+    "q128_dsir_weights",
+    "q44_media_features",
 ]
 if os.environ.get("SPARK_GRAFT_BENCH_SET") == "extended":
     BENCH_QUERIES = BENCH_QUERIES + EXTENDED_QUERIES

@@ -15,10 +15,15 @@ This module gives that modality two Spark-native shapes:
   exactly — the standard stride trick that divides corpus-side row count
   by k at a bounded loss of threshold resolution.
 
-- :func:`suffix_ngram_groups` — the 100-TB path: prefix-doubling GROUP-ID
-  construction (the equality core of Manber-Myers suffix ranks),
-  distributed. Instead of materializing L bytes (or a 16-byte hash) per
-  corpus position — an L-to-16× data blowup before the first shuffle —
+- :func:`suffix_ngram_groups` — the 100-TB path. For small L (≤
+  :data:`DIRECT_SEED_MAX` = 64) it short-circuits to ONE direct
+  enumeration + group-id pass — at that width the raw gram shuffles no
+  more bytes than a doubling round's rank tuple, so the ladder would only
+  add passes (r11; closes the q153 envelope gap). For large L: prefix-
+  doubling GROUP-ID construction (the equality core of Manber-Myers
+  suffix ranks), distributed. Instead of materializing L bytes (or a
+  16-byte hash) per corpus position — an L-to-16× blowup before the first
+  shuffle —
   each position carries two fixed-width longs, and O(log L) rounds of
   (LEAD(r, h) over a per-doc window — positions are dense, so the row h
   ahead IS pos+h) + (hash-bucketed dense group ids, see
@@ -140,37 +145,83 @@ def substring_contamination(
     )
 
 
+#: Largest L for which :func:`suffix_ngram_groups` short-circuits the
+#: prefix-doubling ladder into ONE direct-enumeration group-id pass (the
+#: oracle's own strategy). At L ≤ 64 a single `_dense_group_ids` over the
+#: raw L-char gram shuffles at most 64 B/row ONCE — no more than what two
+#: ladder rounds (8-char seed + a radix round carrying up to 8 longs)
+#: shuffle combined, and it saves a whole window+rank pass plus the
+#: per-doc LEAD window. Beyond 64 the gram width would dominate shuffle
+#: bytes and the O(positions·log L) ladder takes over.
+DIRECT_SEED_MAX = 64
+
+
 def suffix_ngram_groups(
-    df: DataFrame, id_col: str, text_col: str, length: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int,
+    direct_max: int | None = None,
 ) -> DataFrame:
     """Group id per full character position such that two positions share
-    a group ⟺ their next ``length`` characters are identical — computed by
-    prefix-doubling suffix ranks, never materializing the grams.
+    a group ⟺ their next ``length`` characters are identical — never
+    materializing the grams off-executor.
 
-    Returns ``(doc, pos, g1, g2)``; the group key is the PAIR (g1, g2)
-    (the standard overlapped-rank trick: with h = 2^⌊log2 L⌋, the key
-    (rank_h[i], rank_h[i+L-h]) covers [i, i+L) exactly, so no extra
-    doubling round is spent when L is not a power of two; for L = h the
-    second component is the same rank shifted by 0 and the pair is still
-    exact).
+    Returns ``(doc, pos, g1, g2)``; the group key is the PAIR (g1, g2).
 
-    Each doubling round is one LEAD over the per-doc window plus one
-    distributed dense_rank (range-partitioned; see with_global_ranks) —
-    fixed-width rows throughout, O(log(L/h0)) rounds. Positions with fewer
-    than ``length`` remaining characters are dropped from the OUTPUT (they
-    have no full gram) but participate in rank construction, which is what
-    makes in-document tail comparisons exact.
+    TWO REGIMES (r11):
 
-    HYBRID SEED: the initial rank is taken directly on the h0 = min(8,
-    length)-char gram (substr caps at the doc end, so equal capped grams ⟺
-    equal capped-h0 suffixes — the induction base holds unchanged). An
-    8-char seed costs the same shuffle width as the two longs a doubling
-    round carries, and replaces the 3 cheapest-but-not-free rounds
-    (h = 1→2→4→8); doubling takes over where gram width would start to
-    dominate shuffle bytes.
+    - ``length <= direct_max`` (default :data:`DIRECT_SEED_MAX` = 64):
+      DIRECT enumeration — one row per full position, ids derived
+      executor-locally as TWO independent ``xxhash64`` values of the raw
+      L-char gram (a 128-bit pair key: distinct grams collide on the PAIR
+      with probability ~n²·2⁻¹²⁸ — the same hashed-equality convention as
+      :func:`char_grams` ``hashed=True`` and the md5 joins of
+      q152/q154/q155, and negligible at any corpus size). Exactly the
+      enumeration strategy a single-pass oracle uses, at the same
+      O(positions) cost — and it is a pure PROJECTION: zero shuffles,
+      no window, no persist, no driver collect; the consumer's own
+      aggregation is the first exchange. Tail positions are never
+      enumerated at all. For provably-exact (collision-free) ids at
+      small L, force the ladder with ``direct_max=0``.
+
+    - ``length > direct_max``: the prefix-doubling LADDER
+      (:func:`suffix_rank_ladder`) — fixed-width rows, O(positions·log L)
+      shuffle bytes independent of L's byte width; the group key is the
+      overlapped-rank pair (with h = the deepest ladder rung ≤ L, the key
+      (rank_h[i], rank_h[i+L-h]) covers [i, i+L) exactly, so no extra
+      round is spent when L is not a power of two). Each round is one
+      LEAD over the per-doc window plus one hash-bucketed
+      :func:`_dense_group_ids` pass. Positions with fewer than ``length``
+      remaining characters are dropped from the OUTPUT (they have no full
+      gram) but participate in rank construction, which is what makes
+      in-document tail comparisons exact.
+
+    Ids are EQUALITY group ids in both regimes — no order relation.
     """
     if length < 1:
         raise ValueError("length must be >= 1")
+    cap = DIRECT_SEED_MAX if direct_max is None else direct_max
+    if length <= cap:
+        gram = F.substr(F.col("__t"), F.col("pos"), F.lit(length))
+        return (
+            df.filter(F.length(text_col) >= length)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode(
+                    F.sequence(F.lit(1), F.length(text_col) - F.lit(length - 1))
+                ).alias("pos"),
+                F.col(text_col).alias("__t"),
+            )
+            .select(
+                "doc",
+                "pos",
+                F.xxhash64(gram).alias("g1"),
+                # a second, independent 64-bit hash (extra lit column mixes
+                # the seed state) — the PAIR is the 128-bit group key
+                F.xxhash64(gram, F.lit(1)).alias("g2"),
+            )
+        )
     # deepest ladder rung <= length (h0 = min(8, length) hybrid seed)
     h = min(8, length)
     while h * 2 <= length:
@@ -272,8 +323,38 @@ def redact_repeated_spans(
     )
 
 
+#: Hard cap on `_dense_group_ids` bucket count: the per-bucket offsets are
+#: inlined as a literal array into every row expression, so the bucket
+#: count must stay driver-sized whatever the conf says.
+_MAX_GROUP_BUCKETS = 2048
+
+
+def _resolve_n_buckets(spark, n_buckets: int | None) -> int:
+    """Bucket count for :func:`_dense_group_ids`: explicit argument wins,
+    else the ``spark.graft.substr.denseGroupBuckets`` conf knob, else
+    ``spark.sql.shuffle.partitions``. Non-numeric conf values (AQE-managed
+    deployments set shuffle.partitions to 'auto') fall back to 200 instead
+    of raising; the result is clamped to [1, 2048] — a wide-cluster 100-TB
+    run raises the knob toward the cap so each bucket's window sort stays
+    spill-free, while a pathological conf can't inline a million-element
+    literal array into every row."""
+    if n_buckets is None:
+        raw = spark.conf.get(
+            "spark.graft.substr.denseGroupBuckets",
+            spark.conf.get("spark.sql.shuffle.partitions", "200"),
+        )
+        try:
+            n_buckets = int(raw)
+        except (TypeError, ValueError):  # e.g. 'auto' under AQE management
+            n_buckets = 200
+    return max(1, min(int(n_buckets), _MAX_GROUP_BUCKETS))
+
+
 def _dense_group_ids(
-    d: DataFrame, key_cols: list[str], out_col: str = "r"
+    d: DataFrame,
+    key_cols: list[str],
+    out_col: str = "r",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic dense GROUP IDS for ``key_cols`` under an
     equality-only contract: every distinct key tuple gets a unique long in
@@ -281,8 +362,9 @@ def _dense_group_ids(
     across runs/partitionings — but carries NO order relation to the keys.
 
     Shape (r10, replacing per-round with_global_ranks in the ladder):
-    hash-bucket the key (xxhash64 mod shuffle.partitions — equal keys
-    always co-bucket), dense_rank within each bucket over the key's total
+    hash-bucket the key (xxhash64 mod ``n_buckets`` — equal keys always
+    co-bucket; see :func:`_resolve_n_buckets` for the default and the
+    conf knob), dense_rank within each bucket over the key's total
     order, then add per-bucket offsets so bucket id ranges are disjoint.
     The offsets come from one |buckets|-row aggregate COLLECTED to the
     driver and inlined as a literal array — the same driver-side scalar
@@ -300,7 +382,7 @@ def _dense_group_ids(
     rows.
     """
     spark = d.sparkSession
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_buckets = _resolve_n_buckets(spark, n_buckets)
     dd = d.withColumn(
         "__b", F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
     )

@@ -9,11 +9,12 @@ Spark-first in operators/substr.py).
   (the drop/redact candidates). Hashed char-gram equi-join: shuffle keys
   are 32-byte md5, the gram text never moves.
 - q153: corpus duplication profile — per doc, how many of its 32-char
-  positions occur ≥2 times ANYWHERE in the corpus, via prefix-doubling
-  suffix ranks (no gram materialization; O(positions·log L) fixed-width
-  shuffle bytes — the 100-TB path). The oracle computes the same profile
-  by direct substring extraction + self-join, so hash equality doubles as
-  the correctness proof of the distributed suffix-rank construction.
+  positions occur ≥2 times ANYWHERE in the corpus, via substring group
+  ids (direct single-pass at L ≤ 64; the prefix-doubling ladder with
+  O(positions·log L) fixed-width shuffle bytes beyond — the 100-TB path
+  either way). The oracle computes the same profile by direct substring
+  extraction + self-join, so hash equality doubles as the correctness
+  proof of the distributed group-id construction.
 - q154: duplicated-span REDACTION — the act step: cut every repeated span
   except its globally-first occurrence; the gate hashes full cleaned text.
 - q155: q152 with corpus-side stride 4 — the 100-TB row-count knob, gated
@@ -24,7 +25,7 @@ Spark-first in operators/substr.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.substr import substring_contamination, suffix_ngram_groups
@@ -91,17 +92,19 @@ def q152_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
-# q153 — corpus duplication profile via DISTRIBUTED SUFFIX RANKS: per doc,
+# q153 — corpus duplication profile via substring GROUP IDS: per doc,
 # (n_grams, n_repeated, max_occ) where n_repeated counts 32-char positions
 # whose substring occurs >= 2 times anywhere in the corpus and max_occ is
-# the doc's hottest span's occurrence count. The Spark side never extracts
-# a gram: operators/substr.suffix_ngram_groups builds rank structure with
-# 5 prefix-doubling rounds (equi-join on (doc, pos+h) + range-partitioned
-# dense_rank each), then two keyed aggregations on the (g1, g2) group key.
-# The oracle extracts substr(text, i, 32) directly and self-joins — value
-# equality of the per-doc profiles is the equivalence proof of the
-# prefix-doubling construction at corpus scale (the same proof strategy
-# as q134/q135 for the skew operators).
+# the doc's hottest span's occurrence count. At L=32 ≤ DIRECT_SEED_MAX,
+# operators/substr.suffix_ngram_groups takes its direct regime (r11): one
+# full-position enumeration + ONE hash-bucketed _dense_group_ids pass on
+# the raw gram — the same O(positions) single-pass shape as the oracle —
+# then two keyed aggregations on the (g1, g2) group key. The arbitrary-L
+# prefix-doubling ladder (whose per-round machinery q156 exercises across
+# four rungs) takes over beyond 64 chars, where gram width would dominate
+# shuffle bytes. The oracle extracts substr(text, i, 32) directly and
+# self-joins; value equality of the per-doc profiles proves the group-id
+# construction at corpus scale.
 @_register(
     "q153_repeated_substrings",
     f"""
@@ -122,9 +125,14 @@ def q152_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
 def q153_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     g = suffix_ngram_groups(d, "doc_id", "text", _L)
-    counts = g.groupBy("g1", "g2").agg(F.count("*").alias("__n"))
+    # per-group occurrence count as a WINDOW over the group key instead of
+    # groupBy + join-back: the count lands on every row in the same
+    # exchange that groups the rows, so the whole profile is TWO shuffles
+    # (by group key, then by doc) with no join and nothing persisted (r11;
+    # part of closing the q153 envelope gap).
+    w = Window.partitionBy("g1", "g2")
     return (
-        g.join(counts, ["g1", "g2"])
+        g.withColumn("__n", F.count("*").over(w))
         .groupBy(F.col("doc").alias("doc_id"))
         .agg(
             F.count("*").alias("n_grams"),

@@ -36,15 +36,18 @@ def _expected_groups(rows, L):
 
 def test_suffix_groups_equal_literal_grouping(spark):
     """L spanning powers of two and odd values, with repeats across and
-    within docs, self-overlapping runs (aaaa…), and tails shorter than L."""
+    within docs, self-overlapping runs (aaaa…), and tails shorter than L —
+    in BOTH regimes: the direct short-circuit (default at these L) and the
+    prefix-doubling ladder (forced via direct_max=0)."""
     df = spark.createDataFrame(ROWS, "doc_id long, text string")
-    for L in (1, 2, 3, 5, 7):
-        g = suffix_ngram_groups(df, "doc_id", "text", L)
-        by_key = collections.defaultdict(list)
-        for r in g.collect():
-            by_key[(r["g1"], r["g2"])].append((r["doc"], r["pos"]))
-        got = sorted(sorted(v) for v in by_key.values())
-        assert got == _expected_groups(ROWS, L), L
+    for direct_max in (None, 0):
+        for L in (1, 2, 3, 5, 7):
+            g = suffix_ngram_groups(df, "doc_id", "text", L, direct_max=direct_max)
+            by_key = collections.defaultdict(list)
+            for r in g.collect():
+                by_key[(r["g1"], r["g2"])].append((r["doc"], r["pos"]))
+            got = sorted(sorted(v) for v in by_key.values())
+            assert got == _expected_groups(ROWS, L), (direct_max, L)
 
 
 def test_suffix_groups_match_hashed_grams_multipartition(spark, sf_dir):
@@ -54,12 +57,14 @@ def test_suffix_groups_match_hashed_grams_multipartition(spark, sf_dir):
     broke under AQE before partition pinning (nondeterministic, lost
     rows). Runs twice to pin determinism. L=20 with the 8-char hybrid seed
     exercises a doubling round (8→16) AND the non-power-of-two overlap key
-    (r16[i], r16[i+4])."""
+    (r16[i], r16[i+4]); direct_max=0 forces the LADDER regime (the default
+    at L=20 would take the r11 direct short-circuit, separately checked
+    below against the same truth)."""
     d = load_table(spark, sf_dir, "documents")
     L = 20
 
     def profile():
-        g = suffix_ngram_groups(d, "doc_id", "text", L)
+        g = suffix_ngram_groups(d, "doc_id", "text", L, direct_max=0)
         return sorted(
             map(
                 tuple,
@@ -86,6 +91,19 @@ def test_suffix_groups_match_hashed_grams_multipartition(spark, sf_dir):
     first = profile()
     assert first == truth
     assert profile() == first
+    # the DIRECT regime (default at L=20) must produce the same profile
+    direct = sorted(
+        map(
+            tuple,
+            suffix_ngram_groups(d, "doc_id", "text", L)
+            .groupBy("g1", "g2")
+            .count()
+            .groupBy("count")
+            .agg(F.count("*").alias("n"))
+            .collect(),
+        )
+    )
+    assert direct == truth
 
 
 def test_char_grams_stride_and_short_docs(spark):
@@ -190,6 +208,46 @@ def test_dense_group_ids_dense_and_partition_invariant(spark):
         ids_per_key.setdefault(i % 7, set()).add(r)
     assert all(len(s) == 1 for s in ids_per_key.values())
     assert sorted(next(iter(s)) for s in ids_per_key.values()) == list(range(1, 8))
+    # density and equality classes hold at ANY bucket count (r11: n_buckets
+    # is now a parameter — a 100-TB run raises it; ids need not be
+    # bit-identical across bucket counts, only dense + class-consistent)
+    for nb in (7, 64):
+        outb = {r["id"]: r["r"] for r in _dense_group_ids(df, ["k"], n_buckets=nb).collect()}
+        per_key: dict[int, set] = {}
+        for i, r in outb.items():
+            per_key.setdefault(i % 7, set()).add(r)
+        assert all(len(s) == 1 for s in per_key.values()), nb
+        assert sorted(next(iter(s)) for s in per_key.values()) == list(range(1, 8)), nb
+        # same-bucket-count reruns are bit-stable whatever the partitioning
+        outb2 = {
+            r["id"]: r["r"]
+            for r in _dense_group_ids(df.repartition(5), ["k"], n_buckets=nb).collect()
+        }
+        assert outb == outb2, nb
+
+
+def test_resolve_n_buckets_conf_fallback_and_clamp(spark):
+    """ADVICE r10: AQE-managed deployments set shuffle.partitions to
+    'auto' — int() must not raise; and huge values must clamp so the
+    per-bucket offset literal array stays driver-sized."""
+    from scraper_db_refine_merge_spark.operators.substr import (
+        _MAX_GROUP_BUCKETS,
+        _resolve_n_buckets,
+    )
+
+    assert _resolve_n_buckets(spark, 7) == 7
+    assert _resolve_n_buckets(spark, 10**9) == _MAX_GROUP_BUCKETS
+    assert _resolve_n_buckets(spark, 0) == 1
+    knob = "spark.graft.substr.denseGroupBuckets"
+    try:
+        spark.conf.set(knob, "auto")
+        assert _resolve_n_buckets(spark, None) == 200
+        spark.conf.set(knob, "96")
+        assert _resolve_n_buckets(spark, None) == 96
+    finally:
+        spark.conf.unset(knob)
+    got = _resolve_n_buckets(spark, None)
+    assert 1 <= got <= _MAX_GROUP_BUCKETS
 
 
 def test_redact_caller_frame_with_doc_column(spark):
