@@ -77,10 +77,25 @@ def _pin_range_partitions(df: DataFrame, order_cols: list[Column]) -> DataFrame:
 
     Both are eager: pinning runs a job at plan-building time (the frame
     was just shuffled by the range exchange; the materialization is a
-    read-back of that shuffle, not a recompute of the input lineage)."""
+    read-back of that shuffle, not a recompute of the input lineage).
+
+    STORAGE CONTRACT (ADVICE r10): reliable checkpoint files are deleted
+    by the ContextCleaner only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set in our
+    session factory; a SparkConf — job-deployment config on a cluster,
+    like the checkpoint dir itself). Without it, a long-lived session
+    leaks one frame copy to the checkpoint dir per ranking call. And a
+    bare ``checkpoint()`` computes the frame TWICE (once for the eager
+    action, once to write the files), so the frame is persisted across
+    the checkpoint and unpersisted after — the checkpoint files are the
+    durable copy from then on."""
     rp = df.repartitionByRange(*order_cols)
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        return rp.checkpoint()
+        rp = rp.persist()
+        try:
+            return rp.checkpoint()
+        finally:
+            rp.unpersist()
     return rp.localCheckpoint()
 
 

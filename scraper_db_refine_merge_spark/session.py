@@ -44,6 +44,12 @@ def get_spark(app_name: str = "scraper_db_refine_merge_spark") -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Reliable checkpoints (operators/ranking._pin_range_partitions,
+        # operators/graph.py) are otherwise never garbage-collected: a
+        # long-lived session would leak one frame copy to the checkpoint
+        # dir per ranking call (ADVICE r10). SparkConf — must be set at
+        # context creation, so it lives here, not at the call site.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     # Delta Lake (transactional MERGE backend for operators/merge.py) when

@@ -120,19 +120,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per = _MEMO.get(spark)
     if per is None:
         per = _MEMO.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    # The env toggle is part of the memo key (ADVICE r10): flipping
+    # SPARK_GRAFT_EVENTS_CACHE mid-session takes effect on the next call
+    # instead of being silently shadowed by the first load's decision.
+    cache_on = name == "events" and os.environ.get("SPARK_GRAFT_EVENTS_CACHE", "1") != "0"
+    key = (os.path.abspath(sf_dir), name, cache_on)
     df = per.get(key)
     if df is not None:
         return df
     if name == "events":
         src = os.path.join(sf_dir, f"{name}.parquet")
-        df = None
-        if os.environ.get("SPARK_GRAFT_EVENTS_CACHE", "1") != "0":
+        if cache_on:
             try:
                 df = spark.read.parquet(normalize_events(spark, sf_dir))
             except Exception:
-                df = None  # cache unavailable (read-only tmp, race) → raw path
-        if df is None:
+                # Cache unavailable (read-only tmp, concurrent-writer race):
+                # serve the raw path NOW but do NOT memoize it — a transient
+                # failure must not pin the slower plan for the whole
+                # session; the next call retries the normalized cache.
+                return _load_events_raw(spark, src)
+        else:
             df = _load_events_raw(spark, src)
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

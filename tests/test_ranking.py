@@ -4,6 +4,7 @@ family, and its plan must contain NO unpartitioned window over the data
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -209,8 +210,20 @@ def test_reliable_checkpoint_path_when_dir_configured(spark, sf_dir, tmp_path):
     finally:
         # restore the no-dir state so the rest of the suite keeps the
         # documented local fallback (and never writes into pytest's
-        # about-to-be-removed tmp dir)
-        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        # about-to-be-removed tmp dir). There is no public unset API, so
+        # this reaches into the Scala setter — guarded (ADVICE r10): if a
+        # Spark upgrade / Spark Connect removes the hook, fail with a
+        # pointed message instead of an opaque py4j error, because a
+        # SILENTLY-kept tmp checkpoint dir would poison later tests.
+        try:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        except Exception as exc:  # noqa: BLE001 — diagnose, then fail loudly
+            pytest.fail(
+                "could not restore the no-checkpoint-dir state via the JVM "
+                f"setter checkpointDir_$eq ({exc!r}). Update the reset for "
+                "this Spark version, or move this test into a subprocess "
+                "session so no restore is needed."
+            )
         assert sc.getCheckpointDir() is None
 
 
