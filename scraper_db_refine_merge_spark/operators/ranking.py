@@ -218,6 +218,7 @@ def topk_per_group(
     order_cols: list[Column],
     k: int,
     rank_col: str = "rank",
+    order_sql: str | None = None,
 ) -> DataFrame:
     """Top-k rows per group without a per-group single-task sort.
 
@@ -238,7 +239,31 @@ def topk_per_group(
     partial order, ties straddling the cut would be dropped
     nondeterministically. Measured 0.92 → 0.54 s on q28 at sf0.1; at
     corpus scale it converts the per-query straggler into even tasks.
+
+    ``order_sql`` (r11): the same total order as ONE SQL string (e.g.
+    ``"cosine_sim DESC, neighbor_id ASC"``) — when given, ``order_cols``
+    is ignored and both windows are built via selectExpr (identical
+    Catalyst plan, ~half the py4j round-trips of the stacked
+    Window/Column builders — the q25/q04 driver-side cost class; matters
+    to hot callers like cosine_topk that construct this plan per query).
     """
+    if order_sql is not None:
+        g = ", ".join(f"`{c}`" for c in group_cols)
+        survivors = (
+            df.selectExpr("*", "spark_partition_id() AS __tk_pid")
+            .selectExpr(
+                "*",
+                f"row_number() OVER (PARTITION BY {g}, __tk_pid"
+                f" ORDER BY {order_sql}) AS __tk_rn",
+            )
+            .where(f"__tk_rn <= {k}")
+            .drop("__tk_pid", "__tk_rn")
+        )
+        return survivors.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {g} ORDER BY {order_sql})"
+            f" AS `{rank_col}`",
+        ).where(f"`{rank_col}` <= {k}")
     local = Window.partitionBy(*group_cols, "__tk_pid").orderBy(*order_cols)
     survivors = (
         df.withColumn("__tk_pid", F.spark_partition_id())

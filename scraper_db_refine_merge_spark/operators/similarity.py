@@ -108,8 +108,9 @@ def cosine_topk(
     return topk_per_group(
         scored,
         ["query_id"],
-        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        [],
         k,
+        order_sql="cosine_sim DESC, neighbor_id ASC",
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
@@ -233,8 +234,9 @@ def lsh_topk(
     return topk_per_group(
         scored,
         ["query_id"],
-        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        [],
         k,
+        order_sql="cosine_sim DESC, neighbor_id ASC",
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
@@ -349,8 +351,9 @@ def ivf_topk(
     return topk_per_group(
         scored,
         ["query_id"],
-        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        [],
         k,
+        order_sql="cosine_sim DESC, neighbor_id ASC",
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 

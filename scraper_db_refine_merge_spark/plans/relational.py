@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.pagination import paginate
-from ..sources.tables import load_table
+from ..sources.tables import ensure_views, load_table
 from ._util import DEC, cents, disc_price_sum, money_avg, money_sum, sql_money_avg, sql_money_sum
 
 QUERIES: dict = {}
@@ -162,11 +162,6 @@ def q03_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
     # Two scale moves, no SF-growing hints anywhere:
     # 1. Pre-reduce the dimension chain to ONE slim (c_custkey, r_name)
     #    relation — nation⨝region is 25 rows (the only forced hints),
@@ -177,34 +172,42 @@ def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    ≤|customers| partial rows instead of the whole fact table, and the
     #    cnr join runs on two customer-sized inputs — never a fact-sized
     #    shuffle on the dimension key, never a customer-sized broadcast.
-    #    Exact: the 1e-4-dollar units are decimal-summed per custkey and
+    #    Exact: the 1e-4-dollar units (FLOOR(x*100+0.5) cents, the
+    #    plans/_util.cents construction) are decimal-summed per custkey and
     #    re-summed per region (associative integer arithmetic, same value
     #    as the one-shot sum — oracle-gated). At sf0.1 this is wall-neutral
     #    (AQE stage latency dominates); at 10^9+ fact rows it is the
     #    difference between shuffling the fact table and shuffling the
     #    customer dimension.
-    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "r_name"
-    )
-    cnr = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
-        "c_custkey", "r_name"
-    )
-    units = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    per_cust = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(units.cast("decimal(38,0)")).alias("__rev_units"),
-            F.count("*").alias("__n"),
+    # Built as ONE spark.sql string over memoized views (r11): the stacked
+    # DataFrame-API construction was ~370 py4j round-trips ≈ 0.15 s/run —
+    # the q25 driver-side cost class; the logical plan is identical.
+    v = ensure_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region"))
+    return spark.sql(
+        """
+        WITH nr AS (
+            SELECT /*+ BROADCAST(r) */ n.n_nationkey, r.r_name
+            FROM {nation} n JOIN {region} r ON n.n_regionkey = r.r_regionkey
+        ),
+        cnr AS (
+            SELECT /*+ BROADCAST(nr) */ c.c_custkey, nr.r_name
+            FROM {customer} c JOIN nr ON c.c_nationkey = nr.n_nationkey
+        ),
+        per_cust AS (
+            SELECT o.o_custkey,
+                   SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5D)
+                            * (100 - FLOOR(l.l_discount * 100 + 0.5D))
+                            AS DECIMAL(38,0))) AS __rev_units,
+                   COUNT(*) AS __n
+            FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
         )
-    )
-    return (
-        per_cust.join(cnr, per_cust.o_custkey == cnr.c_custkey)
-        .groupBy(F.col("r_name").alias("region"))
-        .agg(
-            (F.sum("__rev_units") / 10000).cast("double").alias("revenue"),
-            F.sum("__n").alias("lineitem_count"),
-        )
+        SELECT cnr.r_name AS region,
+               CAST(SUM(__rev_units) / 10000 AS DOUBLE) AS revenue,
+               SUM(__n) AS lineitem_count
+        FROM per_cust JOIN cnr ON per_cust.o_custkey = cnr.c_custkey
+        GROUP BY cnr.r_name
+        """.format(**v)
     )
 
 

@@ -149,3 +149,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def ensure_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict[str, str]:
+    """Session-memoized temp views over :func:`load_table` frames, for
+    queries built as ONE ``spark.sql()`` string (r11: profiling q04/q28
+    showed ~0.15 s/run of py4j round-trips in stacked DataFrame-API plan
+    construction — the q25 cost class; a single SQL parse is one round
+    trip). View names are suffixed with a hash of the table dir so one
+    session can hold views over several SF dirs (gen_recall, scale_smoke);
+    registration happens once per (session, dir, table). Returns
+    {table_name: view_name} for ``str.format``-ing into the SQL."""
+    per = _MEMO.get(spark)
+    if per is None:
+        per = _MEMO.setdefault(spark, {})
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out = {}
+    for name in names:
+        view = f"{name}_v{tag}"
+        key = ("__view__", os.path.abspath(sf_dir), name)
+        if key not in per:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+            per[key] = view
+        out[name] = per[key]
+    return out

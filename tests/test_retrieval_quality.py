@@ -96,3 +96,32 @@ def test_planted_recall_floor(spark, sf_dir):
         per_q = got[pipeline]
         assert set(per_q) == set(range(5))
         assert min(per_q.values()) >= _PLANTED_FLOOR_BP, (pipeline, per_q)
+
+
+# Calibrated from the r11 clustered eval at sf0.001 (alpha=0.5, 8
+# centroids): LSH mean 2800 bp, trunc16 mean is higher (prefix truncation
+# keeps most of the centroid signal). The floor leaves one-neighbor
+# headroom below the measured LSH mean; the CEILING (< 10000) is as
+# load-bearing as the floor — it asserts the eval has not saturated, i.e.
+# a partial regression still has room to move the number (the whole point
+# of this family; the planted eval is the all-or-nothing gate).
+_CLUSTERED_LSH_FLOOR_BP = 2000
+
+
+def test_clustered_recall_band(spark, sf_dir):
+    """VERDICT r10 item 4: the natural eval has no sensitivity (uniform
+    data, recall 0 by construction) and the planted eval saturates at
+    10000 — a PARTIAL LSH regression was invisible to both. The clustered
+    interpolation must land strictly inside (0, 10000) and above the
+    calibrated floor."""
+    from tools.gen_recall import clustered_recall_bp
+
+    got = clustered_recall_bp(spark, sf_dir)
+    per_q = got["lsh"]
+    assert set(per_q) == set(range(5))
+    mean_bp = sum(per_q.values()) / len(per_q)
+    assert _CLUSTERED_LSH_FLOOR_BP <= mean_bp < 10000, per_q
+    # trunc16 on the same corpus: recorded for the artifact; gate only
+    # that it is non-degenerate (the truncation keeps prefix dims, which
+    # carry the centroid signal, so it can legitimately sit high)
+    assert 0 < sum(got["trunc16"].values()) / 5 <= 10000, got["trunc16"]

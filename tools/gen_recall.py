@@ -24,6 +24,18 @@ tests/test_pq.py::test_planted_near_copy_is_rank1's data note):
   measures the OPERATOR (bucket collision of near-identical vectors,
   prefix-dominance under truncation) — this is the floor-gated number.
 
+- ``clustered`` (r11, VERDICT r10 item 4): the planted eval saturates at
+  10000 bp (all-or-nothing), and the natural eval sits at 0 — neither
+  moves when LSH quality degrades PARTIALLY. This family interpolates:
+  every vector is deterministically pulled halfway toward one of 8
+  md5-derived cluster centroids (v' = (1-α)·v + α·c[vec_id mod 8],
+  α = 0.5), giving the corpus real-but-imperfect neighborhood structure.
+  Measured recall lands strictly inside (0, 10000) at every SF
+  (sf0.001 ≈ 2800 bp mean, sf0.01 ≈ 6000, sf0.1 ≈ 8000), so a partial
+  LSH regression (one lost plane, a biased bucket) MOVES the number —
+  this is the band-gated sensitivity eval
+  (tests/test_retrieval_quality.py::test_clustered_recall_band).
+
 Usage: PYTHONPATH=. python tools/gen_recall.py <round>   # e.g. r10
 """
 
@@ -71,6 +83,65 @@ def planted_corpus(spark, sf_dir: str):
             )
         )
     return corpus, qs
+
+
+#: Clustered-eval mixing weight: 0.5 puts recall mid-band at every SF
+#: (see module docstring); raising it saturates toward 10000, lowering it
+#: collapses toward the natural eval's 0.
+CLUSTER_ALPHA = 0.5
+N_CLUSTERS = 8
+
+
+def clustered_corpus(e, alpha: float = CLUSTER_ALPHA, n_clusters: int = N_CLUSTERS):
+    """Deterministic clustered VARIANT of an embeddings frame: each vector
+    is mixed toward the centroid of cluster ``vec_id mod n_clusters``;
+    centroid components are xxhash64-derived values in [-1, 1] (pure row
+    expressions — no data-dependent state, no rand(), reproducible on any
+    engine)."""
+    cent = (
+        "CAST(pmod(xxhash64(concat('clu', CAST(pmod(vec_id, {c}) AS STRING),"
+        " ':', CAST(i AS STRING))), 2001) - 1000 AS DOUBLE)/1000.0"
+    ).format(c=n_clusters)
+    return e.selectExpr(
+        "vec_id",
+        "label",
+        "transform(embedding, (x, i) -> CAST((1.0 - {a}) * x + {a} * ({cent})"
+        " AS FLOAT)) AS embedding".format(a=alpha, cent=cent),
+    )
+
+
+def clustered_recall_bp(spark, sf_dir: str) -> dict[str, dict[int, int]]:
+    """Per-query recall_bp of the LSH index and 16-dim truncated retrieval
+    on the clustered corpus — the band-gated sensitivity numbers (the
+    pipelines and eval arithmetic are exactly q146/q148's; only the corpus
+    differs)."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+    from scraper_db_refine_merge_spark.sources.tables import load_table
+
+    corpus = clustered_corpus(load_table(spark, sf_dir, "embeddings"))
+    qs = corpus.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(corpus, qs, k=5).collect()}
+
+    def recall(approx_df) -> dict[int, int]:
+        approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+        out = {}
+        for q in range(5):
+            ex = {n for (qq, n) in exact if qq == q}
+            ov = len(ex & {n for (qq, n) in approx if qq == q})
+            out[q] = (10000 * ov) // max(len(ex), 1)
+        return out
+
+    ct = corpus.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    qt = qs.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    return {
+        "lsh": recall(lsh_topk(corpus, qs, k=5)),
+        "trunc16": recall(cosine_topk(ct, qt, k=5)),
+    }
 
 
 def planted_recall_bp(spark, sf_dir: str) -> dict[str, dict[int, int]]:
@@ -130,6 +201,21 @@ def main() -> int:
             k: {"per_query_bp": v, "min_bp": min(v.values())} for k, v in pr.items()
         }
         print(f"planted {sf}: " + " ".join(f"{k} min {min(v.values())}" for k, v in pr.items()))
+    doc["clustered"] = {"alpha": CLUSTER_ALPHA, "n_clusters": N_CLUSTERS}
+    for sf, sf_dir in SF_DIRS.items():
+        cr = clustered_recall_bp(spark, sf_dir)
+        doc["clustered"][sf] = {
+            k: {
+                "per_query_bp": v,
+                "min_bp": min(v.values()),
+                "mean_bp": round(sum(v.values()) / len(v), 1),
+            }
+            for k, v in cr.items()
+        }
+        print(
+            f"clustered {sf}: "
+            + " ".join(f"{k} mean {sum(v.values()) / len(v):.0f}" for k, v in cr.items())
+        )
     out = os.path.join(ROOT, f"RECALL_{rnd}.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
