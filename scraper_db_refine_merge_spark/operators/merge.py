@@ -15,10 +15,12 @@ shared-fixture test tests/test_refine_merge.py::
 test_merge_upsert_roundtrip_and_stats, whose delta parametrization executes
 wherever delta-spark is installed and self-skips elsewhere.
 
-BLOCKING CONSTRAINT (verified r6, re-verified r7 and r10): delta-spark cannot execute in this
-sandbox — the package is not installed, ``pip install`` is prohibited, no
-``delta-*`` jar ships under /opt/spark/jars or any ivy cache, and there is
-no network to resolve ``io.delta:delta-spark_2.13`` at session start. Until
+BLOCKING CONSTRAINT (verified r6, re-verified r7, r10 and r11): delta-spark cannot
+execute in this sandbox — the package is not installed, ``pip install`` is
+prohibited, no ``delta-*`` jar ships under /opt/spark/jars or any ivy
+cache, ``pip download delta-spark`` finds no distribution (no network),
+and there is no way to resolve ``io.delta:delta-spark_2.13`` at session
+start. Until
 an environment provides the jar, the MERGE branch's LOGIC (dedup-before-
 merge, keyed condition, UpdateAll/InsertAll wiring, operationMetrics
 stats) is exercised by tests/test_delta_branch.py against an in-memory

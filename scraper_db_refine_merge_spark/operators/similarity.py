@@ -17,6 +17,7 @@ lets an external oracle reproduce it.
 from __future__ import annotations
 
 import hashlib
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -132,19 +133,34 @@ def _plane_component_value(plane: int, d: int) -> float:
     return (h / float(2**32)) * 2.0 - 1.0
 
 
+# detect_fixed_dim memo, keyed by DataFrame OBJECT identity (r11): the
+# probe is a real Spark job (~0.25 s at sf0.1), and the hot callers (q55
+# per bench build, every lsh_topk) pass the per-session load_table frame —
+# the SAME object each time, so the job runs once per session instead of
+# once per plan construction. Frames built ad hoc simply miss (new object)
+# and entries die with their frames. Same static-tables-per-session
+# contract as the load_table memo (sources/tables.py).
+_DIM_MEMO: "WeakKeyDictionary[DataFrame, dict[str, int | None]]" = WeakKeyDictionary()
+
+
 def detect_fixed_dim(df: DataFrame, vec_col: str) -> int | None:
     """Embedding dimensionality if it is uniform across the table, else
-    None. One narrow agg over the (pruned) vector column — cheap next to
-    the multi-pass pipelines that call it, and it licenses the literal-
-    plane fast path below (which is only value-identical for vectors of
-    exactly that length)."""
+    None. One narrow agg over the (pruned) vector column — memoized per
+    (DataFrame object, column), and it licenses the literal-plane fast
+    path below (which is only value-identical for vectors of exactly that
+    length)."""
+    per = _DIM_MEMO.get(df)
+    if per is not None and vec_col in per:
+        return per[vec_col]
     row = df.agg(
         F.min(F.size(F.col(vec_col))).alias("lo"),
         F.max(F.size(F.col(vec_col))).alias("hi"),
     ).first()
-    if row is None or row["lo"] is None or row["lo"] != row["hi"]:
-        return None
-    return int(row["lo"])
+    dim = None
+    if row is not None and row["lo"] is not None and row["lo"] == row["hi"]:
+        dim = int(row["lo"])
+    _DIM_MEMO.setdefault(df, {})[vec_col] = dim
+    return dim
 
 
 def hyperplane_bucket(
@@ -623,33 +639,35 @@ def cosine_near_dup_pairs(
     )
     # Verify with per-vector norms computed ONCE on the vector table and
     # carried through the join — the per-pair work drops to one dot product
-    # (vs dot + two norms when cosine() runs per pair). Same expressions,
-    # same left-to-right accumulation → bit-identical to cosine().
-    v = df.select(
-        F.col(id_col).alias("__id"),
-        _to_double(F.col(vec_col)).alias("__vec"),
-        l2_norm(_to_double(F.col(vec_col))).alias("__norm"),
+    # (vs dot + two norms when cosine() runs per pair). selectExpr strings
+    # (r11): identical Catalyst expressions to _to_double/l2_norm/dot
+    # (`0.0D`-seeded left folds), a fraction of the py4j round-trips of the
+    # stacked HOF builders — the cosine_topk treatment (r10) applied to
+    # this pipeline's verify side.
+    norm_sql = (
+        "sqrt(aggregate(transform(transform(`{v}`, x -> CAST(x AS DOUBLE)),"
+        " x -> x * x), 0.0D, (acc, x) -> acc + x))"
     )
-    va = v.select(F.col("__id").alias("a_id"), F.col("__vec").alias("__a_vec"), F.col("__norm").alias("__a_norm"))
-    vb = v.select(F.col("__id").alias("b_id"), F.col("__vec").alias("__b_vec"), F.col("__norm").alias("__b_norm"))
+    v = df.selectExpr(
+        f"`{id_col}` AS __id",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS __vec",
+        norm_sql.format(v=vec_col) + " AS __norm",
+    )
+    va = v.selectExpr("__id AS a_id", "__vec AS __a_vec", "__norm AS __a_norm")
+    vb = v.selectExpr("__id AS b_id", "__vec AS __b_vec", "__norm AS __b_norm")
     # Verify stays JVM-side HOF: at sf0.1 it is ~0.5 s of the pipeline
     # (measured stage-by-stage r5) and moving it to Arrow was NET SLOWER —
     # every candidate pair would carry two dim-wide double arrays through
     # Arrow serialization. The Arrow win is in the bucket build above,
     # where each VECTOR ships once, not once per pair.
     pairs = cand.join(va, "a_id").join(vb, "b_id")
-    return (
-        pairs.select(
-            "a_id",
-            "b_id",
-            F.round(
-                dot(F.col("__a_vec"), F.col("__b_vec"))
-                / (F.col("__a_norm") * F.col("__b_norm")),
-                round_scale,
-            ).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    return pairs.selectExpr(
+        "a_id",
+        "b_id",
+        "round(aggregate(zip_with(__a_vec, __b_vec, (x, y) -> x * y), 0.0D,"
+        f" (acc, x) -> acc + x) / (__a_norm * __b_norm), {round_scale})"
+        " AS cosine_sim",
+    ).where(f"cosine_sim >= {threshold!r}D")
 
 
 def semantic_dedup(

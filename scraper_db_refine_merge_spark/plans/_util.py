@@ -68,6 +68,34 @@ def disc_price_sum(price: str | Column, discount: str | Column) -> Column:
     return (_dec_sum(units) / 10000).cast("double")
 
 
+# ----------------------------------------------------------------------
+# SPARK-side SQL-string forms of the exact-money constructions above, for
+# queries built as one spark.sql() string (r11 driver-side-construction
+# work; see plans/relational.q04_region_revenue). These must stay
+# textually faithful to cents()/_dec_sum(): FLOOR on a double returns
+# BIGINT (the .cast("long")), 0.5D keeps the addend a double (a bare 0.5
+# parses as DECIMAL(1,1) in Spark SQL and changes the arithmetic type).
+
+
+def spark_cents(c: str) -> str:
+    return f"FLOOR({c} * 100 + 0.5D)"
+
+
+def spark_money_sum(c: str) -> str:
+    return f"CAST(SUM(CAST({spark_cents(c)} AS DECIMAL(38,0))) / 100 AS DOUBLE)"
+
+
+def spark_money_avg(c: str, scale: int = 4) -> str:
+    return f"ROUND({spark_money_sum(c)} / COUNT({c}), {scale})"
+
+
+def spark_disc_price_sum(price: str, discount: str) -> str:
+    return (
+        f"CAST(SUM(CAST({spark_cents(price)} * (100 - {spark_cents(discount)})"
+        f" AS DECIMAL(38,0))) / 10000 AS DOUBLE)"
+    )
+
+
 def sql_money_sum(c: str) -> str:
     return f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
 

@@ -24,7 +24,18 @@ from pyspark.sql import functions as F
 
 from ..operators.pagination import paginate
 from ..sources.tables import ensure_views, load_table
-from ._util import DEC, cents, disc_price_sum, money_avg, money_sum, sql_money_avg, sql_money_sum
+from ._util import (
+    DEC,
+    cents,
+    disc_price_sum,
+    money_avg,
+    money_sum,
+    spark_disc_price_sum,
+    spark_money_avg,
+    spark_money_sum,
+    sql_money_avg,
+    sql_money_sum,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -61,17 +72,30 @@ def _register(name: str, oracle: str | None = None):
     """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_sum("l_quantity").alias("sum_qty"),
-            money_sum("l_extendedprice").alias("sum_base_price"),
-            disc_price_sum("l_extendedprice", "l_discount").alias("sum_disc_price"),
-            money_avg("l_quantity").alias("avg_qty"),
-            money_avg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
+    # One spark.sql string (r11): the money_sum/money_avg Column helpers
+    # stacked ~40% of q01's wall time into py4j plan construction; the
+    # spark_* SQL forms in plans/_util.py are textually faithful to the
+    # same exact-cents arithmetic, so values are bit-identical.
+    v = ensure_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               {sum_qty} AS sum_qty,
+               {sum_base} AS sum_base_price,
+               {sum_disc} AS sum_disc_price,
+               {avg_qty} AS avg_qty,
+               {avg_disc} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM {lineitem}
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """.format(
+            lineitem=v["lineitem"],
+            sum_qty=spark_money_sum("l_quantity"),
+            sum_base=spark_money_sum("l_extendedprice"),
+            sum_disc=spark_disc_price_sum("l_extendedprice", "l_discount"),
+            avg_qty=spark_money_avg("l_quantity"),
+            avg_disc=spark_money_avg("l_discount"),
         )
     )
 

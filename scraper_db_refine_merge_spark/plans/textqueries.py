@@ -21,7 +21,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators import dedup as dd
-from ..sources.tables import load_table
+from ..sources.tables import ensure_views, load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -157,19 +157,61 @@ _SQL_Q22_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
     """,
 )
 def q22_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    q = text_quality_score(t)
-    return d.select(
-        "doc_id",
-        "lang",
-        token_count(t).alias("n_tokens"),
-        stopword_count(t).alias("n_stopwords"),
-        F.round(stopword_count(t) / F.greatest(token_count(t), F.lit(1)), 4).alias("stop_ratio"),
-        F.round(punct_ratio(t), 4).alias("p_ratio"),
-        q.alias("quality"),
-        quality_band(q).alias("band"),
-        language_guess(t).alias("guessed_lang"),
+    # One spark.sql string (r11): the Column-helper form stacked ~0.2 s/run
+    # (79% of q22's wall time) of py4j round-trips building split/filter/
+    # when chains. The SQL below is textually faithful to functions/text.py
+    # (tokens/stopword_count/punct_ratio/text_quality_score/quality_band/
+    # language_guess — which remain the library surface and keep their own
+    # tests via q50 and the functions suite): double literals carry the D
+    # suffix (a bare 0.5 is DECIMAL in Spark SQL), the lang structs are
+    # (hits, lang) with array_max tie-break on the code, and every ratio is
+    # the same int/int double division. Values are oracle-hash-gated.
+    v = ensure_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        r"""
+        WITH base AS (
+            SELECT doc_id, lang, text,
+                   split(lower(trim(text)), '\\s+') AS toks,
+                   length(regexp_replace(text, '[a-zA-Z0-9\\s]', ''))
+                       / greatest(length(text), 1) AS praw,
+                   length(text) AS n_chars
+            FROM {documents}
+        ),
+        s AS (
+            SELECT doc_id, lang, n_chars, praw,
+                   size(toks) AS n_tokens,
+                   size(filter(toks, t -> t IN
+                       ('the','a','an','and','or','of','to','in'))) AS n_stopwords,
+                   array_max(filter(array(
+                       named_struct('hits', size(filter(toks, t -> t IN ('der','die','und','das','ist'))), 'lang', 'de'),
+                       named_struct('hits', size(filter(toks, t -> t IN ('the','and','of','to','a'))), 'lang', 'en'),
+                       named_struct('hits', size(filter(toks, t -> t IN ('el','la','de','que','y'))), 'lang', 'es'),
+                       named_struct('hits', size(filter(toks, t -> t IN ('le','la','et','les','des'))), 'lang', 'fr')
+                   ), st -> st.hits > 0)) AS best
+            FROM base
+        ),
+        q AS (
+            SELECT *,
+                   ROUND(
+                       (CASE WHEN n_chars >= 200 THEN 1.0D WHEN n_chars >= 50 THEN 0.7D
+                             WHEN n_chars >= 10 THEN 0.4D ELSE 0.0D END) * 0.4D
+                     + (CASE WHEN n_tokens >= 30 THEN 1.0D WHEN n_tokens >= 10 THEN 0.7D
+                             WHEN n_tokens >= 3 THEN 0.4D ELSE 0.0D END) * 0.3D
+                     + (CASE WHEN n_stopwords / greatest(n_tokens, 1) > 0
+                             THEN 1.0D ELSE 0.0D END) * 0.15D
+                     + (CASE WHEN praw <= 0.2D THEN 1.0D ELSE 0.0D END) * 0.15D, 4) AS quality
+            FROM s
+        )
+        SELECT doc_id, lang, n_tokens, n_stopwords,
+               ROUND(n_stopwords / greatest(n_tokens, 1), 4) AS stop_ratio,
+               ROUND(praw, 4) AS p_ratio,
+               quality,
+               CASE WHEN quality >= 0.9D THEN 'excellent'
+                    WHEN quality >= 0.8D THEN 'good'
+                    WHEN quality >= 0.7D THEN 'fair' ELSE 'poor' END AS band,
+               CASE WHEN best IS NULL THEN 'und' ELSE best.lang END AS guessed_lang
+        FROM q
+        """.format(documents=v["documents"])
     )
 
 
