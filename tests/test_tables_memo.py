@@ -38,6 +38,20 @@ def test_events_cache_failure_not_memoized(spark, sf_dir, monkeypatch):
     assert keys and all(k[2] is True for k in keys)
 
 
+def test_ensure_views_memoized_and_dir_scoped(spark, sf_dir):
+    """r11: one session can hold views over several SF dirs (dir-hash
+    suffix), registration is memoized, and the view serves the same rows
+    as load_table."""
+    v1 = tables.ensure_views(spark, sf_dir, ("region", "nation"))
+    v2 = tables.ensure_views(spark, sf_dir, ("region",))
+    assert v1["region"] == v2["region"]
+    other = "/root/testdata/sf0.01"
+    v3 = tables.ensure_views(spark, other, ("region",))
+    assert v3["region"] != v1["region"]  # distinct dirs -> distinct views
+    n_view = spark.sql(f"SELECT COUNT(*) AS n FROM {v1['region']}").collect()[0]["n"]
+    assert n_view == tables.load_table(spark, sf_dir, "region").count()
+
+
 def test_events_cache_env_toggle_in_memo_key(spark, sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_EVENTS_CACHE", "0")
     raw = tables.load_table(spark, sf_dir, "events")

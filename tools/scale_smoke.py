@@ -241,7 +241,12 @@ def main():
     def _suffix_groups(d):
         from scraper_db_refine_merge_spark.operators.substr import suffix_ngram_groups
 
-        return suffix_ngram_groups(d, "doc_id", "text", 32)
+        # direct_max=0 forces the LADDER regime: L=32 would otherwise take
+        # the r11 direct short-circuit, and the scale question this entry
+        # answers (per-round rank-refinement growth) is about the ladder.
+        # The direct regime's scale shape is char_grams' (one projection) —
+        # covered by the substring_contamination entry above.
+        return suffix_ngram_groups(d, "doc_id", "text", 32, direct_max=0)
 
     def _bm25(d):
         from scraper_db_refine_merge_spark.plans.catalog import QUERIES  # noqa: F401
@@ -469,7 +474,7 @@ def main():
             # sorts (linear-ish), never a per-round blowup. Replicated
             # copies multiply every gram group by the factor, so the
             # group-join output stays per-position (linear).
-            "suffix_ngram_groups(L=32)",
+            "suffix_ngram_groups(L=32, ladder)",
             lambda: _suffix_groups(base_docs).count(),
             lambda: _suffix_groups(docs).count(),
         ),
