@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import persist_tracked
 from .dedup import normalized_text
 
 LM_SCALE = 1_000_000_000  # 1e9: unit = smoothed probability in nano-probs
@@ -284,18 +285,26 @@ def dsir_weights(
     ).withColumn(
         "b", F.pmod(F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"), F.lit(buckets))
     )
-    ct = (
-        toks.filter("__target").groupBy("b").agg(F.count("*").alias("ct"))
+    # ONE explode+md5 corpus pass (r11: the previous ct/cr/totals trio plus
+    # the final join re-exploded and re-hashed every token FOUR times).
+    # Tokens compress to per-(doc, bucket) counts with full map-side
+    # combine, the compressed table persists (fixed-width longs, tracked —
+    # the _cache lifecycle), and every downstream statistic derives from
+    # it: bucket counts are SUM(c), the corpus scalars R/T are the column
+    # sums of the B-row bucket table (a config-bounded aggregation, not a
+    # corpus pass), and the final score is sum(c·unit) div sum(c) —
+    # identical values, the per-token sum merely grouped by bucket first.
+    per_doc = persist_tracked(
+        toks.groupBy("doc", "__target", "b").agg(F.count("*").alias("c"))
     )
-    cr = toks.groupBy("b").agg(F.count("*").alias("cr"))
-    totals = toks.agg(
-        F.count("*").alias("R"), F.sum(F.when(F.col("__target"), 1).otherwise(0)).alias("T")
+    cnt = per_doc.groupBy("b").agg(
+        F.sum("c").alias("cr"),
+        F.sum(F.when(F.col("__target"), F.col("c")).otherwise(0)).alias("ct"),
     )
+    totals = cnt.agg(F.sum("cr").alias("R"), F.sum("ct").alias("T"))
     # bucket tables are B rows (config) — constant-size, broadcast is safe
     lut = (
-        cr.join(ct, "b", "left")
-        .na.fill({"ct": 0})
-        .crossJoin(F.broadcast(totals))
+        cnt.crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.floor(
@@ -307,10 +316,10 @@ def dsir_weights(
         )
     )
     return (
-        toks.join(F.broadcast(lut), "b")
+        per_doc.join(F.broadcast(lut), "b")
         .groupBy(F.col("doc").alias("doc_id"))
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.expr("sum(unit) div count(*)").cast("long").alias("dsir_weight"),
+            F.sum("c").alias("n_tokens"),
+            F.expr("sum(c * unit) div sum(c)").cast("long").alias("dsir_weight"),
         )
     )
