@@ -16,14 +16,14 @@ This module gives that modality two Spark-native shapes:
   by k at a bounded loss of threshold resolution.
 
 - :func:`suffix_ngram_groups` — the 100-TB path. For small L (≤
-  :data:`DIRECT_SEED_MAX` = 64) it short-circuits to ONE direct
-  enumeration + group-id pass — at that width the raw gram shuffles no
-  more bytes than a doubling round's rank tuple, so the ladder would only
-  add passes (r11; closes the q153 envelope gap). For large L: prefix-
-  doubling GROUP-ID construction (the equality core of Manber-Myers
-  suffix ranks), distributed. Instead of materializing L bytes (or a
-  16-byte hash) per corpus position — an L-to-16× blowup before the first
-  shuffle —
+  :data:`DIRECT_SEED_MAX` = 64) it short-circuits to a DIRECT projection:
+  per full position, a 128-bit pair of xxhash64s of the raw gram — zero
+  shuffles, no persist, no driver collect; the gram never leaves its
+  executor (r11; closed the q153 envelope gap at 0.2-0.3× the direct-
+  enumeration oracle). For large L: prefix-doubling GROUP-ID construction
+  (the equality core of Manber-Myers suffix ranks), distributed. Instead
+  of materializing L bytes (or a 16-byte hash) per corpus position — an
+  L-to-16× blowup before the first shuffle —
   each position carries two fixed-width longs, and O(log L) rounds of
   (LEAD(r, h) over a per-doc window — positions are dense, so the row h
   ahead IS pos+h) + (hash-bucketed dense group ids, see
