@@ -475,16 +475,28 @@ def q53_quality_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     now = _dt(2025, 6, 1, 0, 0, 0)
-    vs = score_venue_info(venue)
-    ds = score_datetime_info(dtc, now=now)
-    return d.select(
+    # PROJECTION BOUNDARIES (r11): every scorer reference re-inlines its
+    # argument tree, so scoring the WHEN-chain constructors directly made
+    # the analyzed plan combinatorially large — one .select() spent 5.4 s
+    # in JVM-side Catalyst analysis (measured; exec was 0.6 s). Two
+    # intermediate projections make the case columns and then the scored
+    # structs attribute LEAVES, so each big tree is built and analyzed
+    # exactly once. Values identical (projection composition); the
+    # optimizer still collapses what it wants AFTER analysis.
+    base = d.select("doc_id", venue.alias("__venue"), dtc.alias("__dt"))
+    scored = base.select(
         "doc_id",
-        vs["score"].alias("venue_score"),
-        F.array_join(vs["flags"], ",").alias("venue_flags"),
-        ds["score"].alias("datetime_score"),
-        F.array_join(ds["flags"], ",").alias("datetime_flags"),
+        score_venue_info(F.col("__venue")).alias("__vs"),
+        score_datetime_info(F.col("__dt"), now=now).alias("__ds"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("__vs.score").alias("venue_score"),
+        F.array_join(F.col("__vs.flags"), ",").alias("venue_flags"),
+        F.col("__ds.score").alias("datetime_score"),
+        F.array_join(F.col("__ds.flags"), ",").alias("datetime_flags"),
         overall_score(
-            F.lit(0.0), vs["score"], ds["score"], F.lit(0.0), F.lit(0.0)
+            F.lit(0.0), F.col("__vs.score"), F.col("__ds.score"), F.lit(0.0), F.lit(0.0)
         ).alias("overall"),
     )
 
@@ -600,17 +612,24 @@ def q54_acts_ticketing_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.array(tier("A", 10.0, "EUR"), tier("B", 20.0, "EUR"), tier("C", 30.0, "EUR")), 18)
         )
     )
-    a_s = score_acts_info(acts)
-    t_s = score_ticketing_info(ticketing)
-    return d.select(
+    # Projection boundaries against re-inlined scorer arguments — the q53
+    # analysis-blowup fix (see its comment): case columns, then scored
+    # structs, become attribute leaves. Build 4.4 s -> sub-second.
+    base = d.select("doc_id", acts.alias("__acts"), ticketing.alias("__tick"))
+    scored = base.select(
         "doc_id",
-        a_s["score"].alias("acts_score"),
-        F.array_join(a_s["flags"], ",").alias("acts_flags"),
-        t_s["score"].alias("ticket_score"),
-        F.array_join(t_s["flags"], ",").alias("ticket_flags"),
-        overall_score(F.lit(0.0), F.lit(0.0), F.lit(0.0), a_s["score"], t_s["score"]).alias(
-            "overall"
-        ),
+        score_acts_info(F.col("__acts")).alias("__as"),
+        score_ticketing_info(F.col("__tick")).alias("__ts"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("__as.score").alias("acts_score"),
+        F.array_join(F.col("__as.flags"), ",").alias("acts_flags"),
+        F.col("__ts.score").alias("ticket_score"),
+        F.array_join(F.col("__ts.flags"), ",").alias("ticket_flags"),
+        overall_score(
+            F.lit(0.0), F.lit(0.0), F.lit(0.0), F.col("__as.score"), F.col("__ts.score")
+        ).alias("overall"),
     )
 
 
