@@ -479,6 +479,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     reassemble with bit arithmetic. Returns ``(doc, simhash)`` with simhash
     as a non-negative 60-bit long.
     """
+    # expr strings over stacked F.* builders (r11): 60 lane aggregates ×
+    # ~8 py4j round-trips each plus the 60-term fingerprint chain were
+    # ~2.5 s of pure driver-side construction per build (the q25/q53 cost
+    # class); identical Catalyst expressions, one JVM parse per string.
     toks = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -489,20 +493,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
         .withColumn("th", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"))
     )
     lane_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"lane{j}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(th, {j}) & 1) = 1 THEN cnt ELSE -cnt END)"
+            f" AS lane{j}"
+        )
         for j in range(bits)
     ]
     lanes = toks.groupBy("doc").agg(*lane_aggs)
-    fingerprint = None
-    for j in range(bits):
-        bit = F.when(F.col(f"lane{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return lanes.select("doc", fingerprint.alias("simhash"))
+    fingerprint_sql = " + ".join(
+        f"shiftleft(CASE WHEN lane{j} > 0 THEN CAST(1 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END, {j})"
+        for j in range(bits)
+    )
+    return lanes.selectExpr("doc", f"({fingerprint_sql}) AS simhash")
 
 
 def simhash_near_pairs(
