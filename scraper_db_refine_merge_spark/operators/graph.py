@@ -16,9 +16,16 @@ Algorithm: min-label propagation + pointer jumping.
               label(v) ← label(label(v))                             (jump)
   The jump step halves chain lengths, giving O(log diameter) rounds —
   near-dup clusters are dense (quasi-cliques), so 2-3 rounds in practice.
-- every round ends with ``localCheckpoint(eager=True)``: iterative Spark
-  without lineage truncation re-executes the whole chain each round and
-  eventually overflows the plan; checkpointing keeps each round O(1) plans.
+- every round ends with a lineage-truncating materialization: iterative
+  Spark without truncation re-executes the whole chain each round and
+  eventually overflows the plan; checkpointing keeps each round O(1)
+  plans. Like operators/ranking._pin_range_partitions (r11): RELIABLE
+  ``checkpoint()`` when a checkpoint dir is configured (the production
+  durability contract — executor loss mid-iteration recovers from the
+  checkpoint files; persisted across the write so the round computes
+  once, cleaned by cleanCheckpoints per the session factory),
+  ``localCheckpoint(eager=True)`` otherwise (local mode, where executor
+  loss is process death anyway).
 
 Scale: each round is two hash-partitioned joins on node id (shuffle ∝
 edges + nodes, AQE-coalesced); no collect of nodes/edges, no adjacency
@@ -29,6 +36,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Round-end lineage truncation (see module docstring): reliable
+    checkpoint when a dir is configured, localCheckpoint otherwise."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        d = df.persist()
+        try:
+            return d.checkpoint()
+        finally:
+            d.unpersist()
+    return df.localCheckpoint()
 
 
 def connected_components(
@@ -42,8 +61,8 @@ def connected_components(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
     nodes = sym.select(F.col("s").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
-    sym = sym.localCheckpoint()
+    labels = _materialize(nodes.select("node", F.col("node").alias("label")))
+    sym = _materialize(sym)
 
     for _ in range(max_iter):
         # hop: pull the minimum label across neighbors
@@ -70,7 +89,7 @@ def connected_components(
             )
             .select(F.col("h.node").alias("node"), F.least(F.col("label"), F.coalesce("ll", F.col("label"))).alias("label"))
         )
-        new_labels = jumped.localCheckpoint()
+        new_labels = _materialize(jumped)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -22,6 +22,38 @@ def test_two_components(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_cc_reliable_checkpoint_path_when_dir_configured(spark, tmp_path):
+    """r11: with a checkpoint dir configured (the production deployment
+    contract), every CC round materializes via reliable checkpoint() —
+    files land under the dir and results are unchanged. Mirrors
+    test_ranking's reliable-path test; restore uses the same guarded
+    reflection (no public unset API)."""
+    import glob
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None, "suite default must be the local fallback"
+    ckpt = str(tmp_path / "ckpt_cc")
+    sc.setCheckpointDir(ckpt)
+    try:
+        labels = _cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+        assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+        written = [
+            f for f in glob.glob(os.path.join(ckpt, "**"), recursive=True)
+            if os.path.isfile(f)
+        ]
+        assert written, "reliable checkpoint path wrote nothing under the dir"
+    finally:
+        try:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        except Exception as exc:  # noqa: BLE001 — diagnose, then fail loudly
+            pytest.fail(
+                "could not restore the no-checkpoint-dir state via the JVM "
+                f"setter checkpointDir_$eq ({exc!r}); see test_ranking's note."
+            )
+        assert sc.getCheckpointDir() is None
+
+
 def test_long_chain_converges_logarithmically(spark):
     # a 64-node path has diameter 63; pointer jumping must close it well
     # within 25 rounds (min-propagation alone would need 63)
