@@ -57,6 +57,13 @@ EXTENDED_QUERIES = [
     # media feature extraction over binary columns).
     "q128_dsir_weights",
     "q44_media_features",
+    # r12 (VERDICT r11 item 4), added at round START so per-query dispersion
+    # aggregation sees a consistent set: q53 just moved 6.1→1.1 s via the
+    # Catalyst-analysis projection-boundary fix (keep it honest under
+    # dispersion), and q150's per-cell medoid quadratic is the slowest
+    # legitimate census entry with zero timed coverage.
+    "q53_quality_overall",
+    "q150_cluster_medoids",
 ]
 if os.environ.get("SPARK_GRAFT_BENCH_SET") == "extended":
     BENCH_QUERIES = BENCH_QUERIES + EXTENDED_QUERIES

@@ -248,12 +248,19 @@ def topk_per_group(
     to hot callers like cosine_topk that construct this plan per query).
     """
     if order_sql is not None:
+        # group_cols == [] is a GLOBAL top-k (ADVICE r11: the naive join
+        # would render "PARTITION BY , __tk_pid" — a parse error): phase 1
+        # partitions by __tk_pid alone, phase 2 is an unpartitioned window
+        # over at most k·P survivor rows (config-bounded, never
+        # corpus-sized — the TakeOrdered shape).
         g = ", ".join(f"`{c}`" for c in group_cols)
+        local_part = f"PARTITION BY {g}, __tk_pid" if group_cols else "PARTITION BY __tk_pid"
+        final_part = f"PARTITION BY {g} " if group_cols else ""
         survivors = (
             df.selectExpr("*", "spark_partition_id() AS __tk_pid")
             .selectExpr(
                 "*",
-                f"row_number() OVER (PARTITION BY {g}, __tk_pid"
+                f"row_number() OVER ({local_part}"
                 f" ORDER BY {order_sql}) AS __tk_rn",
             )
             .where(f"__tk_rn <= {k}")
@@ -261,7 +268,7 @@ def topk_per_group(
         )
         return survivors.selectExpr(
             "*",
-            f"row_number() OVER (PARTITION BY {g} ORDER BY {order_sql})"
+            f"row_number() OVER ({final_part}ORDER BY {order_sql})"
             f" AS `{rank_col}`",
         ).where(f"`{rank_col}` <= {k}")
     local = Window.partitionBy(*group_cols, "__tk_pid").orderBy(*order_cols)

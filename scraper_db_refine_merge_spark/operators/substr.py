@@ -173,11 +173,16 @@ def suffix_ngram_groups(
 
     - ``length <= direct_max`` (default :data:`DIRECT_SEED_MAX` = 64):
       DIRECT enumeration — one row per full position, ids derived
-      executor-locally as TWO independent ``xxhash64`` values of the raw
-      L-char gram (a 128-bit pair key: distinct grams collide on the PAIR
-      with probability ~n²·2⁻¹²⁸ — the same hashed-equality convention as
+      executor-locally as TWO ``xxhash64`` values of the raw L-char gram
+      under INDEPENDENT seed chains: g1 = xxhash64(gram) (seed 42) and
+      g2 = xxhash64(lit(1), gram) — Spark chains multi-arg hashes, so
+      salting FIRST hashes the gram with running seed XXH64(1L, 42),
+      a different hash function (salting LAST would make g2 a pure
+      function of g1 — ADVICE r11). Distinct grams collide on the PAIR
+      with probability ~n²·2⁻¹²⁸ (the same hashed-equality convention as
       :func:`char_grams` ``hashed=True`` and the md5 joins of
-      q152/q154/q155, and negligible at any corpus size). Exactly the
+      q152/q154/q155), negligible at any corpus size — 10¹³ positions
+      give ~10⁻¹² expected pair collisions. Exactly the
       enumeration strategy a single-pass oracle uses, at the same
       O(positions) cost — and it is a pure PROJECTION: zero shuffles,
       no window, no persist, no driver collect; the consumer's own
@@ -217,9 +222,15 @@ def suffix_ngram_groups(
                 "doc",
                 "pos",
                 F.xxhash64(gram).alias("g1"),
-                # a second, independent 64-bit hash (extra lit column mixes
-                # the seed state) — the PAIR is the 128-bit group key
-                F.xxhash64(gram, F.lit(1)).alias("g2"),
+                # a second, INDEPENDENTLY SEEDED 64-bit hash: the salt
+                # comes FIRST, so the gram is hashed with running seed
+                # XXH64(1L, 42) ≠ 42 — a genuinely different hash function
+                # of the gram. (The salt-LAST form xxhash64(gram, lit(1))
+                # is XXH64(1L, seed=g1): a pure function of g1, so any g1
+                # collision implied a g2 collision and the pair key had
+                # only 64-bit resistance — ADVICE r11.) The PAIR is the
+                # 128-bit group key.
+                F.xxhash64(F.lit(1), gram).alias("g2"),
             )
         )
     # deepest ladder rung <= length (h0 = min(8, length) hybrid seed)

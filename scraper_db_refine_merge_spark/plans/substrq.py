@@ -130,6 +130,14 @@ def q153_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange that groups the rows, so the whole profile is TWO shuffles
     # (by group key, then by doc) with no join and nothing persisted (r11;
     # part of closing the q153 envelope gap).
+    # SKEW CEILING (ADVICE r11): the window funnels the hottest gram's
+    # entire occurrence set through one task — no map-side combine, and
+    # AQE's skew splitter does not split window partitions. On corpora
+    # where one span dominates (exactly what max_occ profiles), prefer the
+    # groupBy(g1, g2).count() + join-back form: partial aggregation caps
+    # per-task input and the count table joins back skew-split under AQE.
+    # At bench scale the window is ~25% faster (one exchange feeds both
+    # the count and the per-doc rollup), so it stays the default here.
     w = Window.partitionBy("g1", "g2")
     return (
         g.withColumn("__n", F.count("*").over(w))

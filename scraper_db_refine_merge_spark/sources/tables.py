@@ -166,8 +166,13 @@ def ensure_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> di
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out = {}
     for name in names:
-        view = f"{name}_v{tag}"
-        key = ("__view__", os.path.abspath(sf_dir), name)
+        # The events cache toggle is part of the view memo key AND the view
+        # name (ADVICE r11): without it, a view over 'events' would pin the
+        # first-loaded frame for the session — reintroducing the
+        # SPARK_GRAFT_EVENTS_CACHE shadowing load_table itself fixed.
+        cache_on = name == "events" and os.environ.get("SPARK_GRAFT_EVENTS_CACHE", "1") != "0"
+        view = f"{name}_v{tag}" + ("" if cache_on or name != "events" else "_raw")
+        key = ("__view__", os.path.abspath(sf_dir), name, cache_on)
         if key not in per:
             load_table(spark, sf_dir, name).createOrReplaceTempView(view)
             per[key] = view

@@ -293,3 +293,34 @@ def test_global_cumsum_null_parity_with_single_window(spark):
     )
     assert got == naive
     assert got[0][1] is None and got[9][1] is None and got[10][1] is not None
+
+
+def test_topk_order_sql_global_and_grouped_parity(spark, sf_dir):
+    """ADVICE r11: order_sql with group_cols == [] is a GLOBAL top-k (the
+    naive PARTITION BY join rendered invalid SQL); both order_sql paths
+    must be bit-identical to the Column path / a full sort."""
+    from scraper_db_refine_merge_spark.operators.ranking import topk_per_group
+
+    spend = _spend(spark, sf_dir).repartition(8)
+    # global: matches a full sort's head
+    got = topk_per_group(spend, [], [], 10, order_sql="cents DESC, user_id ASC")
+    got_rows = [(r["user_id"], r["cents"], r["rank"]) for r in got.collect()]
+    exp = spend.orderBy(F.desc("cents"), F.asc("user_id")).limit(10).collect()
+    assert sorted(got_rows) == sorted(
+        (r["user_id"], r["cents"], i + 1) for i, r in enumerate(exp)
+    )
+    # grouped: order_sql path == Column path
+    e = load_table(spark, sf_dir, "events").repartition(8)
+    a = topk_per_group(
+        e, ["event_type"], [], 3, order_sql="value DESC, user_id ASC, ts ASC"
+    )
+    b = topk_per_group(
+        e,
+        ["event_type"],
+        [F.desc("value"), F.asc("user_id"), F.asc("ts")],
+        3,
+    )
+    cols = ["event_type", "user_id", "value", "rank"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )

@@ -300,3 +300,35 @@ def test_stride_detection_guarantee(spark):
     for i in range(k):
         assert out[i], f"alignment {i} missed a {L+k-1}-char shared span"
     assert not out[99], "an L-char span at worst alignment should be missed (tight bound)"
+
+
+def test_direct_regime_pair_hash_independently_seeded(spark):
+    """ADVICE r11: g2 must be an INDEPENDENTLY seeded hash of the gram —
+    salt FIRST (xxhash64(lit(1), gram)), never salt LAST
+    (xxhash64(gram, lit(1)) == XXH64(1L, seed=g1), a pure function of g1
+    that reduces the pair key to 64-bit collision resistance)."""
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    # recompute both forms directly from the grams and compare to g1/g2
+    L = 3
+    base = (
+        df.filter(F.length("text") >= L)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(L - 1))).alias("pos"),
+            F.col("text").alias("__t"),
+        )
+        .select(
+            "doc",
+            "pos",
+            F.xxhash64(F.expr(f"substr(__t, pos, {L})")).alias("e1"),
+            F.xxhash64(F.lit(1), F.expr(f"substr(__t, pos, {L})")).alias("e2"),
+            F.xxhash64(F.expr(f"substr(__t, pos, {L})"), F.lit(1)).alias("chained"),
+        )
+    )
+    got = suffix_ngram_groups(df, "doc_id", "text", L)
+    j = got.join(base, ["doc", "pos"]).collect()
+    assert j, "join produced no rows"
+    for r in j:
+        assert r["g1"] == r["e1"]
+        assert r["g2"] == r["e2"]  # salt-FIRST form
+        assert r["g2"] != r["chained"]  # NOT the g1-dependent form

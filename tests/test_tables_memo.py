@@ -61,3 +61,20 @@ def test_events_cache_env_toggle_in_memo_key(spark, sf_dir, monkeypatch):
     keys = _memo_keys(spark, sf_dir)
     assert {k[2] for k in keys} >= {False, True}
     assert raw.count() == cached.count()
+
+
+def test_ensure_views_events_toggle_in_view_memo_key(spark, sf_dir, monkeypatch):
+    """ADVICE r11: the view memo must key on the events cache toggle too —
+    otherwise a temp view over 'events' pins the first-loaded frame for the
+    session, reintroducing the shadowing load_table itself fixed."""
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_CACHE", "1")
+    v_cached = tables.ensure_views(spark, sf_dir, ("events",))["events"]
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_CACHE", "0")
+    v_raw = tables.ensure_views(spark, sf_dir, ("events",))["events"]
+    assert v_cached != v_raw  # distinct toggle values -> distinct views
+    n1 = spark.sql(f"SELECT COUNT(*) AS n FROM {v_cached}").collect()[0]["n"]
+    n2 = spark.sql(f"SELECT COUNT(*) AS n FROM {v_raw}").collect()[0]["n"]
+    assert n1 == n2  # same values either way
+    # memoized per toggle: repeat calls return the same names
+    monkeypatch.setenv("SPARK_GRAFT_EVENTS_CACHE", "1")
+    assert tables.ensure_views(spark, sf_dir, ("events",))["events"] == v_cached
