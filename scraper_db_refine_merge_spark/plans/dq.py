@@ -217,19 +217,151 @@ def _q56_oracle() -> str:
 def _build_unified(d: DataFrame) -> DataFrame:
     """Spark twin of _Q56_CASES, assembled into the nested unified schema the
     rule engine evaluates (event_id, title, datetime.*, scraping_metadata.*,
-    venue.*, content.*, ticketing.*, acts[], system_flags.*)."""
-    m = F.col("doc_id")
-    null_s = F.lit(None).cast("string")
+    venue.*, content.*, ticketing.*, acts[], system_flags.*).
+
+    Built as ONE selectExpr of SQL strings (r12, with the rule-registry
+    conversion): the stacked WHEN-chain Column builders were ~0.6 s of py4j
+    round trips per q56 build; the SQL parses in one round trip with an
+    identical Catalyst plan (oracle hash unchanged)."""
+    tiers_t = "ARRAY<STRUCT<tier_name: STRING, tier_price: DOUBLE, currency: STRING>>"
+
+    def tier(price: str, cur: str) -> str:
+        return (
+            "named_struct('tier_name', 'GA', 'tier_price',"
+            f" CAST({price} AS DOUBLE), 'currency', '{cur}')"
+        )
+
     event_id = (
-        F.when(m % 50 == 49, F.lit(""))
-        .when(m % 23 == 5, F.concat(F.lit("dup_"), (m % 46).cast("string")))
-        .otherwise(F.concat(F.lit("ev_"), m.cast("string")))
+        "CASE WHEN doc_id % 50 = 49 THEN ''"
+        " WHEN doc_id % 23 = 5 THEN concat('dup_', CAST(doc_id % 46 AS STRING))"
+        " ELSE concat('ev_', CAST(doc_id AS STRING)) END AS event_id"
     )
     title = (
-        F.when(m % 13 == 0, null_s)
-        .when(m % 13 == 1, F.lit("tbc"))
-        .when(m % 13 == 2, F.repeat(F.lit("x"), 501))
-        .otherwise(F.concat(F.lit("Event "), m.cast("string")))
+        "CASE WHEN doc_id % 13 = 0 THEN CAST(NULL AS STRING)"
+        " WHEN doc_id % 13 = 1 THEN 'tbc'"
+        " WHEN doc_id % 13 = 2 THEN repeat('x', 501)"
+        " ELSE concat('Event ', CAST(doc_id AS STRING)) END AS title"
+    )
+    d_start = (
+        "CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS STRING)"
+        " WHEN doc_id % 11 = 1 THEN 'not-a-date'"
+        " WHEN doc_id % 11 = 2 THEN '2020-01-01 00:00:00'"
+        " WHEN doc_id % 11 = 3 THEN '2031-01-01 00:00:00'"
+        " ELSE concat('2026-', lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0'),"
+        " '-', lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0'), ' 23:00:00') END"
+    )
+    d_end = (
+        "CASE WHEN doc_id % 17 = 0 THEN '2019-12-31 00:00:00'"
+        " WHEN doc_id % 17 = 1 THEN '2099-01-01 00:00:00'"
+        " ELSE CAST(NULL AS STRING) END"
+    )
+    d_tz = (
+        "CASE WHEN doc_id % 5 = 0 THEN 'Europe/Madrid'"
+        " WHEN doc_id % 5 = 1 THEN 'UTC'"
+        " WHEN doc_id % 5 = 2 THEN 'NotATZ!!!'"
+        " ELSE CAST(NULL AS STRING) END"
+    )
+    src_url = (
+        "CASE WHEN doc_id % 9 = 0 THEN CAST(NULL AS STRING)"
+        " WHEN doc_id % 9 = 1 THEN 'ftp://bad.example.com/x'"
+        " ELSE concat('https://events.example.com/e/', CAST(doc_id AS STRING)) END"
+    )
+    platform = "CASE WHEN doc_id % 21 = 20 THEN '' ELSE 'platform_a' END"
+    last_scraped = (
+        "CASE WHEN doc_id % 8 = 0 THEN CAST(NULL AS STRING)"
+        " WHEN doc_id % 8 = 1 THEN '2025-11-01 00:00:00'"
+        " ELSE '2025-12-30 12:00:00' END"
+    )
+    v_name = (
+        "CASE WHEN doc_id % 6 = 0 THEN CAST(NULL AS STRING)"
+        " WHEN doc_id % 6 = 1 THEN 'tbc'"
+        " ELSE concat('Venue ', CAST(doc_id AS STRING)) END"
+    )
+    v_full = (
+        "CASE WHEN doc_id % 12 = 0 THEN 'Carrer Example 5, 07800 Ibiza'"
+        " ELSE CAST(NULL AS STRING) END"
+    )
+    v_city = (
+        "CASE WHEN doc_id % 10 = 0 THEN 'Ibiza Town'"
+        " WHEN doc_id % 10 = 1 THEN 'Palma' ELSE CAST(NULL AS STRING) END"
+    )
+    v_country = (
+        "CASE WHEN doc_id % 15 = 0 THEN 'France'"
+        " WHEN doc_id % 15 = 1 THEN 'Spain' ELSE CAST(NULL AS STRING) END"
+    )
+    coords = (
+        "CASE WHEN doc_id % 14 = 0 THEN array(200.0D, 38.9D)"
+        " WHEN doc_id % 14 = 1 THEN array(1.4D)"
+        " WHEN doc_id % 14 = 2 THEN array(1.4D, 38.9D)"
+        " ELSE CAST(NULL AS ARRAY<DOUBLE>) END"
+    )
+    social = (
+        "CASE WHEN doc_id % 16 = 0 THEN map('instagram', 'not a url')"
+        " WHEN doc_id % 16 = 1 THEN map('instagram', 'https://instagram.com/x')"
+        " ELSE CAST(NULL AS MAP<STRING, STRING>) END"
+    )
+    full_desc = (
+        "CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS STRING)"
+        " ELSE concat('Description for event ', CAST(doc_id AS STRING)) END"
+    )
+    short_desc = (
+        "CASE WHEN doc_id % 8 = 0 THEN concat('Short ', CAST(doc_id AS STRING))"
+        " ELSE CAST(NULL AS STRING) END"
+    )
+    keywords = (
+        "CASE WHEN doc_id % 3 = 0 THEN array('k1', 'k2')"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    hashtags = (
+        "CASE WHEN doc_id % 6 = 1 THEN array('#h')"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    is_free = (
+        "CASE WHEN doc_id % 12 = 0 THEN true"
+        " WHEN doc_id % 12 = 1 THEN false ELSE CAST(NULL AS BOOLEAN) END"
+    )
+    tiers = (
+        f"CASE WHEN doc_id % 18 = 0 THEN array({tier('-5.0', 'EUR')})"
+        f" WHEN doc_id % 18 = 1 THEN array({tier('20000.0', 'EUR')})"
+        f" WHEN doc_id % 18 = 2 THEN array({tier('0.5', 'EUR')})"
+        f" WHEN doc_id % 18 = 3 THEN array({tier('25.0', 'ZZZ')})"
+        f" WHEN doc_id % 18 = 4 THEN array({tier('25.0', 'EUR')})"
+        f" ELSE CAST(array() AS {tiers_t}) END"
+    )
+    tickets_url = (
+        "CASE WHEN doc_id % 19 = 0 THEN 'ftp://tickets.bad'"
+        " WHEN doc_id % 19 = 1 THEN concat('https://tix.example.com/', CAST(doc_id AS STRING))"
+        " ELSE CAST(NULL AS STRING) END"
+    )
+    acts = (
+        "CASE WHEN doc_id % 20 = 0 THEN CAST(array() AS ARRAY<STRUCT<act_name: STRING>>)"
+        " WHEN doc_id % 20 = 1 THEN array(named_struct('act_name', ''))"
+        " ELSE array(named_struct('act_name', concat('DJ ', CAST(doc_id AS STRING)))) END"
+        " AS acts"
+    )
+    is_hidden = "CASE WHEN doc_id % 25 = 0 THEN CAST(NULL AS BOOLEAN) ELSE false END"
+
+    return d.selectExpr(
+        event_id,
+        title,
+        f"named_struct('start_date', {d_start}, 'end_date', {d_end},"
+        f" 'timezone', {d_tz}) AS `datetime`",
+        f"named_struct('source_url', {src_url}, 'source_platform', {platform},"
+        " 'first_scraped', '2025-12-01 10:00:00',"
+        f" 'last_scraped', {last_scraped}) AS scraping_metadata",
+        f"named_struct('name', {v_name},"
+        f" 'address', named_struct('full_address', {v_full}, 'city', {v_city},"
+        f" 'country', {v_country}),"
+        f" 'coordinates', named_struct('coordinates', {coords}),"
+        f" 'social_links', {social}) AS venue",
+        f"named_struct('full_description', {full_desc},"
+        f" 'short_description', {short_desc}, 'keywords', {keywords},"
+        f" 'hashtags', {hashtags}) AS content",
+        f"named_struct('is_free', {is_free}, 'tiers', {tiers},"
+        f" 'tickets_url', {tickets_url}) AS ticketing",
+        acts,
+        f"named_struct('is_hidden', {is_hidden}, 'is_featured', true)"
+        " AS system_flags",
     )
     d_start = (
         F.when(m % 11 == 0, null_s)
