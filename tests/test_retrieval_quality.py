@@ -4,6 +4,7 @@ medoid must be the true argmin, and recall evals must be well-formed."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from scraper_db_refine_merge_spark.plans.sampling import q147_leakage_free_split
@@ -98,30 +99,38 @@ def test_planted_recall_floor(spark, sf_dir):
         assert min(per_q.values()) >= _PLANTED_FLOOR_BP, (pipeline, per_q)
 
 
-# Calibrated from the r11 clustered eval at sf0.001 (alpha=0.5, 8
-# centroids): LSH mean 2800 bp, trunc16 mean is higher (prefix truncation
-# keeps most of the centroid signal). The floor leaves one-neighbor
-# headroom below the measured LSH mean; the CEILING (< 10000) is as
-# load-bearing as the floor — it asserts the eval has not saturated, i.e.
-# a partial regression still has room to move the number (the whole point
-# of this family; the planted eval is the all-or-nothing gate).
-_CLUSTERED_LSH_FLOOR_BP = 2000
+# Calibrated from the clustered evals at sf0.001 (8 centroids), means
+# measured r12: alpha=0.5 — LSH 2800 bp, trunc16 2400 bp; alpha=0.35 (the
+# harder rung, weaker cluster signal) — LSH 1200 bp, trunc16 2400 bp.
+# Deterministic pipelines make these exact constants per SF; each floor
+# leaves two-neighbor headroom (800 bp of mean) below the measured value
+# for data-regeneration drift. The CEILING (< 10000) is as load-bearing as
+# the floor — it asserts the eval has not saturated, i.e. a partial
+# regression still has room to move the number (the whole point of this
+# family; the planted eval is the all-or-nothing gate).
+_CLUSTERED_FLOORS_BP = {
+    # (alpha, family) -> mean floor
+    (0.5, "lsh"): 2000,
+    (0.5, "trunc16"): 1600,
+    (0.35, "lsh"): 400,
+    (0.35, "trunc16"): 1600,
+}
 
 
-def test_clustered_recall_band(spark, sf_dir):
-    """VERDICT r10 item 4: the natural eval has no sensitivity (uniform
-    data, recall 0 by construction) and the planted eval saturates at
-    10000 — a PARTIAL LSH regression was invisible to both. The clustered
-    interpolation must land strictly inside (0, 10000) and above the
-    calibrated floor."""
+@pytest.mark.parametrize("alpha", [0.5, 0.35])
+def test_clustered_recall_band(spark, sf_dir, alpha):
+    """VERDICT r10 item 4 + r11 item 3: the natural eval has no
+    sensitivity (uniform data, recall 0 by construction) and the planted
+    eval saturates at 10000 — a PARTIAL regression was invisible to both.
+    The clustered interpolation must land strictly inside (0, 10000) and
+    above the calibrated floor, for BOTH ANN families (LSH bucketing and
+    Matryoshka-style 16-dim truncation) at BOTH mixing rungs."""
     from tools.gen_recall import clustered_recall_bp
 
-    got = clustered_recall_bp(spark, sf_dir)
-    per_q = got["lsh"]
-    assert set(per_q) == set(range(5))
-    mean_bp = sum(per_q.values()) / len(per_q)
-    assert _CLUSTERED_LSH_FLOOR_BP <= mean_bp < 10000, per_q
-    # trunc16 on the same corpus: recorded for the artifact; gate only
-    # that it is non-degenerate (the truncation keeps prefix dims, which
-    # carry the centroid signal, so it can legitimately sit high)
-    assert 0 < sum(got["trunc16"].values()) / 5 <= 10000, got["trunc16"]
+    got = clustered_recall_bp(spark, sf_dir, alpha=alpha)
+    for family in ("lsh", "trunc16"):
+        per_q = got[family]
+        assert set(per_q) == set(range(5))
+        mean_bp = sum(per_q.values()) / len(per_q)
+        floor = _CLUSTERED_FLOORS_BP[(alpha, family)]
+        assert floor <= mean_bp < 10000, (alpha, family, per_q)

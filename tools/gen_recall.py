@@ -110,11 +110,16 @@ def clustered_corpus(e, alpha: float = CLUSTER_ALPHA, n_clusters: int = N_CLUSTE
     )
 
 
-def clustered_recall_bp(spark, sf_dir: str) -> dict[str, dict[int, int]]:
+def clustered_recall_bp(
+    spark, sf_dir: str, alpha: float = CLUSTER_ALPHA
+) -> dict[str, dict[int, int]]:
     """Per-query recall_bp of the LSH index and 16-dim truncated retrieval
     on the clustered corpus — the band-gated sensitivity numbers (the
     pipelines and eval arithmetic are exactly q146/q148's; only the corpus
-    differs)."""
+    differs). ``alpha`` selects the rung: 0.5 is the original mid-band
+    eval; 0.35 (r12, VERDICT r11 item 3) is the harder rung — weaker
+    cluster signal, so recall sits lower and a partial regression has even
+    more room to move the number."""
     from pyspark.sql import functions as F
 
     from scraper_db_refine_merge_spark.operators.similarity import (
@@ -123,7 +128,7 @@ def clustered_recall_bp(spark, sf_dir: str) -> dict[str, dict[int, int]]:
     )
     from scraper_db_refine_merge_spark.sources.tables import load_table
 
-    corpus = clustered_corpus(load_table(spark, sf_dir, "embeddings"))
+    corpus = clustered_corpus(load_table(spark, sf_dir, "embeddings"), alpha=alpha)
     qs = corpus.filter(F.col("vec_id") < 5)
     exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(corpus, qs, k=5).collect()}
 
@@ -201,21 +206,26 @@ def main() -> int:
             k: {"per_query_bp": v, "min_bp": min(v.values())} for k, v in pr.items()
         }
         print(f"planted {sf}: " + " ".join(f"{k} min {min(v.values())}" for k, v in pr.items()))
-    doc["clustered"] = {"alpha": CLUSTER_ALPHA, "n_clusters": N_CLUSTERS}
-    for sf, sf_dir in SF_DIRS.items():
-        cr = clustered_recall_bp(spark, sf_dir)
-        doc["clustered"][sf] = {
-            k: {
-                "per_query_bp": v,
-                "min_bp": min(v.values()),
-                "mean_bp": round(sum(v.values()) / len(v), 1),
+    # Two rungs (r12, VERDICT r11 item 3): the original alpha=0.5 section
+    # keeps its key for artifact continuity; "clustered_a35" is the harder
+    # rung. Both families (LSH and trunc16) are floor-gated on both rungs
+    # at sf0.001 in tests/test_retrieval_quality.py.
+    for key, alpha in (("clustered", CLUSTER_ALPHA), ("clustered_a35", 0.35)):
+        doc[key] = {"alpha": alpha, "n_clusters": N_CLUSTERS}
+        for sf, sf_dir in SF_DIRS.items():
+            cr = clustered_recall_bp(spark, sf_dir, alpha=alpha)
+            doc[key][sf] = {
+                k: {
+                    "per_query_bp": v,
+                    "min_bp": min(v.values()),
+                    "mean_bp": round(sum(v.values()) / len(v), 1),
+                }
+                for k, v in cr.items()
             }
-            for k, v in cr.items()
-        }
-        print(
-            f"clustered {sf}: "
-            + " ".join(f"{k} mean {sum(v.values()) / len(v):.0f}" for k, v in cr.items())
-        )
+            print(
+                f"{key} {sf}: "
+                + " ".join(f"{k} mean {sum(v.values()) / len(v):.0f}" for k, v in cr.items())
+            )
     out = os.path.join(ROOT, f"RECALL_{rnd}.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
