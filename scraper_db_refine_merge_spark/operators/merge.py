@@ -15,7 +15,7 @@ shared-fixture test tests/test_refine_merge.py::
 test_merge_upsert_roundtrip_and_stats, whose delta parametrization executes
 wherever delta-spark is installed and self-skips elsewhere.
 
-BLOCKING CONSTRAINT (verified r6, re-verified r7, r10 and r11): delta-spark cannot
+BLOCKING CONSTRAINT (verified r6, re-verified r7, r10, r11 and r12): delta-spark cannot
 execute in this sandbox — the package is not installed, ``pip install`` is
 prohibited, no ``delta-*`` jar ships under /opt/spark/jars or any ivy
 cache, ``pip download delta-spark`` finds no distribution (no network),

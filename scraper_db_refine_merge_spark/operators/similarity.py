@@ -142,6 +142,10 @@ def _plane_component_value(plane: int, d: int) -> float:
 # contract as the load_table memo (sources/tables.py).
 _DIM_MEMO: "WeakKeyDictionary[DataFrame, dict[str, int | None]]" = WeakKeyDictionary()
 
+#: ivf_assign's collected-centroid memo (see its docstring): keyed by the
+#: centroid DataFrame object, entries die with it.
+_CENT_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
+
 
 def detect_fixed_dim(df: DataFrame, vec_col: str) -> int | None:
     """Embedding dimensionality if it is uniform across the table, else
@@ -295,26 +299,81 @@ def ivf_assign(
     """Coarse quantization: assign each vector to its nearest centroid cell
     (max cosine, ties to the lowest cell id).
 
-    The centroid table is broadcast, so assignment is a map-side pass over
-    the corpus — no shuffle of the vectors themselves; the window that picks
-    the argmax partitions by vector id over only ``n_cells`` rows each.
-    """
-    from pyspark.sql import Window
+    r12 REWRITE — a pure map pass, ZERO shuffles: the centroid table is
+    collected to the driver (k rows — broadcast-sized by construction; the
+    coarse quantizer IS central state in any IVF deployment, exactly like
+    FAISS's) and shipped inside an Arrow-batched ``mapInPandas`` closure
+    that scores each corpus partition with a vectorized numpy kernel. The
+    old form exploded corpus × cells through a crossJoin and picked the
+    argmax with a window PARTITION BY vector id — a full corpus shuffle
+    (k× the corpus in rows) on every assignment pass; kmeans' Lloyd chain
+    pays assignment iters+1 times, so at 100 TB that was iters+1
+    corpus-sized exchanges for what is semantically a map. An interpreted
+    JVM HOF fold was tried first: ~180 ns per lambda eval × dim × k per
+    row dominated (0.47 s/pass at sf0.1 vs ~0.03 s for this kernel).
 
-    v = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
-    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", F.round(cosine(F.col("__vec"), F.col("centroid")), round_scale)
-    )
-    w = Window.partitionBy("__vid").orderBy(F.col("__sim").desc(), F.col(label_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("__vid").alias(id_col),
-            F.col("__vec").alias(vec_col),
-            F.col(label_col).alias("cell"),
-        )
-    )
+    Float parity with the old HOF cosine and the DuckDB oracles (the
+    ``brute_force_near_dup_pairs`` conventions): dot/norm accumulate
+    SEQUENTIALLY over dimensions (vectorized over rows), rounding is
+    half-away-from-zero, and the argmax reproduces the window's
+    (sim DESC NANS FIRST, id ASC) total order — centroids sort by id,
+    NaN maps to +inf, and ``argmax`` keeps the FIRST maximum. Collecting
+    the centroids makes construction EAGER (each Lloyd iteration runs one
+    assignment+update job at build time — the iterative-algorithm shape
+    pagerank/PQ training already have). Empty-centroid inputs return an
+    empty frame, matching the old crossJoin's empty result.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    lbl_t = centroids.schema[label_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_t}, `{vec_col}` {vec_t}, cell {lbl_t}"
+
+    # the collect is memoized per centroid-DataFrame object (with the
+    # kmeans_centroids training memo, repeated builds of the same query
+    # collect the same trained table exactly once per session)
+    memo_key = label_col
+    per = _CENT_MEMO.get(centroids)
+    if per is not None and memo_key in per:
+        rows = per[memo_key]
+    else:
+        rows = centroids.select(F.col(label_col), F.col("centroid")).collect()
+        if per is None:
+            per = _CENT_MEMO.setdefault(centroids, {})
+        per[memo_key] = rows
+    cols = df.select(F.col(id_col), F.col(vec_col))
+    if not rows:
+        return cols.selectExpr("*", f"CAST(NULL AS {lbl_t}) AS cell").filter(F.lit(False))
+    rows.sort(key=lambda r: r[0])
+    labels = np.array([r[0] for r in rows])
+    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    dim = cmat.shape[1]
+    cnorm = _seq_norm(cmat, dim)
+    scale = 10**round_scale
+
+    def _assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            acc = np.zeros((vmat.shape[0], cmat.shape[0]))
+            for d in range(dim):  # sequential over dims: order parity
+                acc += vmat[:, d, None] * cmat[None, :, d]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = acc / (_seq_norm(vmat, dim)[:, None] * cnorm[None, :])
+                sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+            best = np.argmax(np.where(np.isnan(sims), np.inf, sims), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "cell": labels[best],
+                }
+            )
+
+    return cols.mapInPandas(_assign, out_schema)
 
 
 def ivf_topk(
@@ -408,8 +467,21 @@ def kmeans_centroids(
 ) -> DataFrame:
     """The trained (cell, centroid) table of :func:`kmeans_cells` — exposed
     separately so train-once/assign-forever indexes (fold_semantic_index)
-    can freeze the centroids from their first batch."""
+    can freeze the centroids from their first batch.
+
+    Training is memoized per (input DataFrame object, params) — the
+    detect_fixed_dim precedent: since :func:`ivf_assign` collects the
+    centroid table (r12), each Lloyd iteration is an eager job, and
+    re-running q51/q150-class queries in one session would otherwise
+    re-train identical centroids per plan BUILD. Same static-inputs caveat
+    as sources/tables.load_table's frame memo (a data-regenerating caller
+    starts a new session, as the driver and all tools do)."""
     from pyspark.sql import Window
+
+    per = _KM_MEMO.get(df)
+    memo_key = (id_col, vec_col, k, iters, round_scale)
+    if per is not None and memo_key in per:
+        return per[memo_key]
 
     key = F.md5(F.col(id_col).cast("string"))
     seeds = df.select(key.alias("__h"), F.col(id_col).alias("__sid"), F.col(vec_col)).orderBy(
@@ -423,7 +495,15 @@ def kmeans_centroids(
         assigned = ivf_assign(df, cents, id_col, vec_col, "cell", round_scale)
         cents = label_centroids(assigned, vec_col, "cell")
 
+    if per is None:
+        per = _KM_MEMO.setdefault(df, {})
+    per[memo_key] = cents
     return cents
+
+
+#: kmeans_centroids training memo (see its docstring). WeakKeyDictionary:
+#: entries die with their input DataFrame / session.
+_KM_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
 
 
 def brute_force_near_dup_pairs(

@@ -1218,33 +1218,46 @@ def q148_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # medoid is the member vector minimizing the sum of squared distances to
 # every member — the representative a curation pipeline keeps when
 # collapsing a cluster to one exemplar (the k-medoids assignment step).
-# Same scale contract as SemDeDup (q138): the quadratic is cell-bounded
-# (k grows with the corpus, per-cell pair counts stay constant), the cell
-# equi-join buckets cleanly. Parity: each pair's d² is the sequential
-# double fold both engines share, floored into micro-units per PAIR so
-# the per-candidate total is an order-independent BIGINT sum; argmin ties
-# break on vector id.
+#
+# r12 REWRITE (the round's EXT dispersion flagged the old per-pair HOF
+# fold at 8.5 s vs 0.45 s oracle): components quantize to integers FIRST
+# (floor(x·10⁴) — float→double is exact and the double multiply is
+# bit-identical on both engines), making every distance an EXACT integer,
+# so the algebraic identity  Σ_b ‖a−b‖² = n·‖a‖² + Σ_b‖b‖² − 2·a·Σ_b b
+# holds with NO rounding and no order sensitivity. The Spark side computes
+# the per-cell moments (n, S1 = component sums, S2 = Σ norms²) in ONE
+# linear pass — O(members·dim) instead of the O(members²·dim) pair join —
+# while the ORACLE keeps the explicit all-pairs enumeration: hash equality
+# PROVES the identity rewrite against direct quadratic evaluation.
+# Per-element products stay inside BIGINT (|q| ≤ 10⁴ ⇒ d²(a,b) ≤ 2.6e10
+# at dim 64; dot terms ≤ |q|·|S1| — fine to ~10⁹-member cells); cross-row
+# sums accumulate in DECIMAL(38,0), output cast BIGINT. Argmin ties break
+# on vector id.
 @_register(
     "q150_cluster_medoids",
     f"""
     WITH {_kmeans_ctes()},
+    qf AS (
+        SELECT cell, vec_id,
+               list_transform(qv, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0)
+                                            AS BIGINT)) AS q
+        FROM final
+    ),
     p AS (
         SELECT a.cell, a.vec_id AS a_id,
-               CAST(floor(list_sum(list_transform(range(1, len(a.qv) + 1),
-                    i -> (CAST(a.qv[i] AS DOUBLE) - CAST(b.qv[i] AS DOUBLE))
-                       * (CAST(a.qv[i] AS DOUBLE) - CAST(b.qv[i] AS DOUBLE))))
-                    * 1000000.0) AS BIGINT) AS d2_micro
-        FROM final a JOIN final b ON a.cell = b.cell
+               list_sum(list_transform(range(1, len(a.q) + 1),
+                    i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS d2
+        FROM qf a JOIN qf b ON a.cell = b.cell
     ),
     s AS (
-        SELECT cell, a_id, CAST(SUM(d2_micro) AS BIGINT) AS sum_d2_micro,
+        SELECT cell, a_id, CAST(SUM(d2) AS BIGINT) AS sum_d2q,
                CAST(COUNT(*) AS BIGINT) AS n_vectors
         FROM p GROUP BY 1, 2
     )
-    SELECT cell, a_id AS medoid_id, n_vectors, sum_d2_micro
+    SELECT cell, a_id AS medoid_id, n_vectors, sum_d2q
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
-                                     ORDER BY sum_d2_micro, a_id) AS rn
+                                     ORDER BY sum_d2q, a_id) AS rn
         FROM s
     ) WHERE rn = 1
     """,
@@ -1257,31 +1270,61 @@ def q150_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = kmeans_cells(e, k=_KM_K, iters=_KM_ITERS).select(
         "vec_id", _to_double(F.col("embedding")).alias("v"), "cell"
     )
-    a = cells.select(
-        "cell", F.col("vec_id").alias("a_id"), F.col("v").alias("av")
-    )
-    b = cells.select("cell", F.col("v").alias("bv"))
-    p = a.join(b, "cell").select(
+    q = cells.selectExpr(
+        "cell",
+        "vec_id AS a_id",
+        "transform(v, x -> CAST(floor(x * 10000.0D) AS BIGINT)) AS q",
+    ).selectExpr(
         "cell",
         "a_id",
-        F.floor(
-            F.aggregate(
-                F.zip_with("av", "bv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            * F.lit(1000000.0)
-        ).cast("bigint").alias("d2_micro"),
+        "q",
+        # per-row ‖q‖²: ≤ 64·(1.2e4)² ≈ 9e9 — BIGINT-safe per row
+        "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS normsq",
     )
-    s = p.groupBy("cell", "a_id").agg(
-        F.sum("d2_micro").alias("sum_d2_micro"), F.count("*").alias("n_vectors")
+    # three consumers (S1, stats, the final join) — persist or the whole
+    # kmeans Lloyd chain upstream re-executes per consumer (measured 3.9 s
+    # vs 1.4 s at sf0.1); |q| = corpus rows × (dim+3) cols, the same class
+    # every index build here persists. Tracked: _cache.release_caches().
+    from ..operators._cache import persist_tracked
+
+    q = persist_tracked(q)
+    # per-cell moments in one linear pass: S1 (per-component sums, via
+    # posexplode → groupBy — BIGINT per component), S2 and n
+    s1 = (
+        q.selectExpr("cell", "posexplode(q) AS (pos, qx)")
+        .groupBy("cell", "pos")
+        .agg(F.expr("CAST(SUM(qx) AS DECIMAL(38,0))").alias("s1"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s1))), e -> e.s1)"
+            ).alias("s1_arr")
+        )
+    )
+    stats = q.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.expr("SUM(CAST(normsq AS DECIMAL(38,0)))").alias("s2"),
+    )
+    # the identity, all-DECIMAL(38,0) exact: n·‖qa‖² + S2 − 2·(qa·S1)
+    s = (
+        q.join(F.broadcast(s1), "cell")
+        .join(F.broadcast(stats), "cell")
+        .selectExpr(
+            "cell",
+            "a_id",
+            "n_vectors",
+            "CAST(n_vectors AS DECIMAL(38,0)) * CAST(normsq AS DECIMAL(38,0))"
+            " + s2"
+            " - 2 * aggregate(zip_with(q, s1_arr, (x, y) -> CAST(x AS DECIMAL(38,0)) * y),"
+            "                 CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)"
+            " AS tot",
+        )
     )
     return topk_per_group(
-        s, ["cell"], [F.col("sum_d2_micro").asc(), F.col("a_id").asc()], 1,
-        rank_col="__rn",
-    ).select(
+        s, ["cell"], [], 1, rank_col="__rn", order_sql="tot ASC, a_id ASC"
+    ).selectExpr(
         "cell",
-        F.col("a_id").alias("medoid_id"),
-        "n_vectors",
-        "sum_d2_micro",
+        "a_id AS medoid_id",
+        "CAST(n_vectors AS BIGINT) AS n_vectors",
+        "CAST(tot AS BIGINT) AS sum_d2q",
     )

@@ -46,22 +46,25 @@ def test_medoid_is_true_argmin(spark, sf_dir):
 
     by_cell = defaultdict(list)
     for r in cells:
-        by_cell[r["cell"]].append((r["vec_id"], r["v"]))
+        # mirror the gated arithmetic (r12): components quantize to
+        # floor(x·10⁴) integers FIRST, so pair distances are exact ints
+        by_cell[r["cell"]].append(
+            (r["vec_id"], [math.floor(x * 10000.0) for x in r["v"]])
+        )
     assert set(got) == set(by_cell)
     for cell, members in by_cell.items():
         best = None
         for aid, av in members:
-            # mirror the gated arithmetic: per-pair micro-floored d²,
-            # integer sum
+            # direct quadratic enumeration — the identity-free baseline
+            # (q150's Spark side uses n·‖a‖² + S2 − 2·a·S1; exact-integer
+            # agreement here re-proves the identity independently of the
+            # DuckDB oracle)
             tot = 0
             for _, bv in members:
-                d2 = 0.0
-                for x, y in zip(av, bv):
-                    d2 += (x - y) * (x - y)
-                tot += math.floor(d2 * 1000000.0)
+                tot += sum((x - y) * (x - y) for x, y in zip(av, bv))
             if best is None or (tot, aid) < best:
                 best = (tot, aid)
-        assert (got[cell]["sum_d2_micro"], got[cell]["medoid_id"]) == best
+        assert (got[cell]["sum_d2q"], got[cell]["medoid_id"]) == best
         assert got[cell]["n_vectors"] == len(members)
 
 

@@ -244,9 +244,16 @@ def main():
         # direct_max=0 forces the LADDER regime: L=32 would otherwise take
         # the r11 direct short-circuit, and the scale question this entry
         # answers (per-round rank-refinement growth) is about the ladder.
-        # The direct regime's scale shape is char_grams' (one projection) —
-        # covered by the substring_contamination entry above.
         return suffix_ngram_groups(d, "doc_id", "text", 32, direct_max=0)
+
+    def _suffix_groups_direct(d):
+        from scraper_db_refine_merge_spark.operators.substr import suffix_ngram_groups
+
+        # the PRODUCTION path at L=32 (r12, VERDICT r11 item 6): its
+        # claimed scale shape — char_grams' single projection — is now a
+        # measured row of its own instead of an inference from the
+        # substring_contamination entry.
+        return suffix_ngram_groups(d, "doc_id", "text", 32)
 
     def _bm25(d):
         from scraper_db_refine_merge_spark.plans.catalog import QUERIES  # noqa: F401
@@ -477,6 +484,14 @@ def main():
             "suffix_ngram_groups(L=32, ladder)",
             lambda: _suffix_groups(base_docs).count(),
             lambda: _suffix_groups(docs).count(),
+        ),
+        (
+            # the DIRECT regime (default at L <= 64): one xxhash64-pair
+            # projection per position, zero extra shuffles — growth must
+            # be linear in corpus bytes, char_grams-class
+            "suffix_ngram_groups(L=32, direct)",
+            lambda: _suffix_groups_direct(base_docs).count(),
+            lambda: _suffix_groups_direct(docs).count(),
         ),
         (
             # pair OUTPUT grows ~quadratically in the replication factor
