@@ -407,3 +407,259 @@ def weak_fields(fqs: Column) -> Column:
         ]
     )
     return F.transform(F.filter(pairs, lambda p: p["score"] < 0.7), lambda p: p["field"])
+
+
+# ----------------------------------------------------------------------
+# SQL-STRING TWINS (r12). The Column scorers above cost ~300 ms of py4j
+# round trips EACH to construct (q53's census profile: 4362 send_commands
+# per build); plan-hot callers (plans/sampling.py q53/q54) build the same
+# expression trees as ONE selectExpr string instead — one JVM parse, an
+# identical Catalyst expression. Inputs are SQL expression strings and MUST
+# be attribute leaves (a projected column name), never a constructor tree —
+# the analysis-blowup rule (q53/q54, r11) applies to these twins verbatim
+# because the input is spliced everywhere the Column version referenced it.
+# Parity with the Column forms is pinned row-for-row by
+# tests/test_quality_scorer.py::test_sql_twins_match_column_scorers; the
+# shared literal conventions: doubles carry the D suffix (a bare 0.5 is
+# DECIMAL(1,1) in Spark SQL), additions keep the reference's `score += ...`
+# order, regex literals double their backslashes (Spark SQL strings are
+# backslash-escaped).
+
+
+def _truthy_s(c: str) -> str:
+    return f"({c} IS NOT NULL AND {c} != '')"
+
+
+def _flag_s(cond: str, name: str) -> str:
+    return f"(CASE WHEN {cond} THEN array('{name}') ELSE CAST(array() AS ARRAY<STRING>) END)"
+
+
+def _re_s(pattern: str) -> str:
+    """Regex → Spark SQL string literal body (backslashes doubled)."""
+    return pattern.replace("\\", "\\\\")
+
+
+def _score_struct_s(missing_cond: str, missing_flag: str, score: str, flags: str) -> str:
+    return (
+        f"(CASE WHEN {missing_cond}"
+        f" THEN named_struct('score', 0.0D, 'flags', array('{missing_flag}'))"
+        f" ELSE named_struct('score', least({score}, 1.0D), 'flags', {flags}) END)"
+    )
+
+
+def score_title_info_sql(t: str) -> str:
+    date_re = _re_s(r"\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}")
+    ws_re = _re_s(r"\s+")
+    special_re = _re_s(r"[a-zA-Z0-9\s&-]")
+    missing = f"({t} IS NULL OR {t} = '')"
+    length = f"length({t})"
+    len_ok = f"({length} >= 5)"
+    has_date = f"({t} RLIKE '{date_re}')"
+    words = (
+        f"(CASE WHEN trim({t}) = '' THEN 0"
+        f" ELSE size(split(trim({t}), '{ws_re}')) END)"
+    )
+    multi_word = f"({words} >= 2)"
+    specials = f"length(regexp_replace({t}, '{special_re}', ''))"
+    special_ok = f"(({specials} / {length}) < 0.2D)"
+    first = f"substring({t}, 1, 1)"
+    first_upper = f"({first} = upper({first}) AND {first} != lower({first}))"
+    all_upper = f"({t} = upper({t}) AND {t} != lower({t}))"
+    cap_ok = f"({first_upper} AND NOT {all_upper})"
+    score = (
+        f"(CASE WHEN {len_ok} THEN 0.3D ELSE 0.0D END"
+        f" + CASE WHEN {has_date} THEN 0.2D ELSE 0.0D END"
+        f" + CASE WHEN {multi_word} THEN 0.2D ELSE 0.0D END"
+        f" + CASE WHEN {special_ok} THEN 0.2D ELSE 0.0D END"
+        f" + CASE WHEN {cap_ok} THEN 0.1D ELSE 0.0D END)"
+    )
+    flags = (
+        f"concat({_flag_s(f'NOT {len_ok}', 'title_too_short')},"
+        f" {_flag_s(f'NOT {special_ok}', 'excessive_special_chars')})"
+    )
+    return _score_struct_s(missing, "missing_title", score, flags)
+
+
+def score_venue_info_sql(v: str) -> str:
+    name = f"{v}.name"
+    known = (
+        "coalesce(array_contains(array("
+        + ", ".join(f"contains({name}, '{kv}')" for kv in KNOWN_VENUES)
+        + "), true), false)"
+    )
+    has_name = _truthy_s(name)
+    has_full_addr = _truthy_s(f"{v}.address.full_address")
+    has_street_city = f"({_truthy_s(f'{v}.address.street')} AND {_truthy_s(f'{v}.address.city')})"
+    has_city = _truthy_s(f"{v}.address.city")
+    city_ibiza = f"coalesce(contains(lower({v}.address.city), 'ibiza'), false)"
+    arr = f"{v}.coordinates.coordinates"
+    coords_present = (
+        f"(coalesce({v}.coordinates.type = 'Point', false)"
+        f" AND {arr} IS NOT NULL AND size({arr}) > 0)"
+    )
+    coords_len2 = f"(size({arr}) = 2)"
+    in_ibiza = (
+        f"coalesce((get({arr}, 0) >= 1.2D AND get({arr}, 0) <= 1.6D"
+        f" AND get({arr}, 1) >= 38.8D AND get({arr}, 1) <= 39.1D), false)"
+    )
+    score = (
+        f"(CASE WHEN {has_name} THEN 0.3D ELSE 0.0D END"
+        f" + CASE WHEN ({has_name} AND {known}) THEN 0.1D ELSE 0.0D END"
+        f" + CASE WHEN {has_full_addr} THEN 0.2D WHEN {has_street_city} THEN 0.15D ELSE 0.0D END"
+        f" + CASE WHEN {has_city} THEN 0.2D ELSE 0.0D END"
+        f" + CASE WHEN ({has_city} AND {city_ibiza}) THEN 0.1D ELSE 0.0D END"
+        f" + CASE WHEN ({coords_present} AND {coords_len2} AND {in_ibiza}) THEN 0.2D ELSE 0.0D END)"
+    )
+    flags = (
+        f"concat({_flag_s(f'NOT {has_name}', 'missing_venue_name')},"
+        f" {_flag_s(f'NOT ({has_full_addr} OR {has_street_city})', 'missing_address_details')},"
+        f" {_flag_s(f'NOT {has_city}', 'missing_city')},"
+        f" {_flag_s(f'({coords_present} AND {coords_len2} AND NOT {in_ibiza})', 'coordinates_outside_ibiza')},"
+        f" {_flag_s(f'({coords_present} AND NOT {coords_len2})', 'invalid_coordinates_format')},"
+        f" {_flag_s(f'NOT {coords_present}', 'missing_coordinates')})"
+    )
+    return _score_struct_s(f"{v} IS NULL", "missing_venue_data", score, flags)
+
+
+def score_datetime_info_sql(d: str, now: datetime | None = None) -> str:
+    now = now or datetime.now(timezone.utc)
+
+    def ts_lit(dt: datetime) -> str:
+        return f"TIMESTAMP '{dt.replace(tzinfo=None):%Y-%m-%d %H:%M:%S.%f}'"
+
+    past_cutoff = ts_lit(now - timedelta(days=30))
+    future_cutoff = ts_lit(now + timedelta(days=2 * 365))
+    s = f"{d}.start_date"
+    e = f"{d}.end_date"
+    has_start = _truthy_s(s)
+    start_ts = f"try_to_timestamp({s})"
+    start_valid = f"({start_ts} IS NOT NULL)"
+    too_past = f"({start_ts} < {past_cutoff})"
+    too_future = f"({start_ts} > {future_cutoff})"
+    reasonable = f"({start_valid} AND NOT {too_past} AND NOT {too_future})"
+    has_end = _truthy_s(e)
+    end_ts = f"try_to_timestamp({e})"
+    end_valid = f"({end_ts} IS NOT NULL)"
+    end_before_start = f"({end_valid} AND {start_valid} AND ({end_ts} < {start_ts}))"
+    end_ok = f"({end_valid} AND {start_valid} AND ({end_ts} >= {start_ts}))"
+    tz = f"{d}.timezone"
+    has_tz = _truthy_s(tz)
+    tz_bonus = f"coalesce({tz} IN ('Europe/Madrid', 'CET', 'CEST'), false)"
+    is_rec = f"coalesce({d}.recurring.is_recurring, false)"
+    has_pattern = _truthy_s(f"{d}.recurring.pattern_description")
+    score = (
+        f"(CASE WHEN {has_start} THEN 0.4D ELSE 0.0D END"
+        f" + CASE WHEN ({has_start} AND {reasonable}) THEN 0.1D ELSE 0.0D END"
+        f" + CASE WHEN {has_end} THEN 0.1D ELSE 0.0D END"
+        f" + CASE WHEN ({has_end} AND {has_start} AND {end_ok}) THEN 0.05D ELSE 0.0D END"
+        f" + CASE WHEN {has_tz} THEN 0.2D ELSE 0.0D END"
+        f" + CASE WHEN ({has_tz} AND {tz_bonus}) THEN 0.05D ELSE 0.0D END"
+        f" + CASE WHEN {is_rec} THEN 0.05D ELSE 0.0D END"
+        f" + CASE WHEN ({is_rec} AND {has_pattern}) THEN 0.1D ELSE 0.0D END)"
+    )
+    flags = (
+        f"concat({_flag_s(f'({has_start} AND {start_valid} AND {too_past})', 'date_too_far_past')},"
+        f" {_flag_s(f'({has_start} AND {start_valid} AND NOT {too_past} AND {too_future})', 'date_too_far_future')},"
+        f" {_flag_s(f'({has_start} AND NOT {start_valid})', 'invalid_start_date_format')},"
+        f" {_flag_s(f'NOT {has_start}', 'missing_start_date')},"
+        f" {_flag_s(f'({has_end} AND {has_start} AND {end_before_start})', 'end_date_before_start_date')},"
+        f" {_flag_s(f'({has_end} AND {has_start} AND NOT {end_valid})', 'invalid_end_date_format')},"
+        f" {_flag_s(f'NOT {has_tz}', 'missing_timezone')},"
+        f" {_flag_s(f'({is_rec} AND NOT {has_pattern})', 'missing_recurring_pattern_description')})"
+    )
+    return _score_struct_s(f"{d} IS NULL", "missing_datetime_data", score, flags)
+
+
+def score_acts_info_sql(a: str) -> str:
+    missing = f"({a} IS NULL OR size({a}) = 0)"
+    n = f"size({a})"
+    truthy_name = "(x.act_name IS NOT NULL AND x.act_name != '')"
+    valid = f"size(filter({a}, x -> {truthy_name}))"
+    nameless_flags = (
+        f"transform(filter({a}, x -> NOT {truthy_name}),"
+        " x -> 'missing_act_name_in_list')"
+    )
+    score = (
+        f"(0.4D"
+        f" + CASE WHEN ({valid} > 0) THEN 0.4D * ({valid} / {n}) ELSE 0.0D END"
+        f" + CASE WHEN ({n} >= 3) THEN 0.2D WHEN ({n} >= 2) THEN 0.1D ELSE 0.0D END)"
+    )
+    return _score_struct_s(missing, "missing_acts_data", score, nameless_flags)
+
+
+def score_ticketing_info_sql(t: str) -> str:
+    is_free = f"{t}.is_free"
+    free_true = f"coalesce({is_free} = true, false)"
+    free_false = f"coalesce({is_free} = false, false)"
+    free_missing = f"({is_free} IS NULL)"
+    url = f"{t}.tickets_url"
+    has_url = _truthy_s(url)
+    url_ok = f"(startswith({url}, 'http://') OR startswith({url}, 'https://'))"
+    tiers = f"{t}.tiers"
+    has_tiers = f"({tiers} IS NOT NULL AND size({tiers}) > 0)"
+    n_tiers = f"size({tiers})"
+    tier_valid = (
+        "((x.tier_name IS NOT NULL AND x.tier_name != '')"
+        " AND x.tier_price IS NOT NULL"
+        " AND (x.currency IS NOT NULL AND x.currency != ''))"
+    )
+    valid_arr = f"filter({tiers}, x -> {tier_valid})"
+    n_valid = f"size({valid_arr})"
+    cheapest = f"array_min(transform({valid_arr}, x -> x.tier_price))"
+    currency_found = f"try_element_at({valid_arr}, 1).currency"
+    age = f"{t}.age_restriction"
+    has_age = (
+        f"coalesce(({age}.minimum_age IS NOT NULL"
+        f" OR {_truthy_s(f'{age}.restriction_type')}), false)"
+    )
+    score = (
+        f"(CASE WHEN {free_true} THEN 0.5D WHEN {free_false} THEN 0.1D ELSE 0.0D END"
+        f" + CASE WHEN {has_url} THEN 0.2D ELSE 0.0D END"
+        f" + CASE WHEN ({has_url} AND {url_ok}) THEN 0.05D ELSE 0.0D END"
+        f" + CASE WHEN {has_tiers} THEN 0.2D ELSE 0.0D END"
+        f" + CASE WHEN ({has_tiers} AND {n_valid} > 0) THEN 0.1D * ({n_valid} / {n_tiers}) ELSE 0.0D END"
+        f" + CASE WHEN ({has_tiers} AND {n_valid} > 0 AND {currency_found} = 'EUR') THEN 0.05D ELSE 0.0D END"
+        f" + CASE WHEN ({has_tiers} AND {n_valid} > 0 AND {cheapest} >= 5 AND {cheapest} <= 500) THEN 0.05D ELSE 0.0D END"
+        f" + CASE WHEN {has_age} THEN 0.05D ELSE 0.0D END)"
+    )
+    flags = (
+        f"concat({_flag_s(free_missing, 'missing_is_free_status')},"
+        f" {_flag_s(f'({has_url} AND NOT {url_ok})', 'invalid_tickets_url')},"
+        f" {_flag_s(f'(NOT {has_url} AND {free_false})', 'missing_tickets_url_for_paid_event')},"
+        f" {_flag_s(f'({has_tiers} AND {n_valid} > 0 AND {cheapest} > 500)', 'very_high_ticket_price')},"
+        f" {_flag_s(f'({has_tiers} AND {n_valid} > 0 AND {cheapest} < 5 AND {cheapest} > 0)', 'very_low_ticket_price')},"
+        f" {_flag_s(f'(NOT {has_tiers} AND {free_false})', 'missing_tiers_for_paid_event_or_invalid_format')})"
+    )
+    return _score_struct_s(f"{t} IS NULL", "missing_ticketing_data", score, flags)
+
+
+def python_round_sql(c: str, scale: int) -> str:
+    """SQL twin of :func:`python_round` (same scaled-floor CASE)."""
+    m = f"{float(10 ** scale)!r}D"
+    scaled = f"({c} * {m})"
+    fl = f"floor({scaled})"
+    frac = f"({scaled} - {fl})"
+    tie_even = f"(CASE WHEN {fl} % 2 = 0 THEN {fl} ELSE {fl} + 1 END)"
+    rounded = (
+        f"(CASE WHEN {frac} = 0.5D THEN {tie_even}"
+        f" WHEN {frac} > 0.5D THEN {fl} + 1 ELSE {fl} END)"
+    )
+    return f"(CAST({rounded} AS DOUBLE) / {m})"
+
+
+def overall_score_sql(
+    title_s: str, venue_s: str, datetime_s: str, acts_s: str, ticketing_s: str
+) -> str:
+    """SQL twin of :func:`overall_score` — same literal order, same
+    runtime total_weight accumulation."""
+    w = FIELD_WEIGHTS
+    total = (
+        f"({title_s} * {w['title']!r}D + {venue_s} * {w['venue']!r}D"
+        f" + {datetime_s} * {w['datetime']!r}D + {acts_s} * {w['acts']!r}D"
+        f" + {ticketing_s} * {w['ticketing']!r}D)"
+    )
+    total_weight = (
+        f"({w['title']!r}D + {w['venue']!r}D + {w['datetime']!r}D"
+        f" + {w['acts']!r}D + {w['ticketing']!r}D)"
+    )
+    return python_round_sql(f"({total} / {total_weight})", 3)

@@ -419,60 +419,60 @@ _Q53_VENUE_CASES = """
 def q53_quality_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import datetime as _dt
 
-    from ..functions.quality import overall_score, score_datetime_info, score_venue_info
+    from ..functions.quality import (
+        overall_score_sql,
+        score_datetime_info_sql,
+        score_venue_info_sql,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    i = F.col("doc_id")
     venue_t = (
         "struct<name:string,address:struct<street:string,city:string,full_address:string>,"
         "coordinates:struct<type:string,coordinates:array<double>>>"
     )
+    # fixture constructors as SQL strings too (r12): the WHEN-chain Column
+    # builders were the other half of the build cost
     name = (
-        F.when(i % 4 == 1, "Amnesia Terrace")
-        .when(i % 4 == 2, "Random Hall")
-        .when(i % 4 == 3, F.lit(None).cast("string"))
-        .otherwise(F.concat(F.lit("Club "), i.cast("string")))
+        "CASE WHEN doc_id % 4 = 1 THEN 'Amnesia Terrace'"
+        " WHEN doc_id % 4 = 2 THEN 'Random Hall'"
+        " WHEN doc_id % 4 = 3 THEN CAST(NULL AS STRING)"
+        " ELSE concat('Club ', CAST(doc_id AS STRING)) END"
     )
     coords_arr = (
-        F.when(i % 6 == 0, F.array(F.lit(1.4), F.lit(38.9)))
-        .when(i % 6 == 1, F.array(F.lit(2.65), F.lit(39.57)))
-        .when(i % 6 == 2, F.array(F.lit(1.4)))
-        .otherwise(F.lit(None).cast("array<double>"))
+        "CASE WHEN doc_id % 6 = 0 THEN array(1.4D, 38.9D)"
+        " WHEN doc_id % 6 = 1 THEN array(2.65D, 39.57D)"
+        " WHEN doc_id % 6 = 2 THEN array(1.4D)"
+        " ELSE CAST(NULL AS ARRAY<DOUBLE>) END"
     )
-    venue = F.when(i % 9 == 8, F.lit(None).cast(venue_t)).otherwise(
-        F.struct(
-            name.alias("name"),
-            F.struct(
-                F.when(i % 3 == 1, "Carrer de Y 9").otherwise(F.lit(None).cast("string")).alias("street"),
-                F.when(i % 5 == 0, "Ibiza Town").when(i % 5 == 1, "Palma").otherwise(F.lit(None).cast("string")).alias("city"),
-                F.when(i % 3 == 0, "Carrer de X 5, 07800 Ibiza").otherwise(F.lit(None).cast("string")).alias("full_address"),
-            ).alias("address"),
-            F.struct(
-                F.when(coords_arr.isNotNull(), "Point").otherwise(F.lit(None).cast("string")).alias("type"),
-                coords_arr.alias("coordinates"),
-            ).alias("coordinates"),
-        )
+    venue = (
+        f"CASE WHEN doc_id % 9 = 8 THEN CAST(NULL AS {venue_t}) ELSE named_struct("
+        f"'name', {name},"
+        " 'address', named_struct("
+        "   'street', CASE WHEN doc_id % 3 = 1 THEN 'Carrer de Y 9' ELSE CAST(NULL AS STRING) END,"
+        "   'city', CASE WHEN doc_id % 5 = 0 THEN 'Ibiza Town'"
+        "            WHEN doc_id % 5 = 1 THEN 'Palma' ELSE CAST(NULL AS STRING) END,"
+        "   'full_address', CASE WHEN doc_id % 3 = 0 THEN 'Carrer de X 5, 07800 Ibiza'"
+        "                    ELSE CAST(NULL AS STRING) END),"
+        " 'coordinates', named_struct("
+        f"   'type', CASE WHEN ({coords_arr}) IS NOT NULL THEN 'Point' ELSE CAST(NULL AS STRING) END,"
+        f"   'coordinates', {coords_arr})) END"
     )
     dt_t = (
         "struct<start_date:string,end_date:string,timezone:string,"
         "recurring:struct<is_recurring:boolean,pattern_description:string>>"
     )
-    start = F.when((i % 7 == 0) | (i % 5 == 2), F.lit(None).cast("string")).otherwise(
-        F.concat(
-            F.lit("2025-"),
-            F.lpad((i % 12 + 1).cast("string"), 2, "0"),
-            F.lit("-"),
-            F.lpad((i % 28 + 1).cast("string"), 2, "0"),
-            F.lit(" 23:00:00"),
-        )
+    start = (
+        "CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 2 THEN CAST(NULL AS STRING)"
+        " ELSE concat('2025-', lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0'),"
+        " '-', lpad(CAST(doc_id % 28 + 1 AS STRING), 2, '0'), ' 23:00:00') END"
     )
-    dtc = F.when(i % 11 == 10, F.lit(None).cast(dt_t)).otherwise(
-        F.struct(
-            start.alias("start_date"),
-            F.lit(None).cast("string").alias("end_date"),
-            F.when(i % 4 == 0, "Europe/Madrid").when(i % 4 == 1, "UTC").otherwise(F.lit(None).cast("string")).alias("timezone"),
-            F.lit(None).cast("struct<is_recurring:boolean,pattern_description:string>").alias("recurring"),
-        )
+    dtc = (
+        f"CASE WHEN doc_id % 11 = 10 THEN CAST(NULL AS {dt_t}) ELSE named_struct("
+        f"'start_date', {start},"
+        " 'end_date', CAST(NULL AS STRING),"
+        " 'timezone', CASE WHEN doc_id % 4 = 0 THEN 'Europe/Madrid'"
+        "              WHEN doc_id % 4 = 1 THEN 'UTC' ELSE CAST(NULL AS STRING) END,"
+        " 'recurring', CAST(NULL AS struct<is_recurring:boolean,pattern_description:string>)) END"
     )
     now = _dt(2025, 6, 1, 0, 0, 0)
     # PROJECTION BOUNDARIES (r11): every scorer reference re-inlines its
@@ -483,21 +483,25 @@ def q53_quality_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structs attribute LEAVES, so each big tree is built and analyzed
     # exactly once. Values identical (projection composition); the
     # optimizer still collapses what it wants AFTER analysis.
-    base = d.select("doc_id", venue.alias("__venue"), dtc.alias("__dt"))
-    scored = base.select(
+    base = d.selectExpr("doc_id", f"{venue} AS __venue", f"{dtc} AS __dt")
+    # SQL twins of the scorers (r12): the Column builders cost ~0.6 s of
+    # py4j round trips per build (census profile: 4362 send_commands);
+    # the twins parse in one round trip with identical expressions —
+    # parity pinned by test_quality_scorer.test_sql_twins_match_column_scorers
+    # and this query's unchanged oracle hash.
+    scored = base.selectExpr(
         "doc_id",
-        score_venue_info(F.col("__venue")).alias("__vs"),
-        score_datetime_info(F.col("__dt"), now=now).alias("__ds"),
+        score_venue_info_sql("__venue") + " AS __vs",
+        score_datetime_info_sql("__dt", now=now) + " AS __ds",
     )
-    return scored.select(
+    return scored.selectExpr(
         "doc_id",
-        F.col("__vs.score").alias("venue_score"),
-        F.array_join(F.col("__vs.flags"), ",").alias("venue_flags"),
-        F.col("__ds.score").alias("datetime_score"),
-        F.array_join(F.col("__ds.flags"), ",").alias("datetime_flags"),
-        overall_score(
-            F.lit(0.0), F.col("__vs.score"), F.col("__ds.score"), F.lit(0.0), F.lit(0.0)
-        ).alias("overall"),
+        "__vs.score AS venue_score",
+        "array_join(__vs.flags, ',') AS venue_flags",
+        "__ds.score AS datetime_score",
+        "array_join(__ds.flags, ',') AS datetime_flags",
+        overall_score_sql("0.0D", "__vs.score", "__ds.score", "0.0D", "0.0D")
+        + " AS overall",
     )
 
 
@@ -557,79 +561,85 @@ def q53_quality_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q54_acts_ticketing_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.quality import overall_score, score_acts_info, score_ticketing_info
+    from ..functions.quality import (
+        overall_score_sql,
+        score_acts_info_sql,
+        score_ticketing_info_sql,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    i = F.col("doc_id")
-    am, tm = i % 5, i % 7
 
-    def act(name):
-        return F.struct(F.lit(name).cast("string").alias("act_name"))
+    def act(name: str) -> str:
+        return f"named_struct('act_name', '{name}')"
 
     acts_t = "array<struct<act_name:string>>"
     acts = (
-        F.when(am == 0, F.lit(None).cast(acts_t))
-        .when(am == 1, F.array().cast(acts_t))
-        .when(am == 2, F.array(act("Act A")))
-        .when(am == 3, F.array(act("Act A"), act("")))
-        .otherwise(F.array(act("Act A"), act("Act B"), act("Act C")))
+        f"CASE WHEN doc_id % 5 = 0 THEN CAST(NULL AS {acts_t})"
+        f" WHEN doc_id % 5 = 1 THEN CAST(array() AS {acts_t})"
+        f" WHEN doc_id % 5 = 2 THEN array({act('Act A')})"
+        f" WHEN doc_id % 5 = 3 THEN array({act('Act A')}, {act('')})"
+        f" ELSE array({act('Act A')}, {act('Act B')}, {act('Act C')}) END"
     )
 
-    def tier(name, price, cur):
-        return F.struct(
-            F.lit(name).cast("string").alias("tier_name"),
-            F.lit(price).cast("double").alias("tier_price"),
-            F.lit(cur).cast("string").alias("currency"),
+    def tier(name: str, price: float, cur: str) -> str:
+        return (
+            f"named_struct('tier_name', '{name}',"
+            f" 'tier_price', CAST({price!r} AS DOUBLE), 'currency', '{cur}')"
         )
 
     tiers_t = "array<struct<tier_name:string,tier_price:double,currency:string>>"
     age_t = "struct<minimum_age:int,restriction_type:string>"
     tick_t = (
         "struct<is_free:boolean,tickets_url:string,"
-        f"tiers:{tiers_t.replace('array<', 'array<')},age_restriction:{age_t}>"
+        f"tiers:{tiers_t},age_restriction:{age_t}>"
     )
 
     def tick(is_free, url, tiers, age_min):
-        return F.struct(
-            F.lit(is_free).cast("boolean").alias("is_free"),
-            F.lit(url).cast("string").alias("tickets_url"),
-            (tiers if tiers is not None else F.lit(None).cast(tiers_t)).alias("tiers"),
-            F.struct(
-                F.lit(age_min).cast("int").alias("minimum_age"),
-                F.lit(None).cast("string").alias("restriction_type"),
-            ).alias("age_restriction"),
+        free = "CAST(NULL AS BOOLEAN)" if is_free is None else str(is_free).lower()
+        u = "CAST(NULL AS STRING)" if url is None else f"'{url}'"
+        tr = f"CAST(NULL AS {tiers_t})" if tiers is None else tiers
+        age = "CAST(NULL AS INT)" if age_min is None else str(age_min)
+        return (
+            f"named_struct('is_free', {free}, 'tickets_url', {u}, 'tiers', {tr},"
+            f" 'age_restriction', named_struct('minimum_age', {age},"
+            " 'restriction_type', CAST(NULL AS STRING)))"
         )
 
+    tiers3 = "array({}, {})".format(tier("GA", 25.0, "EUR"), tier("", 30.0, "EUR"))
+    tiers4 = "array({})".format(tier("VIP", 600.0, "EUR"))
+    tiers5 = "array({})".format(tier("Promo", 2.0, "EUR"))
+    tiers6 = "array({}, {}, {})".format(
+        tier("A", 10.0, "EUR"), tier("B", 20.0, "EUR"), tier("C", 30.0, "EUR")
+    )
     ticketing = (
-        F.when(tm == 0, F.lit(None).cast(tick_t))
-        .when(tm == 1, tick(True, "https://t.example/x", None, None))
-        .when(tm == 2, tick(False, "ticket.example/x", None, None))
-        .when(tm == 3, tick(False, None, F.array(tier("GA", 25.0, "EUR"), tier("", 30.0, "EUR")), None))
-        .when(tm == 4, tick(None, None, F.array(tier("VIP", 600.0, "EUR")), None))
-        .when(tm == 5, tick(True, None, F.array(tier("Promo", 2.0, "EUR")), None))
-        .otherwise(
-            tick(False, "https://t.example/y",
-                 F.array(tier("A", 10.0, "EUR"), tier("B", 20.0, "EUR"), tier("C", 30.0, "EUR")), 18)
-        )
+        f"CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS {tick_t})"
+        f" WHEN doc_id % 7 = 1 THEN {tick(True, 'https://t.example/x', None, None)}"
+        f" WHEN doc_id % 7 = 2 THEN {tick(False, 'ticket.example/x', None, None)}"
+        f" WHEN doc_id % 7 = 3 THEN {tick(False, None, tiers3, None)}"
+        f" WHEN doc_id % 7 = 4 THEN {tick(None, None, tiers4, None)}"
+        f" WHEN doc_id % 7 = 5 THEN {tick(True, None, tiers5, None)}"
+        f" ELSE {tick(False, 'https://t.example/y', tiers6, 18)} END"
     )
     # Projection boundaries against re-inlined scorer arguments — the q53
     # analysis-blowup fix (see its comment): case columns, then scored
-    # structs, become attribute leaves. Build 4.4 s -> sub-second.
-    base = d.select("doc_id", acts.alias("__acts"), ticketing.alias("__tick"))
-    scored = base.select(
+    # structs, become attribute leaves. Build 4.4 s -> sub-second; fixture
+    # constructors are SQL strings too (r12).
+    base = d.selectExpr("doc_id", f"{acts} AS __acts", f"{ticketing} AS __tick")
+    # SQL twins — see q53's comment; parity pinned by the twins test and
+    # this query's unchanged oracle hash.
+    scored = base.selectExpr(
         "doc_id",
-        score_acts_info(F.col("__acts")).alias("__as"),
-        score_ticketing_info(F.col("__tick")).alias("__ts"),
+        score_acts_info_sql("__acts") + " AS __as",
+        score_ticketing_info_sql("__tick") + " AS __ts",
     )
-    return scored.select(
+    return scored.selectExpr(
         "doc_id",
-        F.col("__as.score").alias("acts_score"),
-        F.array_join(F.col("__as.flags"), ",").alias("acts_flags"),
-        F.col("__ts.score").alias("ticket_score"),
-        F.array_join(F.col("__ts.flags"), ",").alias("ticket_flags"),
-        overall_score(
-            F.lit(0.0), F.lit(0.0), F.lit(0.0), F.col("__as.score"), F.col("__ts.score")
-        ).alias("overall"),
+        "__as.score AS acts_score",
+        "array_join(__as.flags, ',') AS acts_flags",
+        "__ts.score AS ticket_score",
+        "array_join(__ts.flags, ',') AS ticket_flags",
+        overall_score_sql("0.0D", "0.0D", "0.0D", "__as.score", "__ts.score")
+        + " AS overall",
     )
 
 
