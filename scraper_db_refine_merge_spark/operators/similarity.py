@@ -146,6 +146,10 @@ _DIM_MEMO: "WeakKeyDictionary[DataFrame, dict[str, int | None]]" = WeakKeyDictio
 #: centroid DataFrame object, entries die with it.
 _CENT_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
 
+#: label_centroids result memo (see its docstring): keyed by the input
+#: DataFrame object; entries die with their frame / session.
+_LC_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
+
 
 def detect_fixed_dim(df: DataFrame, vec_col: str) -> int | None:
     """Embedding dimensionality if it is uniform across the table, else
@@ -272,7 +276,28 @@ def label_centroids(
 
     Output: (label, centroid array). Centroid count == label cardinality, so
     the result is broadcast-sized by construction at any corpus scale.
+
+    Memoized per (input DataFrame object, params) — the kmeans_centroids
+    precedent: :func:`ivf_assign` collects the centroid table (r12), so
+    without the memo every ivf_topk plan BUILD re-runs the corpus-wide
+    centroid aggregation job for an identical result (q43: 0.7 s/build).
+    Returning the SAME DataFrame object also lets ivf_assign's _CENT_MEMO
+    reuse the collected rows. Static-inputs caveat as load_table's memo.
     """
+    per = _LC_MEMO.get(df)
+    memo_key = (vec_col, label_col, scale)
+    if per is not None and memo_key in per:
+        return per[memo_key]
+    out = _label_centroids_build(df, vec_col, label_col, scale)
+    if per is None:
+        per = _LC_MEMO.setdefault(df, {})
+    per[memo_key] = out
+    return out
+
+
+def _label_centroids_build(
+    df: DataFrame, vec_col: str, label_col: str, scale: int
+) -> DataFrame:
     long = df.select(label_col, F.posexplode(vec_col).alias("pos0", "val"))
     cent_long = long.groupBy(label_col, (F.col("pos0") + 1).alias("pos")).agg(
         F.round(
@@ -409,14 +434,54 @@ def ivf_topk(
         .filter(F.col("__rn") <= nprobe)
         .select("query_id", "__qvec", F.col(label_col).alias("cell"))
     )
-    scored = (
+    # Probe scoring: the candidate set is nprobe cells' worth of corpus per
+    # query — at sf0.1 ~20k (query, neighbor) pairs, each paying an
+    # interpreted JVM HOF cosine (~35 µs/pair over 64 dims: the same
+    # per-lambda-eval cost ivf_assign's r12 rewrite measured). Score the
+    # pairs with the vectorized numpy kernel instead (one Arrow pass over
+    # the join output, zero extra shuffles); float parity conventions are
+    # ivf_assign's: sequential dim accumulation, half-away-from-zero
+    # rounding, NaN propagated for zero-norm vectors.
+    import numpy as np
+    import pandas as pd
+
+    joined = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
+            F.col("__qvec"),
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("__qvec"), F.col(vec_col)), round_scale).alias("cosine_sim"),
+            F.col(vec_col).alias("__nvec"),
         )
+    )
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    scale = 10**round_scale
+
+    def _score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qm = np.array([list(v) for v in pdf["__qvec"]], dtype=np.float64)
+            nm = np.array([list(v) for v in pdf["__nvec"]], dtype=np.float64)
+            dim = qm.shape[1]
+            acc = np.zeros(len(pdf))
+            for d in range(dim):  # sequential over dims: order parity
+                acc += qm[:, d] * nm[:, d]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = acc / (_seq_norm(qm, dim) * _seq_norm(nm, dim))
+                sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine_sim": sims,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        _score, f"query_id {qid_t}, neighbor_id {nid_t}, cosine_sim double"
     )
     # per-query top-k WITHOUT a per-query single-task sort: the scored set
     # is corpus-sized per query, so a bare partitionBy(query_id) window is
