@@ -60,9 +60,12 @@ def connected_components(
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
+    # materialize sym FIRST: labels derives from it, so the other order
+    # executed the upstream edge plan (often an expensive near-dup pair
+    # join) twice — once under the labels materialization, again for sym
+    sym = _materialize(sym)
     nodes = sym.select(F.col("s").alias("node")).distinct()
     labels = _materialize(nodes.select("node", F.col("node").alias("label")))
-    sym = _materialize(sym)
 
     for _ in range(max_iter):
         # hop: pull the minimum label across neighbors
@@ -145,13 +148,18 @@ def pagerank_fixed_point(
     rank; their outbound mass is dropped (like the contribution
     truncation) — symmetrize edges first if that matters.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
+    # materialize the graph-shaped frames (the cache-the-edges shape every
+    # iterative graph engine uses): each unrolled iteration references e,
+    # deg and nodes again, and without a cut the whole upstream edge
+    # construction (often a near-dup pair join) re-executes per reference —
+    # exchange reuse is plan-shape-dependent, not guaranteed
+    e = _materialize(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct())
+    nodes = _materialize(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    deg = _materialize(e.groupBy("src").agg(F.count("*").alias("outdeg")))
     n = nodes.count()  # one scalar on the driver — graph size, not data
     r0 = F.lit(scale // n).cast("long")
     base = F.lit((15 * (scale // n)) // 100).cast("long")
