@@ -57,6 +57,9 @@ NAMES = [
     # after the expr-string registry conversion
     "q53_quality_overall", "q150_cluster_medoids", "q51_kmeans_cells",
     "q56_dq_rollup",
+    # r12 late additions: the IVF/PQ kernel rewrites and the
+    # iterative-graph materialization fixes
+    "q43_ivf_topk", "q98_pagerank_fixed_point", "q147_leakage_free_split",
 ]
 
 
@@ -98,12 +101,42 @@ def main() -> None:
         "\n- q56: the 32-rule DQ registry + unified fixture build converted"
         "\n  to SQL strings (1.73 -> 0.23 s build); rule_rollup total_events"
         "\n  now count(*) inside the aggregate (was a second corpus pass)."
-        "\n- Census adjudication of the remaining >1 s BUILDS: q110/q141/"
-        "\n  q113/q102/q116/q147/q73/q157/q98/q131/q158/q109/q136/q129 embed"
-        "\n  ITERATIVE or FOLD jobs in construction by design (store commits,"
-        "\n  CC rounds, pagerank rounds, PQ Lloyd training, LM index folds) —"
-        "\n  the work IS the build, adjudicated legitimate r11 and re-checked;"
-        "\n  q30/q146/q82/q133/q63/q156 the same families one level down."
+        "\n- PQ family (q127/q130/q131/q133/q158): pq_encode was explode-to-m"
+        "\n  + broadcast-codebook join + window PARTITION BY (vector,"
+        "\n  subspace) — a corpus x m*k-row EXCHANGE for a semantic map, on"
+        "\n  the bulk pass of a 100-TB PQ pipeline. Now one zero-shuffle"
+        "\n  mapInPandas kernel (collected config-constant codebook in the"
+        "\n  closure); trained-codebook rounds use the same kernel emitting"
+        "\n  the assigned subvector (no window, no join-back per Lloyd"
+        "\n  round), the codebook is literal-ized per round (a lazy chain"
+        "\n  re-executed round r-1 inside round r: O(iters^2)), and training"
+        "\n  artifacts are memoized per input frame (train-once/"
+        "\n  encode-forever is the operator's own deployment contract)."
+        "\n  sf0.1 totals: q133 4.08 -> 0.85 s, q158 6.0 -> 1.42 s."
+        "\n- ivf_topk probe scoring: interpreted HOF cosine per candidate"
+        "\n  pair -> the vectorized pair kernel (one Arrow pass after the"
+        "\n  broadcast probe join); label_centroids memoized per frame"
+        "\n  (ivf_assign collects it — q43 build 0.71 -> 0.23 s)."
+        "\n- Iterative-graph materialization order: connected_components"
+        "\n  materialized labels BEFORE sym, executing the upstream edge"
+        "\n  plan twice; pagerank_fixed_point left e/nodes/deg lazy so each"
+        "\n  unrolled iteration could re-execute the edge construction."
+        "\n  Both now take the _materialize cut once (q98 8.0 -> 3.9 s,"
+        "\n  q73 3.3 -> 2.2 s); q147 persists its thrice-consumed pair set"
+        "\n  (5.0 -> 1.7 s)."
+        "\n- Census adjudication of the remaining >1 s BUILDS (post-rework"
+        "\n  census, total build 73 -> 67 s over 144 queries): q141/q113/"
+        "\n  q116/q110/q102 (5.9-7.9 s) are the incremental-store replay"
+        "\n  harnesses — N batch folds x (CC rounds or index folds) x"
+        "\n  (reliable checkpoint + convergence count + snapshot commit)"
+        "\n  jobs, each a ~0.25 s local job floor; the folds ARE the"
+        "\n  operator under test and commit I/O is O(batch) by design."
+        "\n  q157/q98/q73/q136/q129/q131/q147/q109/q63/q146/q30/q156 embed"
+        "\n  the same iterative/fold/training jobs one level down."
+        "\n  q82's exec (2.0 s) is the bloom-prune two-pass contract:"
+        "\n  definite/maybe branches re-scan the corpus rather than persist"
+        "\n  it — the right trade at scale, where a second pushed-down scan"
+        "\n  beats materializing a corpus-sized intermediate."
         "\n  No re-inlined constructed-struct (analysis-blowup) entry"
         "\n  remains: q53/q54 builds are 0.65 s, the refine family (q50/q52/"
         "\n  q57) is below the 0.3 s py4j floor line."
