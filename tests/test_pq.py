@@ -238,3 +238,30 @@ def test_trained_pq_planted_near_copy_is_rank1(spark, sf_dir):
     top = pq_adc_topk(corpus, queries, "vec_id", "embedding", k_neighbors=1, train_iters=2)
     got = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
     assert got == {q: q + 1_000_000 for q in range(5)}, got
+
+
+def test_encode_carry_matches_join_back(spark, sf_dir):
+    """The r12 ``carry`` path (extra columns riding the encode kernel)
+    must be row-identical to encoding and joining the carried column back
+    on vec_id — the shape ivf_pq_topk replaced."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cb = pq_codebook(e, "vec_id", "embedding")
+    carried = pq_encode(e, cb, "vec_id", "embedding", carry=("label",))
+    joined = pq_encode(e, cb, "vec_id", "embedding").join(
+        e.select(F.col("vec_id"), "label"), "vec_id"
+    )
+    a = {tuple(r) for r in carried.select("vec_id", "s", "code", "label").collect()}
+    b = {tuple(r) for r in joined.select("vec_id", "s", "code", "label").collect()}
+    assert a == b and len(a) == e.count() * PQ_M
+
+
+def test_encode_empty_codebook_is_empty_with_schema(spark, sf_dir):
+    """Empty corpus -> empty codebook -> encode returns ZERO rows but the
+    full (vec_id, s, code[, carry]) schema, matching the old empty-join
+    shape (downstream joins/aggs stay well-typed)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    empty = e.filter(F.lit(False))
+    cb = pq_codebook(empty, "vec_id", "embedding")
+    out = pq_encode(e, cb, "vec_id", "embedding", carry=("label",))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "s", "code", "label"]
