@@ -301,12 +301,15 @@ def test_q128_dsir_hints_only_config_bounded(spark, sf_dir):
 
 def test_q127_pq_hints_only_codebook_and_lut(spark, sf_dir):
     """PQ's forced broadcasts are the config-constant codebook (m·k rows,
-    appears in encode and LUT build) and the query-batch-bounded LUT —
-    three hints total, none on the corpus side."""
+    in the LUT build only — encode consumes the codebook inside the r12
+    mapInPandas kernel, no join at all) and the query-batch-bounded LUT —
+    two hints total, none on the corpus side. The corpus reaches the
+    scored join through MapInPandas, never a shuffle."""
     df = QUERIES["q127_pq_adc_topk"](spark, sf_dir)
-    assert _analyzed(df).count("strategy=broadcast") == 3
+    assert _analyzed(df).count("strategy=broadcast") == 2
     p = _plan(df)
     assert "CartesianProduct" not in p
+    assert "MapInPandas" in p
 
 
 def test_q124_longest_run_semi_anti_restricted(spark, sf_dir):
