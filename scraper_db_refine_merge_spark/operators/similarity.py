@@ -241,14 +241,24 @@ def lsh_topk(
         F.col(vec_col).alias("q_vec"),
         hyperplane_bucket(F.col(vec_col), num_planes, dim=dim).alias("bucket"),
     )
-    scored = (
+    # bucket-shared candidates scored by the shared vectorized pair kernel
+    # (r12) — at scale the candidate set is |bucket| rows per query and the
+    # interpreted HOF cosine was the per-pair cost here too
+    joined = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
+            F.col("q_vec").alias("__qvec"),
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_scale).alias("cosine_sim"),
+            F.col("c_vec").alias("__nvec"),
         )
+    )
+    scored = _pair_cosine_scores(
+        joined,
+        queries.schema[id_col].dataType.simpleString(),
+        corpus.schema[id_col].dataType.simpleString(),
+        round_scale,
     )
     # per-query top-k WITHOUT a per-query single-task sort: the scored set
     # is corpus-sized per query, so a bare partitionBy(query_id) window is
@@ -435,16 +445,10 @@ def ivf_topk(
         .select("query_id", "__qvec", F.col(label_col).alias("cell"))
     )
     # Probe scoring: the candidate set is nprobe cells' worth of corpus per
-    # query — at sf0.1 ~20k (query, neighbor) pairs, each paying an
-    # interpreted JVM HOF cosine (~35 µs/pair over 64 dims: the same
-    # per-lambda-eval cost ivf_assign's r12 rewrite measured). Score the
-    # pairs with the vectorized numpy kernel instead (one Arrow pass over
-    # the join output, zero extra shuffles); float parity conventions are
-    # ivf_assign's: sequential dim accumulation, half-away-from-zero
-    # rounding, NaN propagated for zero-norm vectors.
-    import numpy as np
-    import pandas as pd
-
+    # query, each pair paying an interpreted JVM HOF cosine (~35 µs/pair
+    # over 64 dims: the same per-lambda-eval cost ivf_assign's r12 rewrite
+    # measured) — score with the shared vectorized pair kernel instead
+    # (one Arrow pass over the join output, zero extra shuffles).
     joined = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -455,33 +459,11 @@ def ivf_topk(
             F.col(vec_col).alias("__nvec"),
         )
     )
-    qid_t = queries.schema[id_col].dataType.simpleString()
-    nid_t = corpus.schema[id_col].dataType.simpleString()
-    scale = 10**round_scale
-
-    def _score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            qm = np.array([list(v) for v in pdf["__qvec"]], dtype=np.float64)
-            nm = np.array([list(v) for v in pdf["__nvec"]], dtype=np.float64)
-            dim = qm.shape[1]
-            acc = np.zeros(len(pdf))
-            for d in range(dim):  # sequential over dims: order parity
-                acc += qm[:, d] * nm[:, d]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                sims = acc / (_seq_norm(qm, dim) * _seq_norm(nm, dim))
-                sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "cosine_sim": sims,
-                }
-            )
-
-    scored = joined.mapInPandas(
-        _score, f"query_id {qid_t}, neighbor_id {nid_t}, cosine_sim double"
+    scored = _pair_cosine_scores(
+        joined,
+        queries.schema[id_col].dataType.simpleString(),
+        corpus.schema[id_col].dataType.simpleString(),
+        round_scale,
     )
     # per-query top-k WITHOUT a per-query single-task sort: the scored set
     # is corpus-sized per query, so a bare partitionBy(query_id) window is
@@ -678,6 +660,63 @@ def _seq_norm(mat, dim):
     for d in range(dim):
         acc += mat[:, d] * mat[:, d]
     return np.sqrt(acc)
+
+
+def _pair_cosine_scores(
+    joined: DataFrame, qid_t: str, nid_t: str, round_scale: int
+) -> DataFrame:
+    """Rounded cosine per candidate pair, vectorized (r12): input columns
+    (query_id, __qvec, neighbor_id, __nvec) → (query_id, neighbor_id,
+    cosine_sim) in ONE Arrow-batched mapInPandas pass — the shared scoring
+    tail of the bucketed/probed ANN paths (ivf_topk, lsh_topk). Value
+    parity with ``F.round(cosine(a, b), s)``: float32→float64 exact cast,
+    sequential-over-dims accumulation for dot and norms, half-away-from-
+    zero rounding, NaN propagated for zero-norm vectors (sorts the same
+    under topk_per_group's NaN-greatest order either way).
+
+    NULL parity: ``zip_with`` null-pads a length-mismatched pair, so the
+    HOF cosine is NULL there (and for NULL vectors / NULL elements) — the
+    kernel groups rows by (equal) length and emits real NULLs for the
+    rest; the common fixed-dim batch stays one vectorized pass."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**round_scale
+
+    def _score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qv, nv = pdf["__qvec"], pdf["__nvec"]
+            qlen = np.array([len(v) if v is not None else -1 for v in qv])
+            nlen = np.array([len(v) if v is not None else -1 for v in nv])
+            out = np.empty(len(pdf), dtype=object)  # None = NULL cosine
+            for L in np.unique(qlen[(qlen == nlen) & (qlen >= 0)]):
+                sel = np.nonzero((qlen == L) & (nlen == L))[0]
+                try:
+                    qm = np.array([list(qv.iloc[i]) for i in sel], dtype=np.float64)
+                    nm = np.array([list(nv.iloc[i]) for i in sel], dtype=np.float64)
+                except (TypeError, ValueError):
+                    continue  # NULL element somewhere: whole group stays NULL
+                acc = np.zeros(len(sel))
+                for d in range(L):  # sequential over dims: order parity
+                    acc += qm[:, d] * nm[:, d]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = acc / (_seq_norm(qm, L) * _seq_norm(nm, L))
+                    sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+                for j, i in enumerate(sel):
+                    out[i] = float(sims[j])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine_sim": out,
+                }
+            )
+
+    return joined.mapInPandas(
+        _score, f"query_id {qid_t}, neighbor_id {nid_t}, cosine_sim double"
+    )
 
 
 def _bucket_table_arrow(
