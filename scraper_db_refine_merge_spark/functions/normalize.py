@@ -68,9 +68,18 @@ def _literal_map(d: dict[str, str]) -> Column:
 # ISLOWER|ISUPPER|ISTITLE — i.e. the Lowercase/Uppercase binary properties
 # plus category Lt — NOT "is a letter": uncased letters (Lo scripts like
 # Telugu 'ఈ', Lm modifiers) delimit words, so 'ఈa'.title() == 'ఈA'.
-# Lookarounds keep the delimiters themselves intact.
+# (Java's binary Uppercase/Lowercase regex properties agree with CPython's
+# cased set, including Other_Uppercase symbols like 🅐 — verified by the
+# full-codepoint differential probe in tests/test_properties.py.)
 _CASED = r"\p{IsLowercase}\p{IsUppercase}\p{Lt}"
-_CASED_EDGE = rf"(?<=[{_CASED}])(?=[^{_CASED}])|(?<=[^{_CASED}])(?=[{_CASED}])"
+# Alternating cased / non-cased RUNS, matched FORWARD. The former
+# implementation split on zero-width lookaround edges, but Java regex
+# lookbehind steps back one UTF-16 code UNIT, so after a supplementary
+# cased char (🅐, Deseret 𐐀, math-alphanumeric 𝐀) it inspected a lone low
+# surrogate, classified it non-cased, and split a spurious word boundary
+# ('🅐A' → '🅐' + 'A' → title left 'A' uppercase where CPython lowercases
+# it). Forward run-extraction matches whole code points — no lookbehind.
+_CASED_RUNS = rf"[{_CASED}]+|[^{_CASED}]+"
 
 
 def _title_case(c: Column) -> Column:
@@ -80,7 +89,7 @@ def _title_case(c: Column) -> Column:
     "Drum&Bass", "don't" → "Don'T", "ఈa" → "ఈA" — all exactly as CPython.
     (Known divergence: one-to-many case maps — Java upper('ß') = 'SS' where
     Python titlecases to 'Ss'.)"""
-    parts = F.split(c, _CASED_EDGE)
+    parts = F.regexp_extract_all(c, F.lit(_CASED_RUNS), 0)
     return F.array_join(
         F.transform(
             parts,
