@@ -152,6 +152,33 @@ def _pq_nearest(vmat, packed):
         yield s, js, best, acc[np.arange(n), best]
 
 
+def _packed_dim(packed: dict) -> int:
+    """Total vector dimensionality a packed codebook encodes (Σ dsub)."""
+    return sum(cmat.shape[1] for _js, cmat in packed.values())
+
+
+def _vmat_fixed(vs, expected_dim):
+    """Arrow vector batch → (n, expected_dim) float64 matrix, degenerate
+    rows NaN-padded (ADVICE r12: ``list(None)`` raised, ragged batches
+    raised, long vectors silently truncated-scored). Parity with the
+    pre-kernel expression plans: a NULL vector / missing tail slice made
+    the subspace d2 NULL, which sorted nulls-first to codeword j=0 and
+    contributed NULL (skipped) error units — NaN pads reproduce exactly
+    that through ``_pq_nearest``'s NaN→inf argmin (j=0, d2 NaN); a LONGER
+    vector scored its first ``expected_dim`` dims (slice semantics), so
+    the tail is truncated, not an error."""
+    import numpy as np
+
+    out = np.full((len(vs), expected_dim), np.nan)
+    for i, v in enumerate(vs):
+        if v is None:
+            continue
+        arr = np.asarray(v, dtype=np.float64)
+        L = min(arr.shape[0], expected_dim)
+        out[i, :L] = arr[:L]
+    return out
+
+
 def pq_codebook(df: DataFrame, id_col: str, vec_col: str, k: int = PQ_K) -> DataFrame:
     """(s, j, cbv): per-subspace codewords = subvectors of the k
     md5-priority sample vectors. Config-constant size (m·k rows).
@@ -205,9 +232,6 @@ def pq_codebook_trained(
     chain. Fixed ``iters`` keeps the oracle mirrorable (generated CTE per
     round). Memoized per (input frame, params): training is eager jobs
     now, and PQ deployment semantics are train-once/encode-forever."""
-    import numpy as np
-    import pandas as pd
-
     memo_key = ("cbt", id_col, vec_col, k, iters, round_scale)
     per = _PQ_MEMO.get(df)
     if per is not None and memo_key in per:
@@ -217,9 +241,30 @@ def pq_codebook_trained(
     vecs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
     if iters > 1:
         # each Lloyd round is an eager job over the vectors; persist the
-        # training input across rounds (released below) — real PQ trains
-        # on a bounded sample, so this is executor-memory-sized by policy
+        # training input across rounds (released in the finally below even
+        # if a round fails — ADVICE r12: eager collect jobs run between
+        # persist and unpersist, so an exception leaked the cache for the
+        # session) — real PQ trains on a bounded sample, so this is
+        # executor-memory-sized by policy
         vecs = vecs.persist()
+    try:
+        cb = _train_rounds(df, cb, vecs, iters, round_scale)
+    finally:
+        if iters > 1:
+            vecs.unpersist()
+    out = _literal_codebook(df.sparkSession, cb)
+    if per is None:
+        per = _PQ_MEMO.setdefault(df, {})
+    per[memo_key] = out
+    return out
+
+
+def _train_rounds(df, cb, vecs, iters, round_scale):
+    """The eager Lloyd loop of :func:`pq_codebook_trained` (factored so
+    the persist lifecycle wraps it in one try/finally)."""
+    import numpy as np
+    import pandas as pd
+
     for _ in range(iters):
         # literal-ize the codebook BEFORE each round: cb is re-collected
         # (and re-planned by the update join) every round, and a lazy
@@ -228,11 +273,27 @@ def pq_codebook_trained(
         cb = _literal_codebook(df.sparkSession, cb)
         packed = _collect_codebook(cb)
 
-        def _asg(batches, packed=packed):
+        exp_dim = _packed_dim(packed)
+
+        def _asg(batches, packed=packed, exp_dim=exp_dim):
             for pdf in batches:
                 if pdf.empty:
                     continue
-                vmat = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+                # training precondition: NULL / short vectors fail LOUDLY
+                # (ADVICE r12 — list(None) used to die as an opaque
+                # executor TypeError). Longer vectors train on their
+                # first exp_dim dims, the pre-kernel slice semantics.
+                bad = sum(
+                    1 for v in pdf["__v"] if v is None or len(v) < exp_dim
+                )
+                if bad:
+                    raise ValueError(
+                        f"pq_codebook_trained: {bad} vector(s) in a batch of "
+                        f"{len(pdf)} are NULL or shorter than the codebook "
+                        f"dimensionality {exp_dim}; PQ training requires "
+                        f"non-null fixed-dim vectors — filter or pad upstream"
+                    )
+                vmat = _vmat_fixed(pdf["__v"], exp_dim)
                 frames = []
                 for s, js, best, _dm in _pq_nearest(vmat, packed):
                     dsub = packed[s][1].shape[1]
@@ -270,15 +331,10 @@ def pq_codebook_trained(
         cb = cb.join(upd, ["s", "j"], "left").select(
             "s", "j", F.coalesce("__new", "cbv").alias("cbv")
         )
-    # literal final table: training already ran eagerly above; re-planning
-    # the iteration chain for every consumer would re-pay it per subtree
-    out = _literal_codebook(df.sparkSession, cb)
-    if iters > 1:
-        vecs.unpersist()
-    if per is None:
-        per = _PQ_MEMO.setdefault(df, {})
-    per[memo_key] = out
-    return out
+    # the final _literal_codebook in the caller makes the returned table a
+    # LocalTableScan: training already ran eagerly above; re-planning the
+    # iteration chain for every consumer would re-pay it per subtree
+    return cb
 
 
 def _literal_codebook(spark, cb: DataFrame) -> DataFrame:
@@ -319,11 +375,15 @@ def pq_quantization_error(
             F.sum(F.lit(None).cast("long")).alias("err_units")
         )
 
+    exp_dim = _packed_dim(packed)
+
     def _err(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            vmat = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            # NULL/short vectors → NaN pads → NaN d2 → NULL error units,
+            # skipped by the SUM — the old expression plan's behavior
+            vmat = _vmat_fixed(pdf["__v"], exp_dim)
             units = np.zeros(0)
             for _s, _js, _best, dmin in _pq_nearest(vmat, packed):
                 units = np.concatenate([units, np.floor(dmin * 1_000_000 + 0.5)])
@@ -371,11 +431,15 @@ def pq_encode(
             "vec_id", "CAST(NULL AS INT) s", "CAST(NULL AS INT) code", *carry
         ).filter(F.lit(False))
 
+    exp_dim = _packed_dim(packed)
+
     def _enc(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            vmat = np.array([list(v) for v in pdf["__v"]], dtype=np.float64)
+            # NULL/short vectors → NaN pads → NaN d2 → argmin j=0: the
+            # pre-kernel window's nulls-first rank-1 behavior, row kept
+            vmat = _vmat_fixed(pdf["__v"], exp_dim)
             ids = pdf["vec_id"].to_numpy()
             frames = []
             for s, js, best, _dm in _pq_nearest(vmat, packed):

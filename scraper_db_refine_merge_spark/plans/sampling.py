@@ -1078,11 +1078,15 @@ def q147_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the near-dup pairs: they are consumed THREE times (the CC
     # fold inside dup_clusters — eager at build — plus both leak joins at
     # exec), and each re-execution re-pays the shingle pair join; the
-    # pair set is threshold-restricted, orders smaller than the corpus
-    pairs = (
-        dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2)
-        .select("a_id", "b_id")
-        .persist()
+    # pair set is threshold-restricted, orders smaller than the corpus.
+    # Tracked (ADVICE r12 — a bare persist leaked for the session):
+    # callers release via _cache.release_caches() after materializing.
+    from ..operators._cache import persist_tracked
+
+    pairs = persist_tracked(
+        dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2).select(
+            "a_id", "b_id"
+        )
     )
     lab = dup_clusters(pairs).select("doc_id", "cluster_id")
     split_of = lambda c: (  # noqa: E731

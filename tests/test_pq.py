@@ -265,3 +265,89 @@ def test_encode_empty_codebook_is_empty_with_schema(spark, sf_dir):
     out = pq_encode(e, cb, "vec_id", "embedding", carry=("label",))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["vec_id", "s", "code", "label"]
+
+
+def test_encode_degenerate_vectors_null_propagate_not_crash(spark, sf_dir):
+    """ADVICE r12: the encode kernel used to crash the whole task on a
+    NULL vector (list(None) → TypeError) and on ragged batches. Parity
+    target is the pre-kernel expression plan: NULL/short subvector d2 was
+    NULL → nulls-first window → code 0; longer vectors scored their first
+    64 dims (slice semantics)."""
+    e = load_table(spark, sf_dir, "embeddings").limit(30)
+    cb = pq_codebook(e, "vec_id", "embedding")
+
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dirty = base.unionByName(
+        spark.createDataFrame(
+            [
+                (100001, None),  # NULL vector
+                (100002, [float(i) for i in range(10)]),  # short (10 < 64)
+            ],
+            "vec_id long, v array<double>",
+        )
+    ).unionByName(
+        # long (70 > 64): codes must equal the truncated-to-64 encoding
+        base.limit(1).select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.concat("v", F.array(*[F.lit(float(d)) for d in range(6)])).alias("v"),
+        )
+    )
+    codes = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq_encode(dirty, cb, "vec_id", "v").collect()
+    }
+    # every input row encodes to exactly m rows
+    assert len(codes) == (30 + 3) * PQ_M
+    # NULL vector → code 0 in every subspace (nulls-first j=0 parity)
+    assert all(codes[(100001, s)] == 0 for s in range(PQ_M))
+    # short vector: s=0 covers dims 0-7 (present) → scored normally;
+    # s=1 is partially null-padded, s>=2 fully → code 0
+    assert all(codes[(100002, s)] == 0 for s in range(1, PQ_M))
+    # long vector scores its first 64 dims → same codes as the original
+    long_id = next(vid for vid, _s in codes if vid >= 200000)
+    assert all(
+        codes[(long_id, s)] == codes[(long_id - 200000, s)] for s in range(PQ_M)
+    )
+
+
+def test_quantization_error_skips_null_vectors(spark, sf_dir):
+    """NULL/short vectors contribute NULL error units, skipped by the SUM
+    (old expression-plan parity) — the total is unchanged."""
+    from scraper_db_refine_merge_spark.operators.pq import pq_quantization_error
+
+    e = load_table(spark, sf_dir, "embeddings").limit(30)
+    cb = pq_codebook(e, "vec_id", "embedding")
+    clean = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(100001, None), (100002, [1.0, 2.0])],
+            "vec_id long, v array<double>",
+        )
+    )
+    a = pq_quantization_error(clean, cb, "vec_id", "v").collect()[0]["err_units"]
+    b = pq_quantization_error(dirty, cb, "vec_id", "v").collect()[0]["err_units"]
+    assert a == b
+
+
+def test_trained_codebook_rejects_null_vectors_loudly(spark, sf_dir):
+    """Training has a strict precondition (ADVICE r12): a NULL or short
+    vector fails with a clear message, not an opaque executor TypeError.
+    The null row's id is chosen with the LARGEST md5 priority so the
+    sampled codebook seeds stay clean and the failure comes from the
+    training kernel itself."""
+    import hashlib
+
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings").limit(40)
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    null_id = max(
+        range(100000, 100100), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    dirty = base.unionByName(
+        spark.createDataFrame([(null_id, None)], "vec_id long, v array<double>")
+    )
+    from scraper_db_refine_merge_spark.operators.pq import pq_codebook_trained
+
+    with pytest.raises(Exception, match="non-null fixed-dim"):
+        pq_codebook_trained(dirty, "vec_id", "v", iters=2).collect()

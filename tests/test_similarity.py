@@ -288,3 +288,40 @@ def test_semantic_index_late_small_id_demotes_stored_vector(spark, tmp_path):
     fold_semantic_index(spark, root, batch1, threshold=0.9)
     st = {r["vec_id"]: r["kept"] for r in semantic_index_state(spark, root).collect()}
     assert st == {7: 1, 50: 0, 60: 1}  # stored 50 demoted, new min-id 7 kept
+
+
+def test_pair_cosine_null_element_is_null_not_nan(spark):
+    """ADVICE r12 (medium): Arrow coerces a null float element to NaN
+    inside the kernel's ndarray, and NaN sorts FIRST under the topk
+    NaN-greatest DESC order — so without the JVM-side null flag a
+    corrupted vector silently became the rank-1 neighbor. Pin the full
+    parity table: clean → value, null element → NULL, NULL vector → NULL,
+    length mismatch → NULL, genuine NaN element → NULL (the degenerate-
+    pair contract: every corrupt cosine is SQL NULL and sorts LAST — the
+    HOF's NaN would sort first)."""
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        _pair_cosine_scores,
+    )
+
+    joined = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 10, [1.0, 2.0]),  # clean
+            (1, [1.0, 2.0], 11, [1.0, None]),  # null element
+            (1, [1.0, 2.0], 12, None),  # NULL vector
+            (1, [1.0, 2.0], 13, [float("nan"), 2.0]),  # genuine NaN
+            (1, [1.0, 2.0], 14, [1.0, 2.0, 3.0]),  # length mismatch
+            (1, [None, 2.0], 15, [1.0, 2.0]),  # null element, query side
+        ],
+        "query_id long, __qvec array<double>, neighbor_id long, "
+        "__nvec array<double>",
+    )
+    got = {
+        r["neighbor_id"]: r["cosine_sim"]
+        for r in _pair_cosine_scores(joined, "bigint", "bigint", 5).collect()
+    }
+    assert got[10] == 1.0
+    assert got[11] is None
+    assert got[12] is None
+    assert got[13] is None
+    assert got[14] is None
+    assert got[15] is None
