@@ -97,16 +97,87 @@ def decode_image(content: bytes):
     return Image.open(io.BytesIO(content))
 
 
+def decode_bmp(content: bytes):
+    """(width, height, luma_rows) for an UNCOMPRESSED BI_RGB 24/32-bit
+    BMP — pure stdlib ``struct`` (~no dependencies), the in-container REAL
+    decode path for the image lane (VERDICT r12 item 6; the audio lane's
+    PCM-WAV precedent). Rows are top-first lists of 0..255 luminance ints
+    (integer BT.601: (299R + 587G + 114B) // 1000 — Pillow's ``L``
+    formula), handling bottom-up and top-down files and 4-byte row
+    padding. Compressed formats and exotic headers still raise
+    NotImplementedError — those genuinely need an imaging library."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise NotImplementedError("not an uncompressed BMP blob")
+    (pix_off,) = struct.unpack_from("<I", content, 10)
+    (hdr_size,) = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant unsupported")
+    width, height = struct.unpack_from("<ii", content, 18)
+    _planes, bpp = struct.unpack_from("<HH", content, 26)
+    (comp,) = struct.unpack_from("<I", content, 30)
+    if comp != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise NotImplementedError(
+            f"unsupported BMP (bpp={bpp}, compression={comp})"
+        )
+    topdown = height < 0
+    h = abs(height)
+    bytespp = bpp // 8
+    stride = ((width * bytespp + 3) // 4) * 4
+    if len(content) < pix_off + h * stride:
+        raise NotImplementedError("truncated BMP pixel array")
+    rows = []
+    for r in range(h):
+        base = pix_off + (r if topdown else h - 1 - r) * stride
+        row = []
+        for c in range(width):
+            b0 = base + c * bytespp
+            bl, gr, rd = content[b0], content[b0 + 1], content[b0 + 2]
+            row.append((299 * rd + 587 * gr + 114 * bl) // 1000)
+        rows.append(row)
+    return width, h, rows
+
+
+def _box_thumb(rows, width: int, height: int, side: int):
+    """``side``×``side`` box-mean downsample of a luminance grid — the
+    deterministic thumbnail for the stdlib decode path (Pillow's resample
+    kernels are not reproduced; the feature contract is dim/range/
+    determinism, not cross-decoder equality)."""
+    out = []
+    for ty in range(side):
+        y0 = ty * height // side
+        y1 = max((ty + 1) * height // side, y0 + 1)
+        for tx in range(side):
+            x0 = tx * width // side
+            x1 = max((tx + 1) * width // side, x0 + 1)
+            acc = n = 0
+            for y in range(min(y0, height - 1), min(y1, height)):
+                r = rows[y]
+                for x in range(min(x0, width - 1), min(x1, width)):
+                    acc += r[x]
+                    n += 1
+            out.append(acc / n)
+    return out
+
+
 def real_image_features(content: bytes, dim: int = FEATURE_DIM):
-    """Real decode + feature path (used when Pillow is importable):
-    (width, height, features) where features is an 8×8 grayscale thumbnail
-    flattened to ``dim`` floats in [-1, 1] — a genuine content-based
-    embedding (perceptual-hash-style), deterministic for a given image."""
-    img = decode_image(content)
-    width, height = img.size
+    """Real decode + feature path: (width, height, features) where
+    features is an 8×8 grayscale thumbnail flattened to ``dim`` floats in
+    [-1, 1] — a genuine content-based embedding (perceptual-hash-style),
+    deterministic for a given image. Decoder: Pillow when importable (any
+    format it reads); otherwise the stdlib BMP parser (r13) — so this
+    container has a TESTED real path for uncompressed BMP, and only
+    compressed formats keep the NotImplementedError gate."""
     side = 8
-    thumb = img.convert("L").resize((side, side))
-    px = list(thumb.getdata())  # side*side values in 0..255
+    if pil_available():
+        img = decode_image(content)
+        width, height = img.size
+        thumb = img.convert("L").resize((side, side))
+        px = list(thumb.getdata())  # side*side values in 0..255
+    else:
+        width, height, rows = decode_bmp(content)
+        px = _box_thumb(rows, width, height, side)
     feats = [float(p) / 255.0 * 2.0 - 1.0 for p in px]
     if len(feats) < dim:  # dim > 64: tile deterministically
         feats = (feats * (dim // len(feats) + 1))[:dim]
@@ -192,16 +263,18 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def extract_image_features(media: DataFrame, use_decoder: str = "auto") -> DataFrame:
     """Image decode + dims + content features over the binary column.
 
-    ``use_decoder``: "auto" decodes with Pillow when importable, else the
-    deterministic md5 stand-in (width/height NULL); "always" requires the
-    decoder (tasks fail loudly without it); "never" forces the stand-in —
-    the replay-stable mode the oracle-gated queries use. Same Arrow-batched
-    ``mapInPandas`` plumbing either way: swapping the encoder never changes
-    the plan shape, partitioning, or memory profile.
+    ``use_decoder``: "auto" really decodes blobs the environment can read
+    (any Pillow format when Pillow is importable; uncompressed BMP via the
+    stdlib parser otherwise — r13) and falls back to the deterministic md5
+    stand-in per blob (width/height NULL), the audio lane's per-blob
+    pattern; "always" requires every blob to decode (tasks fail loudly);
+    "never" forces the stand-in — the replay-stable mode the oracle-gated
+    queries use. Same Arrow-batched ``mapInPandas`` plumbing either way:
+    swapping the encoder never changes the plan shape, partitioning, or
+    memory profile.
     """
     if use_decoder not in ("auto", "always", "never"):
         raise ValueError(f"unknown use_decoder {use_decoder!r}")
-    decode = use_decoder == "always" or (use_decoder == "auto" and pil_available())
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -210,10 +283,16 @@ def extract_image_features(media: DataFrame, use_decoder: str = "auto") -> DataF
                 if content is None:
                     continue
                 blob = bytes(content)
-                if decode:
+                w = h = None
+                if use_decoder == "always":
                     w, h, feats = real_image_features(blob)
+                elif use_decoder == "never":
+                    feats = _fake_features(blob)
                 else:
-                    w, h, feats = None, None, _fake_features(blob)
+                    try:
+                        w, h, feats = real_image_features(blob)
+                    except NotImplementedError:
+                        feats = _fake_features(blob)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import hashlib
 from weakref import WeakKeyDictionary
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -965,6 +965,7 @@ def cosine_near_dup_pairs(
     num_planes: int = 6,
     num_tables: int = 4,
     round_scale: int = 5,
+    max_bucket_successors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH + verify.
 
@@ -974,7 +975,16 @@ def cosine_near_dup_pairs(
     deduped on ids BEFORE vectors are re-attached, so each pair is scored
     exactly once and the wide embedding arrays never ride through the
     candidate shuffle — at corpus scale the joins stay id-keyed.
-    """
+
+    ``max_bucket_successors`` (VERDICT r12 item 4): cap candidate
+    generation — within each bucket a vector pairs only with its m
+    id-ordered successors, so a dup-clique of size c emits ≤ c·m·tables
+    candidates instead of c²/2 (the uncapped bucket self-join is what the
+    10× scale smoke measures as ~quadratic pair growth on replicated
+    corpora). The successor chain keeps cliques connected, so
+    connected-components clustering over the capped pairs is unchanged;
+    only the transitive-closure rows are dropped. One ``lead`` window
+    pass per bucket — linear work even in a hot bucket."""
     dim = detect_fixed_dim(df, vec_col)
     # The bucket table is the LSH index: (id, bucket) only — num_tables
     # short strings per vector, a sliver of the corpus width. persist()
@@ -998,13 +1008,30 @@ def cosine_near_dup_pairs(
         )
         bt = df.select(F.col(id_col).alias("vid"), F.explode(sigs).alias("bucket"))
     b = persist_tracked(bt)
-    a = b.alias("a")
-    c = b.alias("c")
-    cand = (
-        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vid") < F.col("c.vid")))
-        .select(F.col("a.vid").alias("a_id"), F.col("c.vid").alias("b_id"))
-        .distinct()
-    )
+    if max_bucket_successors is None:
+        a = b.alias("a")
+        c = b.alias("c")
+        cand = (
+            a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vid") < F.col("c.vid")))
+            .select(F.col("a.vid").alias("a_id"), F.col("c.vid").alias("b_id"))
+            .distinct()
+        )
+    else:
+        wb = Window.partitionBy("bucket").orderBy("vid")
+        cand = (
+            b.select(
+                F.col("vid").alias("a_id"),
+                F.array(
+                    *[
+                        F.lead("vid", j).over(wb)
+                        for j in range(1, max_bucket_successors + 1)
+                    ]
+                ).alias("__succ"),
+            )
+            .select("a_id", F.explode("__succ").alias("b_id"))
+            .filter(F.col("b_id").isNotNull())
+            .distinct()
+        )
     # Verify with per-vector norms computed ONCE on the vector table and
     # carried through the join — the per-pair work drops to one dot product
     # (vs dot + two norms when cosine() runs per pair). selectExpr strings

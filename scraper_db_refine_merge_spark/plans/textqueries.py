@@ -754,3 +754,55 @@ def q114_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("re_toks").alias("regex_tokens"),
         F.round(F.sum("re_toks").cast("double") / F.sum("ws_toks"), 4).alias("inflation"),
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — OUTPUT-CAPPED MinHash/LSH near-dup pairs (VERDICT r12 item 4): the
+# q25 pipeline with capped candidate generation — within each (band,
+# band_sig) bucket a doc pairs only with its 3 id-ordered successors, so a
+# dup-clique of size c emits ≤ c·3·n_bands candidates instead of c²/2 (the
+# shape that made the uncapped emitter's 10× scale smoke grow ~50×).
+# Successor chains keep cliques connected, so CC dup-clustering over these
+# pairs equals the uncapped clustering; the dropped rows are the explicit
+# transitive closure nobody scans at 100 TB. Deterministic (md5 bands, id
+# order, first-m cap) — the oracle mirrors the cap as a per-bucket
+# ROW_NUMBER difference bound.
+
+_CAP_SUCCESSORS = 3
+
+
+@_register(
+    "q159_minhash_capped_pairs",
+    f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_MH_BAND_UNION}
+    ),
+    brn AS (
+        SELECT doc_id, band, band_sig,
+               ROW_NUMBER() OVER (PARTITION BY band, band_sig
+                                  ORDER BY doc_id) AS rn
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM brn a JOIN brn b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND b.rn - a.rn BETWEEN 1 AND {_CAP_SUCCESSORS}
+    ),
+    {_SQL_PAIR_JACCARD.lstrip()}
+    SELECT j.a_id, j.b_id, j.intersection, j.jaccard
+    FROM jac j JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
+    WHERE j.jaccard >= 0.2
+    """,
+)
+def q159_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(
+        d, "doc_id", "text", k=5, threshold=0.2,
+        max_band_successors=_CAP_SUCCESSORS,
+    )

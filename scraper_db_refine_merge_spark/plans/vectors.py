@@ -1328,3 +1328,62 @@ def q150_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_vectors AS BIGINT) AS n_vectors",
         "CAST(tot AS BIGINT) AS sum_d2q",
     )
+
+
+# --------------------------------------------------------------------------
+# q160 — OUTPUT-CAPPED embedding-cosine LSH near-dup pairs (VERDICT r12
+# item 4): q55's multi-table pipeline with capped candidate generation —
+# within each bucket a vector pairs only with its 3 id-ordered successors
+# (≤ c·3·tables candidates per dup-clique of size c instead of c²/2, the
+# uncapped emitter's measured ~quadratic pair growth on replicated
+# corpora). Successor chains keep cliques CC-connected; the oracle mirrors
+# the cap as a per-bucket ROW_NUMBER difference bound over the identical
+# md5-derived buckets.
+
+_CAPND_SUCCESSORS = 3
+
+
+@_register(
+    "q160_cosine_lsh_capped_pairs",
+    f"""
+    WITH b AS (
+        SELECT vec_id AS vid,
+               unnest([{", ".join(_sql_table_bucket(t, _ND_PLANES) for t in range(_ND_TABLES))}]) AS bucket
+        FROM embeddings
+    ),
+    brn AS (
+        SELECT vid, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vid) AS rn
+        FROM b
+    ),
+    cand AS (
+        SELECT DISTINCT a.vid AS a_id, c.vid AS b_id
+        FROM brn a JOIN brn c
+          ON a.bucket = c.bucket
+         AND c.rn - a.rn BETWEEN 1 AND {_CAPND_SUCCESSORS}
+    ),
+    pairs AS (
+        SELECT cand.a_id, cand.b_id, ea.embedding AS qv, eb.embedding AS cv
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.a_id
+        JOIN embeddings eb ON eb.vec_id = cand.b_id
+    ),
+    scored AS (
+        SELECT a_id, b_id,
+               ROUND({_SQL_DOT} / ({_SQL_QNORM} * {_SQL_CNORM}), 5) AS cosine_sim
+        FROM pairs
+    )
+    SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= {_ND_THRESHOLD}
+    """,
+)
+def q160_cosine_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        e,
+        threshold=_ND_THRESHOLD,
+        num_planes=_ND_PLANES,
+        num_tables=_ND_TABLES,
+        max_bucket_successors=_CAPND_SUCCESSORS,
+    )

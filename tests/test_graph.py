@@ -153,3 +153,38 @@ def test_fold_components_preserves_singletons(spark, tmp_path):
     b2 = spark.createDataFrame([(5, 6)], "a_id long, b_id long")
     folded = {r["node"]: r["component"] for r in fold_components(spark, target, b2).collect()}
     assert folded == {1: 1, 2: 1, 5: 5, 6: 5, 99: 99}
+
+
+def test_capped_pair_emitters_keep_cliques_connected(spark):
+    """VERDICT r12 item 4: the output-capped candidate generators bound a
+    dup-clique's pairs at c·m per band/bucket (not c²/2) while the
+    successor CHAIN keeps the clique connected — so connected-components
+    dup-clustering over capped pairs equals the uncapped clustering."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators import dedup as dd
+    from scraper_db_refine_merge_spark.operators.graph import dup_clusters
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(8)]
+        + [(100 + i, f"totally unrelated document number {i} with words "
+                     f"alpha beta gamma delta epsilon zeta eta theta")
+           for i in range(3)],
+        "doc_id long, text string",
+    )
+    capped = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.4, max_band_successors=2
+    ).select("a_id", "b_id")
+    full = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.4
+    ).select("a_id", "b_id")
+    # the 8-clique: capped emits at most c·m·n_bands pairs, full emits c²/2
+    assert capped.count() < full.count() == 28
+    cc_capped = {
+        (r["doc_id"], r["cluster_id"]) for r in dup_clusters(capped).collect()
+    }
+    cc_full = {
+        (r["doc_id"], r["cluster_id"]) for r in dup_clusters(full).collect()
+    }
+    assert cc_capped == cc_full  # same clusters, fraction of the pairs

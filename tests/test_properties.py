@@ -419,3 +419,104 @@ def test_driver_money_columns_are_exact_2dec_nonneg(spark, sf_dir):
                 | (F.col(c) != F.col(c).cast("decimal(18,2)").cast("double"))
             ).count()
             assert n_bad == 0, (table, c)
+
+
+# ----------------------------------------------------------------------
+# r13 (VERDICT r12 item 7): the title-case lookbehind bug was a CLASS
+# (UTF-16 code-unit vs code-point stepping), not an instance — point the
+# differential harness at every kernel claiming CPython parity, over the
+# FULL codepoint domain including supplementary planes.
+
+from scraper_db_refine_merge_spark.functions.ids import (  # noqa: E402
+    composite_event_id,
+    slugify,
+)
+
+# full-range text incl. supplementary planes (surrogates excluded — they
+# are not encodable scalar values)
+_astral_text = st.text(
+    alphabet=st.characters(codec="utf-8", blacklist_categories=("Cs",)),
+    max_size=24,
+)
+
+
+def _py_slugify(s):
+    return re.sub(r"[^a-zA-Z0-9_-]", "_", s.lower())
+
+
+@SETTINGS
+@given(st.lists(_astral_text, min_size=1, max_size=60))
+def test_slugify_differential_full_codepoint(spark, values):
+    """slugify ≡ re.sub(r'[^a-zA-Z0-9_-]', '_', s.lower()) everywhere the
+    case TABLES agree (the documented parity domain — 1→many expansions
+    and Unicode-version skew are excluded by the computed divergence set).
+    A code-unit-stepping regex would split one astral char into TWO
+    underscores; this pins one char → one underscore."""
+    values = _in_parity_domain(spark, values)
+    if not values:
+        return
+    got = _run(spark, values, slugify)
+    assert got == [_py_slugify(v) for v in values]
+    # the marquee class: one supplementary char -> exactly one underscore
+    astral = ["𝔸", "😀a", "a𝕏b", "🅐" * 3]
+    assert _run(spark, astral, slugify) == [_py_slugify(v) for v in astral]
+
+
+_entity_astral = st.lists(
+    st.sampled_from(
+        ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&#x27;", "&apos;",
+         "&nbsp;", "plain", "a&b", " ", "𝔸", "😀", "𐍈"]
+    ),
+    max_size=8,
+).map("".join)
+
+
+@SETTINGS
+@given(st.lists(_entity_astral, min_size=1, max_size=60))
+def test_html_unescape_astral_differential(spark, values):
+    """The literal replace chain must be byte-exact around supplementary
+    chars adjacent to (and between) entities — the documented domain is
+    the 8-entity table; html.unescape agrees with it on these inputs."""
+    got = _run(spark, values, html_unescape)
+    assert got == [html_mod.unescape(v).replace("\xa0", " ") for v in values]
+
+
+def _py_event_id(fields):
+    import hashlib as _h
+
+    parts = [
+        "none" if f is None else re.sub(r"^\s+|\s+$", "", f).lower()
+        for f in fields
+    ]
+    return _h.sha256("|".join(parts).encode("utf-8")).hexdigest()
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(_ws_text | st.none(), _astral_text | st.none()),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_composite_event_id_differential(spark, pairs):
+    """composite_event_id ≡ sha256('|'.join(strip+lower fields)) on the
+    whitespace parity domain (ASCII edge whitespace — Python's \\s strips
+    \\x1c-\\x1f, Java's does not, the normalize_whitespace exclusion) with
+    full-codepoint payloads, lower() restricted to the agreeing tables."""
+    flat = [p[0] for p in pairs] + [p[1] for p in pairs]
+    ok = set(_in_parity_domain(spark, [v for v in flat if v is not None]))
+    pairs = [
+        p for p in pairs
+        if all(v is None or (v in ok and not set(v) & set("\x1c\x1d\x1e\x1f")) for v in p)
+    ]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["o"]
+        for r in df.select(
+            composite_event_id(F.col("a"), F.col("b")).alias("o")
+        ).collect()
+    ]
+    assert got == [_py_event_id(p) for p in pairs]

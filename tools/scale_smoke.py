@@ -312,6 +312,20 @@ def main():
             lambda: dd.minhash_dedup_pairs(docs, "doc_id", "text", max_shingle_freq=1000).count(),
         ),
         (
+            # r13 (VERDICT r12 item 4): capped candidate generation — a
+            # replicated clique emits chain pairs, not its square; growth
+            # must stay ~linear where the uncapped entry is output-driven
+            "minhash_capped_pairs(m=3)",
+            lambda: dd.minhash_dedup_pairs(
+                base_docs, "doc_id", "text",
+                max_shingle_freq=1000, max_band_successors=3,
+            ).count(),
+            lambda: dd.minhash_dedup_pairs(
+                docs, "doc_id", "text",
+                max_shingle_freq=1000, max_band_successors=3,
+            ).count(),
+        ),
+        (
             "simhash_near_pairs(h<=3)",
             lambda: dd.simhash_near_pairs(base_docs, "doc_id", "text", max_hamming=3).count(),
             lambda: dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).count(),
@@ -320,6 +334,15 @@ def main():
             "cosine_near_dup(lsh)",
             lambda: cosine_near_dup_pairs(base_vecs, threshold=0.4).count(),
             lambda: cosine_near_dup_pairs(vecs, threshold=0.4).count(),
+        ),
+        (
+            "cosine_near_dup_capped(m=3)",
+            lambda: cosine_near_dup_pairs(
+                base_vecs, threshold=0.4, max_bucket_successors=3
+            ).count(),
+            lambda: cosine_near_dup_pairs(
+                vecs, threshold=0.4, max_bucket_successors=3
+            ).count(),
         ),
         (
             "lsh_topk(5 queries)",
