@@ -60,6 +60,11 @@ NAMES = [
     # r12 late additions: the IVF/PQ kernel rewrites and the
     # iterative-graph materialization fixes
     "q43_ivf_topk", "q98_pagerank_fixed_point", "q147_leakage_free_split",
+    # r13 additions: the output-capped near-dup emitters (per-bucket
+    # successor windows) — q43/q138/q141/q153 above also changed shape
+    # this round (expression probes, per-cell Arrow election, auto skew
+    # regime)
+    "q159_minhash_capped_pairs", "q160_cosine_lsh_capped_pairs",
 ]
 
 
