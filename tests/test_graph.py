@@ -188,3 +188,33 @@ def test_capped_pair_emitters_keep_cliques_connected(spark):
         (r["doc_id"], r["cluster_id"]) for r in dup_clusters(full).collect()
     }
     assert cc_capped == cc_full  # same clusters, fraction of the pairs
+
+
+def test_capped_emitter_output_bound_on_mega_clique(spark):
+    """The cap's asymptotic contract, directly: a 300-doc exact-dup clique
+    emits ≤ c·m·n_bands capped candidate pairs (chain neighborhoods) where
+    the uncapped emitter's candidate set is the full c·(c-1)/2 closure —
+    and the verified-pair clustering is identical. (The 10× scale smoke
+    can't show this: replication only builds 10-cliques, where 45 vs ~25
+    pairs per clique is noise.)"""
+    from scraper_db_refine_merge_spark.operators import dedup as dd
+    from scraper_db_refine_merge_spark.operators.graph import dup_clusters
+
+    c, m = 300, 3
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(c)], "doc_id long, text string"
+    )
+    sh = dd.word_shingles(docs, "doc_id", "text", 5)
+    sig = dd.minhash_signatures(sh)
+    capped_cand = dd.lsh_candidate_pairs_capped(sig, max_successors=m).count()
+    full_cand = dd.lsh_candidate_pairs(sig).count()
+    n_bands = dd.MINHASH_NUM_HASHES // dd.MINHASH_BAND_SIZE
+    assert full_cand == c * (c - 1) // 2  # 44850: the quadratic closure
+    assert capped_cand <= c * m * n_bands  # ≤ 3600 — linear in c
+    # chain-connectivity: identical one-cluster result either way
+    capped = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.4, max_band_successors=m
+    ).select("a_id", "b_id")
+    cl = dup_clusters(capped).select("cluster_id", "cluster_size").distinct().collect()
+    assert [(r["cluster_id"], r["cluster_size"]) for r in cl] == [(0, c)]

@@ -84,6 +84,47 @@ def main() -> None:
         "\nexpected BroadcastNestedLoop/Cartesian sites."
     )
     print(
+        "\nRound-13 notes (the round's reworks; see ROADMAP 13a-13j for the"
+        "\nfull record):"
+        "\n- semantic_dedup / fold_semantic_index (q138/q141): the"
+        "\n  within-cell election is ONE grouped/cogrouped Arrow kernel per"
+        "\n  cell (groupBy(cell).applyInPandas) — the replaced cell"
+        "\n  equi-join materialized cell^2 pair ROWS (each carrying two"
+        "\n  full vectors) through the exchange and paid the interpreted"
+        "\n  HOF cosine per pair. Kernel = sequential-dim accumulation,"
+        "\n  a-axis-chunked tiles (bounded task memory on skewed cells);"
+        "\n  oracle hashes unchanged. 10x smoke 6.6x -> 2.6x."
+        "\n- probe_cells (q43/q130/q158 chain): label_centroids is now a"
+        "\n  LITERAL LocalTableScan (collect-once per corpus frame, the"
+        "\n  _literal_codebook pattern) — as a lazy plan every EXEC re-ran"
+        "\n  the corpus-wide centroid aggregation inside the probes"
+        "\n  broadcast subtree. Probe selection for <=256-cell tables is a"
+        "\n  PURE PROJECTION over the query scan (generated-SQL array"
+        "\n  literal + rank-via-count, exact row_number parity incl."
+        "\n  NaN-greatest/NULLS-LAST ordering; selection Column memoized"
+        "\n  per centroid table); crossJoin+window stays as the large-k"
+        "\n  fallback. q43 1.64 -> ~0.9 s bench warm; 10x corpus = 1.06x."
+        "\n- q153: the window-vs-groupBy skew ceiling is CODE now"
+        "\n  (repeated_span_profile): a 1%-sample probe (escalating to"
+        "\n  exact when the sample cannot resolve the threshold, memoized"
+        "\n  per corpus) switches the per-group count to groupBy+join-back"
+        "\n  (map-side combined, AQE skew-splittable) when one gram holds"
+        "\n  >10% of positions. Regimes emit identical rows."
+        "\n- q159/q160 (NEW, oracle-gated): output-capped near-dup"
+        "\n  emitters — per-bucket m-successor candidate windows bound a"
+        "\n  c-clique at c*m chain pairs vs c^2/2 (300-clique test: 44,850"
+        "\n  uncapped candidates vs <=3,600 capped, identical CC clusters);"
+        "\n  caps mirrored in SQL as ROW_NUMBER difference bounds."
+        "\n- Degenerate-vector hardening (ADVICE r12): null-element pairs"
+        "\n  flagged JVM-side before the Arrow boundary (NaN-coercion made"
+        "\n  corrupted vectors rank-1 under NaN-greatest DESC); PQ kernels"
+        "\n  NaN-pad NULL/short/long vectors (pre-kernel null-propagation"
+        "\n  parity) and training fails loudly; persist lifecycles under"
+        "\n  try/finally or tracked."
+        "\n- connected_components skips the round-1 convergence count"
+        "\n  (one job per CC build across the dup-cluster/fold family)."
+    )
+    print(
         "\nRound-12 notes (catalog-wide build census, tools/census_builds.py"
         "\nover all 144 batch queries at sf0.1, + the round's reworks):"
         "\n- q150: per-cell medoids via the exact-integer MOMENT IDENTITY"
