@@ -291,7 +291,15 @@ def extract_image_features(media: DataFrame, use_decoder: str = "auto") -> DataF
                 else:
                     try:
                         w, h, feats = real_image_features(blob)
-                    except NotImplementedError:
+                    except (NotImplementedError, OSError, ValueError):
+                        # NotImplementedError: the stdlib lane's non-BMP /
+                        # compressed gate; OSError covers Pillow's
+                        # UnidentifiedImageError + truncated-file errors,
+                        # ValueError its corrupt-header class (r13 review:
+                        # with Pillow installed a bad blob raised OSError,
+                        # never NotImplementedError, and killed the task
+                        # instead of falling back)
+                        w = h = None
                         feats = _fake_features(blob)
                 out["media_id"].append(mid)
                 out["width"].append(w)

@@ -247,14 +247,21 @@ def lsh_candidate_pairs_capped(
     its candidate shuffle) grows quadratically in clique size, which the
     10× scale smoke measures as ~50× pair growth on replicated corpora.
 
-    The successor CHAIN keeps every clique connected (consecutive ids
-    share a pair), so connected-components dup-clustering over the capped
-    pairs yields the SAME clusters; what is given up is the explicit
-    transitive closure of each clique — exactly the rows nobody scans at
-    100 TB. Deterministic: bucket membership is md5-banded, the order is
-    doc id, the cap keeps the FIRST m successors. Per-bucket work is the
-    one ``lead`` window pass — linear in bucket size (a hot bucket is one
-    task but c·m work, not c²)."""
+    Connectivity contract (r13 review — stated precisely): consecutive
+    clique members in a bucket's id order share a chain pair, so a
+    dup-clique stays ONE connected component as long as, in at least one
+    band, no two consecutive members have ≥ m non-duplicate colliders
+    (docs sharing the band signature by hash accident that then fail
+    verification) interleaved between them. Exact-duplicate cliques
+    co-occur in ALL n_bands buckets, so every band is an independent
+    chance; 32-bit band signatures keep collider density low. Heavily
+    collided buckets can still split a clique the uncapped emitter would
+    have joined — the cap is a recall/output TRADE, not a free lunch;
+    what is certainly given up is the explicit transitive closure nobody
+    scans at 100 TB. Deterministic: bucket membership is md5-banded, the
+    order is doc id, the cap keeps the FIRST m successors. Per-bucket
+    work is the one ``lead`` window pass — linear in bucket size (a hot
+    bucket is one task but c·m work, not c²)."""
     w = Window.partitionBy("band", "band_sig").orderBy("doc")
     succ = _band_rows(signatures, num_hashes, band_size).select(
         F.col("doc").alias("a_id"),
@@ -288,8 +295,10 @@ def minhash_dedup_pairs(
     (:func:`lsh_candidate_pairs_capped`) — each doc pairs with at most m
     id-ordered successors per band bucket, bounding clique output at
     c·m·n_bands pairs (the r12 scale smoke's ~50× pair growth becomes
-    ~linear); clusters via connected components are unchanged because the
-    successor chain keeps cliques connected.
+    ~linear). Clustering recall: see lsh_candidate_pairs_capped — chains
+    keep cliques connected unless ≥ m verification-failing colliders
+    interleave between consecutive members in EVERY band; a deliberate
+    recall/output trade.
 
     Verification is candidate-restricted: the shingle set is semi-joined to
     candidate docs before the pair join, so Jaccard cost scales with the

@@ -93,14 +93,15 @@ def connected_components(
             .select(F.col("h.node").alias("node"), F.least(F.col("label"), F.coalesce("ll", F.col("label"))).alias("label"))
         )
         new_labels = _materialize(jumped)
-        if i == 0:
+        if i == 0 and max_iter > 1:
             # round 1 changes labels on any graph with a non-self edge
             # (labels start as self-ids, so the first hop adopts a smaller
             # neighbor somewhere) — skip its convergence count, one job
             # per CC build across q73/q98/q102/q110/q116/q141/q147 (r13,
             # VERDICT r12 item 8). A degenerate already-converged graph
             # (self-loops only) just pays one extra round before round
-            # 2's check returns.
+            # 2's check returns. max_iter=1 keeps the check (r13 review:
+            # skipping it made a one-round convergence raise).
             labels = new_labels
             continue
         changed = (

@@ -436,8 +436,11 @@ PROBE_EXPR_MAX_CELLS = 256
 
 
 def _sql_double(x) -> str | None:
-    """Exact SQL double literal, or None for non-finite values (those fall
-    back to the window probe plan rather than risk literal-rendering)."""
+    """Exact SQL double literal, or None for NULL / non-finite values
+    (those fall back to the window probe plan rather than risk
+    literal-rendering)."""
+    if x is None:
+        return None
     x = float(x)
     if x != x or x in (float("inf"), float("-inf")):
         return None
@@ -512,7 +515,10 @@ def _cells_literal_col(cent: DataFrame, rows: list, label_col: str):
             lit = "'" + lbl.replace("\\", "\\\\").replace("'", "\\'") + "'"
         else:
             lit = str(lbl)
-        comps = [_sql_double(x) for x in r[1]]
+        # a NULL centroid array, or a NULL/non-finite component (a label
+        # whose vectors are all NULL at some dim), can't be rendered —
+        # fall back to the window plan rather than crash the build
+        comps = [_sql_double(x) for x in r[1]] if r[1] is not None else [None]
         if any(c is None for c in comps):
             break
         structs.append(
@@ -551,7 +557,13 @@ def probe_cells(
     the bits survive exactly). The replaced crossJoin + row_number window
     paid two exchanges inside the probes broadcast subtree on every exec;
     above the cell bound (or for non-finite / non-int/str labels) that
-    window plan IS the right shape, so it remains as the fallback."""
+    window plan IS the right shape, so it remains as the fallback.
+
+    Precondition: query_id is unique per row (every caller keys queries
+    by id). Duplicate ids are degenerate in BOTH regimes — the window
+    fallback row_numbers across the merged partition (mixing the two
+    vectors' probes), the expression path emits nprobe probes per ROW —
+    neither is meaningful; the regimes agree on all well-formed input."""
     from pyspark.sql import Window
 
     rows = _collect_centroids(cent, label_col)
@@ -981,10 +993,15 @@ def cosine_near_dup_pairs(
     id-ordered successors, so a dup-clique of size c emits ≤ c·m·tables
     candidates instead of c²/2 (the uncapped bucket self-join is what the
     10× scale smoke measures as ~quadratic pair growth on replicated
-    corpora). The successor chain keeps cliques connected, so
-    connected-components clustering over the capped pairs is unchanged;
-    only the transitive-closure rows are dropped. One ``lead`` window
-    pass per bucket — linear work even in a hot bucket."""
+    corpora). Connectivity is a recall/output TRADE, not a free lunch
+    (r13 review): a clique stays one component as long as < m
+    verification-failing bucket colliders interleave between consecutive
+    members in at least one of the ``num_tables`` tables — and with only
+    2^num_planes buckets per table, colliders are COMMON at corpus
+    scale, so raise ``num_planes`` together with the cap when capped
+    recall matters. Only the transitive-closure rows are dropped for
+    well-separated buckets. One ``lead`` window pass per bucket — linear
+    work even in a hot bucket."""
     dim = detect_fixed_dim(df, vec_col)
     # The bucket table is the LSH index: (id, bucket) only — num_tables
     # short strings per vector, a sliver of the corpus width. persist()
@@ -1133,10 +1150,16 @@ def _cell_dropped_ids(
 
     Parity with the replaced join + HOF-filter plan: sequential-over-dims
     accumulation (``_seq_norm`` order), half-away-from-zero rounding, and
-    Spark's NaN-greatest comparison (``NaN >= t`` is TRUE, so a zero-norm
-    pair DID qualify) — while a pair touching a null-element vector was
-    NULL ≥ t → filtered, so those rows are flagged JVM-side and excluded
-    (the Arrow boundary would otherwise blur them into NaN = qualify)."""
+    Spark's NaN-greatest comparison — a pair whose cosine is NaN from a
+    NaN ELEMENT did qualify (``NaN >= t`` is TRUE) and still does. Two
+    deliberate divergences for corrupt data (r13 review): a pair touching
+    a null-element vector was NULL ≥ t → filtered, so those rows are
+    flagged JVM-side and excluded (the Arrow boundary would otherwise
+    blur them into NaN = qualify); and a ZERO-NORM vector — where the HOF
+    plan raised DIVIDE_BY_ZERO under the session's ANSI default — takes
+    the kernel family's degenerate-pair NULL contract instead
+    (_pair_cosine_scores): it never qualifies, rather than silently
+    deleting every larger-id vector in its cell or killing the job."""
     import numpy as np
     import pandas as pd
 
@@ -1164,6 +1187,11 @@ def _cell_dropped_ids(
                 [list(pdf["__vec"].iloc[i]) for i in idx], dtype=np.float64
             )
             norms = _seq_norm(mat, L)
+            # zero-norm vectors never qualify (the degenerate-pair NULL
+            # contract — the HOF plan raised DIVIDE_BY_ZERO here); NaN
+            # ELEMENTS give NaN norms, not zero, and keep qualifying
+            # under NaN-greatest like the HOF did
+            zn = norms == 0
             dropped = np.zeros(len(idx), dtype=bool)
             # a-axis chunking bounds the pair tile: chunk×cell doubles
             chunk = max(1, 4_000_000 // len(idx))
@@ -1179,6 +1207,7 @@ def _cell_dropped_ids(
                     )
                 # Spark comparison is NaN-greatest: NaN >= t qualified
                 qual = (sims >= threshold) | np.isnan(sims)
+                qual &= ~(zn[lo:hi, None] | zn[None, :])
                 qual &= vids[lo:hi, None] < vids[None, :]
                 dropped |= qual.any(axis=0)
             if dropped.any():
@@ -1301,6 +1330,8 @@ def _cross_dropped_ids(
             lm = np.array([list(lpdf["__vec"].iloc[i]) for i in li], dtype=np.float64)
             rm = np.array([list(rpdf["__rvec"].iloc[i]) for i in ri], dtype=np.float64)
             ln, rn = _seq_norm(lm, L), _seq_norm(rm, L)
+            # zero-norm → never qualifies (see _cell_dropped_ids)
+            lzn, rzn = ln == 0, rn == 0
             lv, rv = l_ids[li], r_ids[ri]
             chunk = max(1, 4_000_000 // len(ri))
             for lo in range(0, len(li), chunk):
@@ -1314,6 +1345,7 @@ def _cross_dropped_ids(
                         np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
                     )
                 qual = (sims >= threshold) | np.isnan(sims)
+                qual &= ~(lzn[lo:hi, None] | rzn[None, :])
                 qual &= lv[lo:hi, None] != rv[None, :]
                 ai, bj = np.nonzero(qual)
                 if len(ai):

@@ -762,9 +762,11 @@ def q114_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band_sig) bucket a doc pairs only with its 3 id-ordered successors, so a
 # dup-clique of size c emits ≤ c·3·n_bands candidates instead of c²/2 (the
 # shape that made the uncapped emitter's 10× scale smoke grow ~50×).
-# Successor chains keep cliques connected, so CC dup-clustering over these
-# pairs equals the uncapped clustering; the dropped rows are the explicit
-# transitive closure nobody scans at 100 TB. Deterministic (md5 bands, id
+# Successor chains keep a clique CC-connected when < m verification-failing
+# colliders interleave between consecutive members in at least one band
+# (see lsh_candidate_pairs_capped — a deliberate recall/output trade); the
+# certainly-dropped rows are the explicit transitive closure nobody scans
+# at 100 TB. Deterministic (md5 bands, id
 # order, first-m cap) — the oracle mirrors the cap as a per-bucket
 # ROW_NUMBER difference bound.
 

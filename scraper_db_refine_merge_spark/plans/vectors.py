@@ -1336,9 +1336,12 @@ def q150_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within each bucket a vector pairs only with its 3 id-ordered successors
 # (≤ c·3·tables candidates per dup-clique of size c instead of c²/2, the
 # uncapped emitter's measured ~quadratic pair growth on replicated
-# corpora). Successor chains keep cliques CC-connected; the oracle mirrors
-# the cap as a per-bucket ROW_NUMBER difference bound over the identical
-# md5-derived buckets.
+# corpora). Successor chains keep a clique CC-connected when < m
+# verification-failing bucket colliders interleave between consecutive
+# members in at least one table (a recall/output trade — raise num_planes
+# with the cap when capped recall matters; see cosine_near_dup_pairs). The
+# oracle mirrors the cap as a per-bucket ROW_NUMBER difference bound over
+# the identical md5-derived buckets.
 
 _CAPND_SUCCESSORS = 3
 

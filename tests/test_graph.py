@@ -158,8 +158,10 @@ def test_fold_components_preserves_singletons(spark, tmp_path):
 def test_capped_pair_emitters_keep_cliques_connected(spark):
     """VERDICT r12 item 4: the output-capped candidate generators bound a
     dup-clique's pairs at c·m per band/bucket (not c²/2) while the
-    successor CHAIN keeps the clique connected — so connected-components
-    dup-clustering over capped pairs equals the uncapped clustering."""
+    successor CHAIN keeps the clique connected — on this collider-free
+    fixture (every bucket is either all-dups or all-unrelated), capped
+    clustering equals uncapped clustering; interleaved verification-
+    failing colliders can split chains (the documented recall trade)."""
     from pyspark.sql import functions as F
 
     from scraper_db_refine_merge_spark.operators import dedup as dd
@@ -218,3 +220,18 @@ def test_capped_emitter_output_bound_on_mega_clique(spark):
     ).select("a_id", "b_id")
     cl = dup_clusters(capped).select("cluster_id", "cluster_size").distinct().collect()
     assert [(r["cluster_id"], r["cluster_size"]) for r in cl] == [(0, c)]
+
+
+def test_connected_components_max_iter_one_still_converges(spark):
+    """r13 self-review: the round-1 convergence-count skip must not break
+    the max_iter=1 contract — a graph that converges in one round returns
+    its components instead of raising."""
+    from scraper_db_refine_merge_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 1), (5, 5)], "a_id long, b_id long")
+    got = sorted(
+        map(tuple, connected_components(pairs, "a_id", "b_id", max_iter=1).collect())
+    )
+    assert got == [(1, 1), (5, 5)]

@@ -325,3 +325,63 @@ def test_pair_cosine_null_element_is_null_not_nan(spark):
     assert got[13] is None
     assert got[14] is None
     assert got[15] is None
+
+
+def test_semantic_dedup_zero_norm_vector_never_qualifies(spark):
+    """r13 self-review: the replaced HOF plan RAISED DIVIDE_BY_ZERO on a
+    zero-norm vector (session ANSI default); the kernel's numpy 0/0 gave
+    NaN, which qualifies under NaN-greatest — so a zero padding vector
+    silently dropped every larger-id vector in its cell. Contract now:
+    zero-norm pairs take the degenerate-pair NULL semantics and never
+    qualify, in both the one-shot and incremental elections."""
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        fold_semantic_index,
+        semantic_dedup,
+        semantic_index_state,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # zero-norm, smallest id
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 1 — not its dup
+        (3, [1.0, 0.0, 0.0, 0.0]),  # true dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, k=1, iters=1, threshold=0.9).collect()
+    }
+    # only the true dup of a smaller id drops; the zero vector drops
+    # nothing (and is itself kept — no pair qualifies against it)
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0}
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        fold_semantic_index(
+            spark, root + "/idx", df, k=1, iters=1, threshold=0.9
+        )
+        st = {
+            r["vec_id"]: r["kept"]
+            for r in semantic_index_state(spark, root + "/idx").collect()
+        }
+        assert st == {0: 1, 1: 1, 2: 1, 3: 0}
+
+
+def test_probe_literal_renderer_falls_back_on_null_components(spark):
+    """r13 self-review: a NULL centroid array or NULL component must make
+    the literal renderer return None (window-plan fallback), not raise at
+    plan build."""
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        _cells_literal_col,
+        _sql_double,
+    )
+
+    assert _sql_double(None) is None
+    assert _sql_double(float("nan")) is None
+    assert _sql_double(1.5) == "1.5D"
+    cent = spark.createDataFrame(
+        [(0, [1.0, None]), (1, None)], "label int, centroid array<double>"
+    )
+    assert _cells_literal_col(cent, [(0, [1.0, None])], "label") is None
+    assert _cells_literal_col(cent, [(1, None)], "label") is None
