@@ -813,3 +813,47 @@ def contamination_scan(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_blocked"))
     )
+
+
+def near_dup_topk_per_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.4,
+    k_neighbors: int = 3,
+    max_band_successors: int | None = None,
+) -> DataFrame:
+    """Per-document top-k near-duplicate NEIGHBORS: (doc_id, neighbor_id,
+    jaccard, rank) — each doc's ``k_neighbors`` most-similar verified
+    near-dups (jaccard DESC, neighbor id ASC tie-break). The
+    ``max_pairs_per_doc`` OUTPUT-cap companion to the candidate-side
+    successor caps (VERDICT r12 item 4): even where the verified pair set
+    is clique-quadratic, what leaves the operator is ≤ k rows per doc.
+
+    Composes with ``max_band_successors`` (cap candidates AND output) or
+    runs over the full banded pipeline. The per-doc cut uses the
+    two-phase topk (ranking.topk_per_group) — never a per-doc single-task
+    sort over a corpus-sized neighbor list."""
+    from .ranking import topk_per_group
+
+    pairs = minhash_dedup_pairs(
+        df,
+        id_col,
+        text_col,
+        k=k,
+        threshold=threshold,
+        max_band_successors=max_band_successors,
+    )
+    both = pairs.selectExpr(
+        "a_id AS doc_id", "b_id AS neighbor_id", "jaccard"
+    ).unionByName(
+        pairs.selectExpr("b_id AS doc_id", "a_id AS neighbor_id", "jaccard")
+    )
+    return topk_per_group(
+        both,
+        ["doc_id"],
+        [],
+        k_neighbors,
+        order_sql="jaccard DESC, neighbor_id ASC",
+    ).select("doc_id", "neighbor_id", "jaccard", "rank")

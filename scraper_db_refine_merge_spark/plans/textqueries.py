@@ -808,3 +808,64 @@ def q159_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", k=5, threshold=0.2,
         max_band_successors=_CAP_SUCCESSORS,
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — per-doc TOP-K near-dup neighbors: the max_pairs_per_doc OUTPUT cap
+# (VERDICT r12 item 4's second half) on top of q159's candidate-side
+# successor cap. Whatever the verified pair set's shape, each document
+# emits at most k_neighbors rows (its most-similar verified near-dups,
+# jaccard DESC / neighbor-id ASC) — the per-doc two-phase top-k, never a
+# per-doc single-task window over a corpus-sized neighbor list.
+
+_TOPK_NEIGHBORS = 3
+
+
+@_register(
+    "q161_neardup_topk_per_doc",
+    f"""
+    WITH {_SQL_SHINGLES},
+    mh AS (
+        SELECT doc_id, {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_MH_BAND_UNION}
+    ),
+    brn AS (
+        SELECT doc_id, band, band_sig,
+               ROW_NUMBER() OVER (PARTITION BY band, band_sig
+                                  ORDER BY doc_id) AS rn
+        FROM bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM brn a JOIN brn b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND b.rn - a.rn BETWEEN 1 AND {_CAP_SUCCESSORS}
+    ),
+    {_SQL_PAIR_JACCARD.lstrip()},
+    vp AS (
+        SELECT j.a_id, j.b_id, j.jaccard
+        FROM jac j JOIN cand c ON j.a_id = c.a_id AND j.b_id = c.b_id
+        WHERE j.jaccard >= 0.2
+    ),
+    bidir AS (
+        SELECT a_id AS doc_id, b_id AS neighbor_id, jaccard FROM vp
+        UNION ALL
+        SELECT b_id, a_id, jaccard FROM vp
+    )
+    SELECT doc_id, neighbor_id, jaccard, rn AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY jaccard DESC, neighbor_id) AS rn
+        FROM bidir
+    ) WHERE rn <= {_TOPK_NEIGHBORS}
+    """,
+)
+def q161_neardup_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.near_dup_topk_per_doc(
+        d, "doc_id", "text", k=5, threshold=0.2,
+        k_neighbors=_TOPK_NEIGHBORS, max_band_successors=_CAP_SUCCESSORS,
+    )
