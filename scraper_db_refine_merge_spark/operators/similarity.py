@@ -411,7 +411,10 @@ def ivf_assign(
         for pdf in batches:
             if pdf.empty:
                 continue
-            vmat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            # NULL/ragged rows → all-NaN → NaN sims → +inf argmax → the
+            # FIRST (smallest) label: exactly where the replaced window's
+            # NULLS-LAST desc + label-asc tie-break put them (r13)
+            vmat = _vmat_or_nan(pdf[vec_col], dim)
             acc = np.zeros((vmat.shape[0], cmat.shape[0]))
             for d in range(dim):  # sequential over dims: order parity
                 acc += vmat[:, d, None] * cmat[None, :, d]
@@ -798,29 +801,53 @@ def brute_force_near_dup_pairs(
         bi, bj = key
         a_ids = lpdf["__id"].to_numpy()
         b_ids = rpdf["__rid"].to_numpy()
-        a_mat = np.array([list(v) for v in lpdf["__vec"]], dtype=np.float64)
-        b_mat = np.array([list(v) for v in rpdf["__rvec"]], dtype=np.float64)
-        dim = a_mat.shape[1]
-        acc = np.zeros((len(a_ids), len(b_ids)))
-        for d in range(dim):  # sequential over dims: order parity
-            acc += a_mat[:, d, None] * b_mat[None, :, d]
-        sims = acc / (_seq_norm(a_mat, dim)[:, None] * _seq_norm(b_mat, dim)[None, :])
-        sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
-        if bi == bj:  # same block on both sides: strict < keeps each pair once
-            keep = (a_ids[:, None] < b_ids[None, :]) & (sims >= threshold)
-        else:  # disjoint blocks: every qualifying pair, ordered below
-            keep = sims >= threshold
-        ai, bjx = np.nonzero(keep)
-        if not len(ai):
-            return empty
-        swap = b_ids[bjx] < a_ids[ai]
-        return pd.DataFrame(
-            {
-                "a_id": np.where(swap, b_ids[bjx], a_ids[ai]),
-                "b_id": np.where(swap, a_ids[ai], b_ids[bjx]),
-                "cosine_sim": sims[ai, bjx],
-            }
-        )
+        # per-LENGTH subtiles (r13): only same-length pairs can score —
+        # the zip_with cosine null-pads a mismatched pair to NULL, which
+        # never passes the threshold filter, and the oracle's list_sum
+        # does the same; NULL vectors never score. The uniform-corpus
+        # batch stays exactly one subtile; a ragged batch no longer
+        # crashes the task on the matrix conversion.
+        l_len = np.array([len(v) if v is not None else -1 for v in lpdf["__vec"]])
+        r_len = np.array([len(v) if v is not None else -1 for v in rpdf["__rvec"]])
+        outs = []
+        for dim in np.intersect1d(
+            np.unique(l_len[l_len >= 1]), np.unique(r_len[r_len >= 1])
+        ):
+            li = np.nonzero(l_len == dim)[0]
+            ri = np.nonzero(r_len == dim)[0]
+            av, bv = a_ids[li], b_ids[ri]
+            a_mat = np.array(
+                [list(lpdf["__vec"].iloc[i]) for i in li], dtype=np.float64
+            )
+            b_mat = np.array(
+                [list(rpdf["__rvec"].iloc[i]) for i in ri], dtype=np.float64
+            )
+            acc = np.zeros((len(li), len(ri)))
+            for d in range(dim):  # sequential over dims: order parity
+                acc += a_mat[:, d, None] * b_mat[None, :, d]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = acc / (
+                    _seq_norm(a_mat, dim)[:, None] * _seq_norm(b_mat, dim)[None, :]
+                )
+                sims = np.floor(np.abs(sims) * scale + 0.5) / scale * np.sign(sims)
+            if bi == bj:  # same block both sides: strict < keeps each pair once
+                keep = (av[:, None] < bv[None, :]) & (sims >= threshold)
+            else:  # disjoint blocks: every qualifying pair, ordered below
+                keep = sims >= threshold
+            ai, bjx = np.nonzero(keep)
+            if not len(ai):
+                continue
+            swap = bv[bjx] < av[ai]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a_id": np.where(swap, bv[bjx], av[ai]),
+                        "b_id": np.where(swap, av[ai], bv[bjx]),
+                        "cosine_sim": sims[ai, bjx],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return (
         left.groupBy("bi", "bj")
@@ -838,6 +865,24 @@ def _seq_norm(mat, dim):
     for d in range(dim):
         acc += mat[:, d] * mat[:, d]
     return np.sqrt(acc)
+
+
+def _vmat_or_nan(vs, dim: int):
+    """Arrow vector batch → (n, dim) float64 matrix; NULL vectors and
+    length-mismatched rows become ALL-NaN rows instead of crashing the
+    task (r13, the pq._vmat_fixed precedent). All-NaN reproduces the
+    expression plans' null-propagation exactly at every consumer: a NULL
+    zip_with cosine sorted NULLS-LAST in the assignment window (→ the
+    NaN→+inf argmax's first label), made every hyperplane sign bit take
+    the ``otherwise('0')`` branch (→ NaN >= 0 is False → '0'), and never
+    passed a ``>= threshold`` filter (→ numpy NaN >= t is False)."""
+    import numpy as np
+
+    out = np.full((len(vs), dim), np.nan)
+    for i, v in enumerate(vs):
+        if v is not None and len(v) == dim:
+            out[i] = np.asarray(v, dtype=np.float64)
+    return out
 
 
 def _pair_cosine_scores(
@@ -952,7 +997,10 @@ def _bucket_table_arrow(
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+            # NULL/ragged rows → all-NaN → every sign test NaN >= 0 is
+            # False → the all-'0' bucket: exactly the expression path's
+            # NULL-projection otherwise('0') branch (r13)
+            m = _vmat_or_nan(pdf[vec_col], dim)
             ids, buckets = [], []
             for t in range(num_tables):
                 acc = np.zeros((len(pdf), num_planes))

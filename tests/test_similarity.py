@@ -385,3 +385,60 @@ def test_probe_literal_renderer_falls_back_on_null_components(spark):
     )
     assert _cells_literal_col(cent, [(0, [1.0, None])], "label") is None
     assert _cells_literal_col(cent, [(1, None)], "label") is None
+
+
+def test_arrow_kernels_survive_null_and_ragged_vectors(spark):
+    """r13: the remaining Arrow kernels (ivf_assign, the brute-force tile,
+    the LSH bucket table) take the _vmat_or_nan guard instead of crashing
+    the task on NULL/ragged vectors — with expression-plan parity pinned
+    against the crossJoin+window / HOF references on the same input."""
+    import numpy as np  # noqa: F401
+    from pyspark.sql import Window
+
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        brute_force_near_dup_pairs,
+        cosine,
+        cosine_near_dup_pairs,
+        ivf_assign,
+        label_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0, 0.0], "a"),
+        (3, [0.0, 0.0, 1.0, 0.0], "b"),
+        (4, None, "b"),                      # NULL vector
+        (5, [1.0, 0.0], "a"),                # short
+        (6, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0], "b"),  # long
+        (7, [0.95, 0.05, 0.0, 0.0], "a"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    clean = df.filter("vec_id not in (4, 5, 6)")
+    cent = label_centroids(clean, "embedding", "label")
+
+    got = {r["vec_id"]: r["cell"] for r in
+           ivf_assign(df, cent, "vec_id", "embedding", "label").collect()}
+    # reference: the replaced crossJoin + row_number window on identical input
+    pw = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("label").asc())
+    ref = {
+        r["vec_id"]: r["label"]
+        for r in df.selectExpr("vec_id", "embedding AS __v")
+        .crossJoin(cent.selectExpr("label", "centroid"))
+        .withColumn("__sim", F.round(cosine(F.col("__v"), F.col("centroid")), 5))
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter("__rn = 1")
+        .collect()
+    }
+    assert got == ref and got[4] == "a" and got[5] == "a" and got[6] == "a"
+
+    # brute force: same-length pairs score; NULL / odd lengths never crash
+    pairs = brute_force_near_dup_pairs(df, threshold=0.5, num_blocks=2)
+    got_pairs = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got_pairs and (1, 7) in got_pairs and (2, 7) in got_pairs
+    assert not any(4 in p or 5 in p or 6 in p for p in got_pairs)
+
+    # bucketed near-dup: NULL/ragged vectors bucket as all-'0' (never crash)
+    nd = cosine_near_dup_pairs(df.select("vec_id", "embedding"), threshold=0.5)
+    got_nd = {(r["a_id"], r["b_id"]) for r in nd.collect()}
+    assert got_nd <= got_pairs  # bucketed results ⊆ exact pairs
+    assert not any(4 in p or 5 in p or 6 in p for p in got_nd)
