@@ -179,6 +179,79 @@ def planted_recall_bp(spark, sf_dir: str) -> dict[str, dict[int, int]]:
     }
 
 
+def capped_pair_recall_bp(
+    spark,
+    sf_dir: str,
+    planes_list=(6, 8, 10),
+    m: int = 3,
+    threshold: float = 0.4,
+) -> dict:
+    """PAIR recall of the bucketed cosine near-dup emitter — uncapped vs
+    the m-successor cap — against the exact brute-force pair set, swept
+    over ``num_planes`` (r13, ROADMAP 13m(b)): the cap trades recall for
+    bounded output, and more planes shrink buckets so fewer non-dup
+    colliders interleave between true dups. The clustered corpus gives
+    the eval real-but-imperfect near-dup structure (the same rationale as
+    the clustered recall family).
+
+    Reported per planes rung: PAIR recall (the cap intentionally emits
+    ~c·m of a c-clique's c²/2 pairs, so this collapses on big cliques by
+    DESIGN) and — the operative number — CLUSTER agreement: the fraction
+    of paired docs whose connected-components cluster is identical under
+    capped vs uncapped pairs. High cluster agreement with low pair recall
+    is the cap working as specified."""
+    from scraper_db_refine_merge_spark.operators.graph import dup_clusters
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        brute_force_near_dup_pairs,
+        cosine_near_dup_pairs,
+    )
+    from scraper_db_refine_merge_spark.sources.tables import load_table
+
+    spark_sess = spark
+
+    def _clusters(pair_set) -> dict:
+        if not pair_set:
+            return {}
+        pdf = spark_sess.createDataFrame(
+            sorted(pair_set), "a_id long, b_id long"
+        )
+        return {
+            r["doc_id"]: r["cluster_id"] for r in dup_clusters(pdf).collect()
+        }
+
+    corpus = clustered_corpus(load_table(spark, sf_dir, "embeddings"))
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in brute_force_near_dup_pairs(corpus, threshold=threshold).collect()
+    }
+    out: dict = {"m": m, "threshold": threshold, "exact_pairs": len(exact)}
+    for p in planes_list:
+        unc = {
+            (r["a_id"], r["b_id"])
+            for r in cosine_near_dup_pairs(
+                corpus, threshold=threshold, num_planes=p
+            ).collect()
+        }
+        cap = {
+            (r["a_id"], r["b_id"])
+            for r in cosine_near_dup_pairs(
+                corpus, threshold=threshold, num_planes=p, max_bucket_successors=m
+            ).collect()
+        }
+        denom = max(len(exact), 1)
+        cu, cc = _clusters(unc), _clusters(cap)
+        docs = set(cu) | set(cc)
+        agree = sum(1 for d in docs if cu.get(d) == cc.get(d))
+        out[f"planes{p}"] = {
+            "uncapped_pairs": len(unc),
+            "capped_pairs": len(cap),
+            "uncapped_recall_bp": 10000 * len(unc & exact) // denom,
+            "capped_recall_bp": 10000 * len(cap & exact) // denom,
+            "cluster_agreement_bp": 10000 * agree // max(len(docs), 1),
+        }
+    return out
+
+
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "rX"
     from scraper_db_refine_merge_spark.plans.catalog import QUERIES
@@ -226,6 +299,20 @@ def main() -> int:
                 f"{key} {sf}: "
                 + " ".join(f"{k} mean {sum(v.values()) / len(v):.0f}" for k, v in cr.items())
             )
+    # r13: the cap-vs-recall trade, measurable (ROADMAP 13m(b))
+    doc["capped_pairs"] = {}
+    for sf, sf_dir in SF_DIRS.items():
+        cp = capped_pair_recall_bp(spark, sf_dir)
+        doc["capped_pairs"][sf] = cp
+        print(
+            f"capped_pairs {sf}: exact {cp['exact_pairs']} "
+            + " ".join(
+                f"p{p}: unc {cp[f'planes{p}']['uncapped_recall_bp']}"
+                f"/cap {cp[f'planes{p}']['capped_recall_bp']}"
+                f"/agree {cp[f'planes{p}']['cluster_agreement_bp']}"
+                for p in (6, 8, 10)
+            )
+        )
     out = os.path.join(ROOT, f"RECALL_{rnd}.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
