@@ -535,6 +535,12 @@ def ivf_pq_topk(
     query-side LUT (bounded by batch × nprobe × m·k); at production scale
     the code table is written bucketed by cell so each probe touches
     nprobe/n_cells of it — IVF pruning on top of 32× PQ compression.
+
+    Centroid freeze (ADVICE r13): label_centroids collects and memoizes
+    centroids per corpus DataFrame object at first plan build — executions
+    against the same frame over mutated underlying files reuse the stale
+    centroids. Re-``load_table`` or call ``similarity.invalidate_centroids``
+    for long-lived sessions over mutable storage (see ivf_topk).
     """
     from .similarity import ivf_assign, label_centroids, probe_cells
 

@@ -151,6 +151,19 @@ _CENT_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
 _LC_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
 
 
+def invalidate_centroids(df: DataFrame | None = None) -> None:
+    """Drop memoized centroid state (ADVICE r13): label_centroids collects
+    and FREEZES centroids at first plan build per corpus DataFrame object —
+    long-lived sessions whose underlying files mutate call this (or
+    re-``load_table`` for a fresh frame) to force a re-train. ``df=None``
+    clears every memoized corpus; passing the corpus frame clears just
+    its entries (its derived literal centroid frames die with them)."""
+    if df is None:
+        _LC_MEMO.clear()
+    else:
+        _LC_MEMO.pop(df, None)
+
+
 def detect_fixed_dim(df: DataFrame, vec_col: str) -> int | None:
     """Embedding dimensionality if it is uniform across the table, else
     None. One narrow agg over the (pruned) vector column — memoized per
@@ -529,7 +542,15 @@ def _cells_literal_col(cent: DataFrame, rows: list, label_col: str):
             f"'centroid', array({','.join(comps)}))"
         )
     else:
-        col = F.expr("array(" + ",".join(structs) + ")")
+        # ADVICE r13: the manual escaping above covers backslash/quote, but
+        # an exotic string label (e.g. embedded control bytes the SQL lexer
+        # rejects) could still fail the parse — treat a parse error as "not
+        # renderable" and take the crossJoin+window fallback, like every
+        # other unrenderable case, instead of crashing the plan build.
+        try:
+            col = F.expr("array(" + ",".join(structs) + ")")
+        except Exception:
+            col = None
     per[key] = col
     return col
 
@@ -617,6 +638,14 @@ def ivf_topk(
     SQL oracle. At scale the assigned corpus is written bucketed by ``cell``;
     the probe join is then partition-local and touches nprobe/n_cells of the
     data — the IVF pruning that makes ANN sublinear.
+
+    Centroid freeze (ADVICE r13): :func:`label_centroids` collects and
+    literal-izes the centroid table at FIRST plan build and memoizes it per
+    corpus DataFrame object — subsequent executions against the same frame
+    reuse those centroids even if the underlying files mutate. For
+    long-lived sessions over mutable storage, re-``load_table`` (a fresh
+    DataFrame object) or call :func:`invalidate_centroids` to force a
+    re-train.
     """
     cent = label_centroids(corpus, vec_col, label_col)
     assigned = ivf_assign(corpus, cent, id_col, vec_col, label_col, round_scale)
@@ -1328,7 +1357,12 @@ def fold_semantic_index(
         round_scale,
     )
     parts["vectors"] = assigned
-    parts["dropped"] = dropped
+    # ADVICE r13: the kernel dedupes only within a cell cogroup — an id
+    # appearing in two cells of the universe (a re-ingested id assigned to
+    # a different cell across folds) could otherwise write duplicate rows
+    # into the stored part. Keep the stored 'dropped' part unique-per-id
+    # (the contract the replaced .distinct() join provided).
+    parts["dropped"] = dropped.dropDuplicates()
     store_commit_parts(parts, target_root)
 
 

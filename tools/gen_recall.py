@@ -219,6 +219,8 @@ def capped_pair_recall_bp(
             r["doc_id"]: r["cluster_id"] for r in dup_clusters(pdf).collect()
         }
 
+    from scraper_db_refine_merge_spark.operators import _cache
+
     corpus = clustered_corpus(load_table(spark, sf_dir, "embeddings"))
     exact = {
         (r["a_id"], r["b_id"])
@@ -238,6 +240,10 @@ def capped_pair_recall_bp(
                 corpus, threshold=threshold, num_planes=p, max_bucket_successors=m
             ).collect()
         }
+        # ADVICE r13: each emitter persists its bucket/candidate tables —
+        # six builds per SF would otherwise pin caches for the whole sweep
+        # and executor memory grows monotonically across the recall run.
+        _cache.release_caches()
         denom = max(len(exact), 1)
         cu, cc = _clusters(unc), _clusters(cap)
         docs = set(cu) | set(cc)
