@@ -159,6 +159,26 @@ def jaccard_pairs(
 MINHASH_NUM_HASHES = 8
 MINHASH_BAND_SIZE = 2
 
+#: adaptive_band_size target: expected ACCIDENTAL colliders per doc per
+#: band = n / 2^(16·band_size) ≤ 2^-ADAPTIVE_BAND_MARGIN_BITS.
+ADAPTIVE_BAND_MARGIN_BITS = 4
+
+
+def adaptive_band_size(n: int, lo: int = MINHASH_BAND_SIZE, hi: int = 8) -> int:
+    """Corpus-adaptive band width (VERDICT r13 item 1, the MinHash analog
+    of :func:`similarity.adaptive_num_planes`): the smallest ``band_size ≥
+    lo`` whose 16·band_size-bit band-signature space keeps expected
+    accidental colliders per doc per band ≤ 2^-4 — i.e. ``n ≤
+    2^(16·band_size − 4)``. The default stays 2 (32-bit signatures) up to
+    n = 2^28 ≈ 268M docs — every harness scale — and grows to 3 lanes at
+    true corpus scale, where 32-bit birthday collisions would flood the
+    capped emitters' buckets with verification-failing colliders. Pure
+    integer arithmetic so an oracle can mirror the ladder exactly."""
+    b = lo
+    while b < hi and n > (1 << (16 * b - ADAPTIVE_BAND_MARGIN_BITS)):
+        b += 1
+    return b
+
 
 def minhash_signatures(shingle_df: DataFrame, num_hashes: int = MINHASH_NUM_HASHES) -> DataFrame:
     """Per-doc MinHash signature: h_j = min over shingles of lane j, where
@@ -173,7 +193,11 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = MINHASH_NUM_HASH
     corpora; the exact-Jaccard verify step removes them. ``n_shingles``
     (the per-doc set size) rides along in the same aggregation so Jaccard
     verification needs no second pass over the shingle set.
-    """
+
+    ``num_hashes > 8`` (the adaptive-band path): one md5 yields 8 lanes,
+    so lane j ≥ 8 slices block ``b = j//8``: ``md5(shingle || '#b')`` —
+    salted re-hashes, equally engine-reproducible (min over a salted md5
+    slice is still a valid MinHash lane)."""
     # md5 is MATERIALIZED in its own projection before the aggregate: the
     # lane expressions inside agg() each embed their argument, and
     # common-subexpression elimination is not guaranteed across aggregate
@@ -182,9 +206,13 @@ def minhash_signatures(shingle_df: DataFrame, num_hashes: int = MINHASH_NUM_HASH
     # F.expr strings (one JVM parse each) over stacked F.* builders: same
     # Catalyst expressions, ~7× less py4j construction time (r10 q25
     # profiling — see word_shingles).
-    hashed = shingle_df.selectExpr("doc", "md5(shingle) AS __h")
+    n_blocks = (num_hashes + 7) // 8
+    hcols = ["md5(shingle) AS __h0"] + [
+        f"md5(concat(shingle, '#{b}')) AS __h{b}" for b in range(1, n_blocks)
+    ]
+    hashed = shingle_df.selectExpr("doc", *hcols)
     aggs = [
-        F.expr(f"min(substring(__h, {4 * j + 1}, 4)) AS h{j}")
+        F.expr(f"min(substring(__h{j // 8}, {4 * (j % 8) + 1}, 4)) AS h{j}")
         for j in range(num_hashes)
     ]
     return hashed.groupBy("doc").agg(*aggs, F.expr("count(*) AS n_shingles"))
@@ -283,7 +311,7 @@ def minhash_dedup_pairs(
     k: int = 5,
     threshold: float = 0.4,
     num_hashes: int = MINHASH_NUM_HASHES,
-    band_size: int = MINHASH_BAND_SIZE,
+    band_size: int | str = MINHASH_BAND_SIZE,
     max_shingle_freq: int | None = None,
     persist_shingles=None,
     max_band_successors: int | None = None,
@@ -315,7 +343,23 @@ def minhash_dedup_pairs(
 
     Cache lifecycle: the internal signature/candidate persists are tracked —
     a long-lived session calls ``operators._cache.release_caches()`` after
-    the result is materialized (ADVICE r4)."""
+    the result is materialized (ADVICE r4).
+
+    ``band_size="auto"`` (VERDICT r13 item 1): band width from the memoized
+    corpus count (:func:`adaptive_band_size`) — 2 lanes (32-bit signatures)
+    through n = 2^28 docs, then wider, holding accidental band colliders
+    ≈ constant so the capped emitter's chain-connectivity contract
+    survives corpus growth. The band COUNT stays ``num_hashes //
+    MINHASH_BAND_SIZE`` (default 4 — recall comes from OR over bands), so
+    the total signature width scales to bands·band_size lanes. Resolved at
+    plan build and memoized per corpus frame — the corpus_count freeze
+    caveat applies (re-``load_table`` over mutated storage)."""
+    if band_size == "auto":
+        from .similarity import corpus_count
+
+        n_bands = max(1, num_hashes // MINHASH_BAND_SIZE)
+        band_size = adaptive_band_size(corpus_count(df))
+        num_hashes = n_bands * band_size
     sh = word_shingles(df, id_col, text_col, k, max_shingle_freq)
     if persist_shingles is not None:
         sh = persist_tracked(sh, persist_shingles)
@@ -823,6 +867,7 @@ def near_dup_topk_per_doc(
     threshold: float = 0.4,
     k_neighbors: int = 3,
     max_band_successors: int | None = None,
+    band_size: int | str = MINHASH_BAND_SIZE,
 ) -> DataFrame:
     """Per-document top-k near-duplicate NEIGHBORS: (doc_id, neighbor_id,
     jaccard, rank) — each doc's ``k_neighbors`` most-similar verified
@@ -843,6 +888,7 @@ def near_dup_topk_per_doc(
         text_col,
         k=k,
         threshold=threshold,
+        band_size=band_size,
         max_band_successors=max_band_successors,
     )
     both = pairs.selectExpr(

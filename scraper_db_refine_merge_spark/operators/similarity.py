@@ -164,6 +164,22 @@ def invalidate_centroids(df: DataFrame | None = None) -> None:
         _LC_MEMO.pop(df, None)
 
 
+#: corpus_count memo — same object-identity contract as _DIM_MEMO.
+_COUNT_MEMO: "WeakKeyDictionary[DataFrame, int]" = WeakKeyDictionary()
+
+
+def corpus_count(df: DataFrame) -> int:
+    """``df.count()`` memoized per DataFrame object (the detect_fixed_dim
+    contract: per-session static tables hit, ad-hoc frames miss, entries
+    die with their frame). Feeds the adaptive-width policy — one count job
+    per corpus frame per session, not per plan build."""
+    n = _COUNT_MEMO.get(df)
+    if n is None:
+        n = df.count()
+        _COUNT_MEMO[df] = n
+    return n
+
+
 def detect_fixed_dim(df: DataFrame, vec_col: str) -> int | None:
     """Embedding dimensionality if it is uniform across the table, else
     None. One narrow agg over the (pruned) vector column — memoized per
@@ -184,8 +200,49 @@ def detect_fixed_dim(df: DataFrame, vec_col: str) -> int | None:
     return dim
 
 
+#: Plane-index stride per table in ADAPTIVE mode (also the adaptive width
+#: ceiling): table t uses planes t·STRIDE+j for j < num_planes, so the
+#: p-bit signature is a PREFIX of the full STRIDE-bit signature of the same
+#: table. That prefix property is what lets a count-dependent width carry a
+#: static SQL oracle (the width is data, not structure — the oracle computes
+#: the same p from count(*) and generates exactly p sign bits per table).
+ADAPTIVE_PLANE_STRIDE = 24
+
+#: Target expected bucket occupancy for adaptive width: with n/2^p vectors
+#: per bucket ≤ 8 and the capped emitters' default m=3 successors, fewer
+#: than m verification-failing colliders typically interleave between true
+#: near-dup neighbors in at least one of the OR-amplified tables. 8 also
+#: reproduces the measured RECALL_r13 restore point: 2000 vectors → p=8
+#: (agreement 10000 bp) where the static default p=6 dropped to 8750 bp.
+ADAPTIVE_PLANES_OCCUPANCY = 8
+
+
+def adaptive_num_planes(
+    n: int,
+    occupancy: int = ADAPTIVE_PLANES_OCCUPANCY,
+    lo: int = 6,
+    hi: int = ADAPTIVE_PLANE_STRIDE,
+) -> int:
+    """Corpus-adaptive LSH signature width (VERDICT r13 item 1): the
+    smallest ``p ≥ lo`` with ``n ≤ occupancy · 2^p``, capped at ``hi`` —
+    log₂-style growth that holds expected bucket occupancy ≈ constant as
+    the corpus grows, so the capped emitters' collider-density contract
+    (lsh_candidate_pairs_capped / cosine_near_dup_pairs) doesn't silently
+    enter its failure regime at 10⁹ vectors under a static default width.
+    Pure integer arithmetic (no float log2 at branch boundaries) so the
+    SQL oracle's comparison ladder mirrors it exactly."""
+    p = lo
+    while p < hi and n > (occupancy << p):
+        p += 1
+    return p
+
+
 def hyperplane_bucket(
-    vec_col: Column, num_planes: int = 8, table: int = 0, dim: int | None = None
+    vec_col: Column,
+    num_planes: int = 8,
+    table: int = 0,
+    dim: int | None = None,
+    stride: int | None = None,
 ) -> Column:
     """LSH bucket signature: one sign bit per hyperplane, concatenated.
 
@@ -198,9 +255,15 @@ def hyperplane_bucket(
     the identical md5 derivation — the plan carries dim·planes constants
     instead of evaluating dim·planes md5s PER ROW (measured: 8.4 s → 0.3 s
     to bucket 2000×64-d vectors into 4×6-plane tables at sf0.1). dim=None
-    keeps the fully dynamic expression for ragged/unknown dimensions."""
+    keeps the fully dynamic expression for ragged/unknown dimensions.
+
+    ``stride``: plane-index stride between tables (default ``num_planes``,
+    the legacy packing). Adaptive-width callers pass
+    ``ADAPTIVE_PLANE_STRIDE`` so a table's p-bit signature is a prefix of
+    its full stride-bit signature regardless of the resolved width."""
+    base = table * (stride if stride is not None else num_planes)
     bits = []
-    for p in range(table * num_planes, (table + 1) * num_planes):
+    for p in range(base, base + num_planes):
         if dim is not None:
             # NOT unrolled here: num_planes × dim terms in one projection
             # list overwhelms codegen (measured 2.6 MiB task binaries and a
@@ -996,6 +1059,7 @@ def _bucket_table_arrow(
     num_planes: int,
     num_tables: int,
     dim: int,
+    stride: int | None = None,
 ) -> DataFrame:
     """(vid, bucket) LSH index rows via ONE Arrow pass: all tables' plane
     projections for a vector batch computed as numpy column ops.
@@ -1012,11 +1076,12 @@ def _bucket_table_arrow(
     import pandas as pd
 
     id_dt = df.schema[id_col].dataType.simpleString()
+    step = stride if stride is not None else num_planes
     planes = {
         t: np.array(
             [
                 [_plane_component_value(p, d) for d in range(dim)]
-                for p in range(t * num_planes, (t + 1) * num_planes)
+                for p in range(t * step, t * step + num_planes)
             ]
         )
         for t in range(num_tables)
@@ -1051,7 +1116,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_planes: int = 6,
+    num_planes: int | str = 6,
     num_tables: int = 4,
     round_scale: int = 5,
     max_bucket_successors: int | None = None,
@@ -1078,7 +1143,24 @@ def cosine_near_dup_pairs(
     scale, so raise ``num_planes`` together with the cap when capped
     recall matters. Only the transitive-closure rows are dropped for
     well-separated buckets. One ``lead`` window pass per bucket — linear
-    work even in a hot bucket."""
+    work even in a hot bucket.
+
+    ``num_planes="auto"`` (VERDICT r13 item 1): resolve the width from the
+    memoized corpus count via :func:`adaptive_num_planes` — expected bucket
+    occupancy stays ≈ :data:`ADAPTIVE_PLANES_OCCUPANCY` as the corpus
+    grows, so the static default can't silently enter the capped emitters'
+    collider-dense failure regime at 10⁹ vectors. Auto mode indexes planes
+    with :data:`ADAPTIVE_PLANE_STRIDE` (table t uses planes t·24+j), making
+    a table's p-bit signature a PREFIX of its 24-bit one — the property
+    that lets a count-dependent width mirror into a static SQL oracle
+    (q160) and keeps bucket identities comparable across corpus sizes.
+    The resolved width is a plan-build-time constant: like the
+    label_centroids freeze, it is memoized per corpus DataFrame object
+    (:func:`corpus_count`) — re-``load_table`` for a mutated corpus."""
+    stride = None
+    if num_planes == "auto":
+        num_planes = adaptive_num_planes(corpus_count(df))
+        stride = ADAPTIVE_PLANE_STRIDE
     dim = detect_fixed_dim(df, vec_col)
     # The bucket table is the LSH index: (id, bucket) only — num_tables
     # short strings per vector, a sliver of the corpus width. persist()
@@ -1089,13 +1171,17 @@ def cosine_near_dup_pairs(
     from ._cache import persist_tracked
 
     if dim is not None:
-        bt = _bucket_table_arrow(df, id_col, vec_col, num_planes, num_tables, dim)
+        bt = _bucket_table_arrow(
+            df, id_col, vec_col, num_planes, num_tables, dim, stride
+        )
     else:
         sigs = F.array(
             *[
                 F.concat(
                     F.lit(f"{t}|"),
-                    hyperplane_bucket(F.col(vec_col), num_planes, table=t, dim=dim),
+                    hyperplane_bucket(
+                        F.col(vec_col), num_planes, table=t, dim=dim, stride=stride
+                    ),
                 )
                 for t in range(num_tables)
             ]

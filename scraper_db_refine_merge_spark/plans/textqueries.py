@@ -803,9 +803,15 @@ _CAP_SUCCESSORS = 3
     """,
 )
 def q159_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # band_size="auto" (r14, VERDICT r13 item 1): the adaptive ladder
+    # resolves to band_size=2 for every corpus below 2^28 docs —
+    # adaptive_band_size's entire oracle domain — so the static SQL above
+    # (4 bands × 2 16-bit lanes) mirrors the auto choice at ANY testable
+    # scale; the >2^28 rungs are pinned by unit tests on the policy and on
+    # the >8-lane signature construction (test_dedup).
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_dedup_pairs(
-        d, "doc_id", "text", k=5, threshold=0.2,
+        d, "doc_id", "text", k=5, threshold=0.2, band_size="auto",
         max_band_successors=_CAP_SUCCESSORS,
     )
 
@@ -864,8 +870,9 @@ _TOPK_NEIGHBORS = 3
     """,
 )
 def q161_neardup_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # band_size="auto": constant (=2) across the oracle domain — see q159.
     d = load_table(spark, sf_dir, "documents")
     return dd.near_dup_topk_per_doc(
-        d, "doc_id", "text", k=5, threshold=0.2,
+        d, "doc_id", "text", k=5, threshold=0.2, band_size="auto",
         k_neighbors=_TOPK_NEIGHBORS, max_band_successors=_CAP_SUCCESSORS,
     )

@@ -1338,21 +1338,57 @@ def q150_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # uncapped emitter's measured ~quadratic pair growth on replicated
 # corpora). Successor chains keep a clique CC-connected when < m
 # verification-failing bucket colliders interleave between consecutive
-# members in at least one table (a recall/output trade — raise num_planes
-# with the cap when capped recall matters; see cosine_near_dup_pairs). The
-# oracle mirrors the cap as a per-bucket ROW_NUMBER difference bound over
-# the identical md5-derived buckets.
+# members in at least one table. The oracle mirrors the cap as a
+# per-bucket ROW_NUMBER difference bound over the identical md5-derived
+# buckets.
+#
+# r14 (VERDICT r13 item 1): num_planes="auto" — the signature width is a
+# FUNCTION OF THE CORPUS COUNT (adaptive_num_planes: smallest p ≥ 6 with
+# n ≤ 8·2^p, capped at 24), so collider density per bucket stays ≈
+# constant as the corpus grows instead of the static default silently
+# entering the capped emitter's failure regime (RECALL_r13 measured the
+# cliff: agreement 8750 bp at 2000 vectors under p=6, restored at p=8 —
+# exactly what the occupancy-8 ladder picks). Adaptive mode indexes
+# planes with stride 24 (table t, bit j → plane t·24+j), so a p-bit
+# signature is a PREFIX of the full 24-bit one — which lets THIS static
+# SQL mirror a count-dependent width: the ladder is data (an integer
+# comparison CASE over count(*)), and the bucket is built by a dynamic
+# nested-lambda loop emitting exactly p sign bits per table.
 
 _CAPND_SUCCESSORS = 3
+
+
+def _sql_adaptive_planes(occ: int = 8, lo: int = 6, hi: int = 24) -> str:
+    """Integer-comparison mirror of similarity.adaptive_num_planes —
+    byte-for-byte the same ladder (no float log2 at branch boundaries)."""
+    whens = " ".join(f"WHEN count(*) <= {occ << p} THEN {p}" for p in range(lo, hi))
+    return f"CASE {whens} ELSE {hi} END"
+
+
+# plane_(t*24+j)[d] for d = i-1 — _sql_plane with a DYNAMIC plane index
+_SQL_DYN_PLANE = (
+    "(('0x' || substring(md5(CAST(t * 24 + j AS VARCHAR) || ':' "
+    "|| CAST(i - 1 AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 * 2.0 - 1.0)"
+)
+
+_SQL_ADAPTIVE_BUCKET = f"""CAST(t AS VARCHAR) || '|' || list_aggregate(
+             list_transform(range(0, (SELECT p FROM np)),
+               j -> CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> CAST(embedding[i] AS DOUBLE) * {_SQL_DYN_PLANE}
+                    )) >= 0 THEN '1' ELSE '0' END),
+             'string_agg', '')"""
 
 
 @_register(
     "q160_cosine_lsh_capped_pairs",
     f"""
-    WITH b AS (
+    WITH np AS (
+        SELECT {_sql_adaptive_planes()} AS p FROM embeddings
+    ),
+    b AS (
         SELECT vec_id AS vid,
-               unnest([{", ".join(_sql_table_bucket(t, _ND_PLANES) for t in range(_ND_TABLES))}]) AS bucket
-        FROM embeddings
+               {_SQL_ADAPTIVE_BUCKET} AS bucket
+        FROM embeddings, (SELECT unnest([{", ".join(str(t) for t in range(_ND_TABLES))}]) AS t) tables
     ),
     brn AS (
         SELECT vid, bucket,
@@ -1386,7 +1422,7 @@ def q160_cosine_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(
         e,
         threshold=_ND_THRESHOLD,
-        num_planes=_ND_PLANES,
+        num_planes="auto",
         num_tables=_ND_TABLES,
         max_bucket_successors=_CAPND_SUCCESSORS,
     )

@@ -1,0 +1,191 @@
+"""Corpus-adaptive LSH width (VERDICT r13 item 1).
+
+The static defaults (6 hyperplanes, 2-lane MinHash bands) enter their
+collider-dense failure regime as the corpus grows while the capped pair
+emitters' connectivity contract assumes bounded collider density per
+bucket. adaptive_num_planes / adaptive_band_size grow the signature width
+log₂-style with the (memoized) corpus count so expected bucket occupancy
+stays ≈ constant; these tests pin the integer ladders, their SQL mirrors,
+the >8-lane MinHash signature construction the wider bands need, and
+auto-mode end-to-end parity at harness scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from scraper_db_refine_merge_spark.operators import dedup as dd
+from scraper_db_refine_merge_spark.operators import similarity as sim
+from scraper_db_refine_merge_spark.sources.tables import load_table
+
+
+# ----------------------------------------------------------------------
+# policy ladders — pure integer functions, exact boundaries
+
+
+def test_adaptive_num_planes_ladder():
+    # occupancy 8: smallest p >= 6 with n <= 8 * 2^p
+    assert sim.adaptive_num_planes(0) == 6
+    assert sim.adaptive_num_planes(1) == 6
+    assert sim.adaptive_num_planes(512) == 6  # 8 * 2^6 boundary, inclusive
+    assert sim.adaptive_num_planes(513) == 7
+    assert sim.adaptive_num_planes(1024) == 7
+    assert sim.adaptive_num_planes(1025) == 8
+    assert sim.adaptive_num_planes(2000) == 8  # RECALL_r13's restore point
+    assert sim.adaptive_num_planes(2048) == 8
+    assert sim.adaptive_num_planes(10**9) == sim.ADAPTIVE_PLANE_STRIDE
+    # monotone non-decreasing
+    prev = 0
+    for n in range(0, 70000, 137):
+        p = sim.adaptive_num_planes(n)
+        assert p >= prev
+        prev = p
+
+
+def test_adaptive_num_planes_sql_mirror():
+    """The q160 oracle's CASE ladder equals the Python policy at every
+    boundary (count(*) over range(n) makes n the CASE input)."""
+    from scraper_db_refine_merge_spark.plans.vectors import _sql_adaptive_planes
+
+    case = _sql_adaptive_planes()
+    con = duckdb.connect()
+    ns = [0, 1, 511, 512, 513, 1024, 1025, 2000, 2048, 2049, 65536, 65537]
+    for n in ns:
+        got = con.execute(f"SELECT {case} FROM range({n})").fetchone()[0]
+        assert got == sim.adaptive_num_planes(n), n
+
+
+def test_adaptive_band_size_ladder():
+    # smallest b >= 2 with n <= 2^(16b-4)
+    assert dd.adaptive_band_size(0) == 2
+    assert dd.adaptive_band_size(5000) == 2
+    assert dd.adaptive_band_size(1 << 28) == 2  # boundary, inclusive
+    assert dd.adaptive_band_size((1 << 28) + 1) == 3
+    assert dd.adaptive_band_size(1 << 44) == 3
+    assert dd.adaptive_band_size((1 << 44) + 1) == 4
+    assert dd.adaptive_band_size(1 << 62) == 5
+
+
+# ----------------------------------------------------------------------
+# >8-lane MinHash signatures (the material wider adaptive bands draw on)
+
+
+def test_minhash_signature_lanes_beyond_md5(spark):
+    """Lane j >= 8 slices md5(shingle || '#<j//8>'): hand-compute every
+    lane min in Python over the same shingle set and compare."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string",
+    )
+    sh = dd.word_shingles(docs, "doc_id", "text", 5)
+    got = {
+        r["doc"]: [r[f"h{j}"] for j in range(12)]
+        for r in dd.minhash_signatures(sh, num_hashes=12).collect()
+    }
+    shingles = {}
+    for r in sh.collect():
+        shingles.setdefault(r["doc"], set()).add(r["shingle"])
+    for doc, ss in shingles.items():
+        for j in range(12):
+            salt = "" if j < 8 else f"#{j // 8}"
+            lane = min(
+                hashlib.md5((s + salt).encode()).hexdigest()[
+                    4 * (j % 8) : 4 * (j % 8) + 4
+                ]
+                for s in ss
+            )
+            assert got[doc][j] == lane, (doc, j)
+
+
+def test_minhash_wide_bands_verify_true_jaccard(spark, sf_dir):
+    """band_size=3 (num_hashes=12, the >2^28 regime forced explicitly):
+    the pipeline still emits only verified pairs — every output pair is in
+    the exact n-gram Jaccard pair set."""
+    d = load_table(spark, sf_dir, "documents")
+    wide = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dd.minhash_dedup_pairs(
+            d, "doc_id", "text", k=5, threshold=0.2, num_hashes=12, band_size=3
+        ).collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in dd.jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.2).collect()
+    }
+    assert wide <= exact
+    assert wide  # the near-dup fixture pairs survive 3-lane banding
+
+
+# ----------------------------------------------------------------------
+# auto-mode end-to-end
+
+
+def test_minhash_auto_band_matches_explicit(spark, sf_dir):
+    """Below 2^28 docs auto resolves to band_size=2 — byte-identical to
+    the explicit default (this is the q159 oracle-domain argument)."""
+    d = load_table(spark, sf_dir, "documents")
+    auto = dd.minhash_dedup_pairs(
+        d, "doc_id", "text", k=5, threshold=0.2, band_size="auto",
+        max_band_successors=3,
+    )
+    explicit = dd.minhash_dedup_pairs(
+        d, "doc_id", "text", k=5, threshold=0.2, band_size=2,
+        max_band_successors=3,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+
+
+def test_cosine_auto_planes_resolution_and_verify(spark, sf_dir):
+    """Auto width: resolves via the memoized count (500 → p=6, stride 24),
+    emits only verified pairs (⊆ brute force), and is deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assert sim.adaptive_num_planes(sim.corpus_count(e)) == 6
+    auto = {
+        tuple(r)
+        for r in sim.cosine_near_dup_pairs(
+            e, threshold=0.4, num_planes="auto", max_bucket_successors=3
+        ).collect()
+    }
+    exact = {
+        tuple(r) for r in sim.brute_force_near_dup_pairs(e, threshold=0.4).collect()
+    }
+    assert auto <= exact
+    assert auto
+    again = {
+        tuple(r)
+        for r in sim.cosine_near_dup_pairs(
+            e, threshold=0.4, num_planes="auto", max_bucket_successors=3
+        ).collect()
+    }
+    assert auto == again
+
+
+def test_adaptive_stride_prefix_property(spark):
+    """The stride-24 indexing contract: a table's p-bit signature is a
+    PREFIX of its wider signature for the same table — the property the
+    dynamic SQL oracle and cross-scale bucket comparability rely on."""
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    narrow = df.select(
+        "vec_id",
+        sim.hyperplane_bucket(
+            F.col("embedding"), 6, table=2, dim=8, stride=sim.ADAPTIVE_PLANE_STRIDE
+        ).alias("b"),
+    ).collect()
+    wide = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id",
+            sim.hyperplane_bucket(
+                F.col("embedding"), 10, table=2, dim=8,
+                stride=sim.ADAPTIVE_PLANE_STRIDE,
+            ).alias("b"),
+        ).collect()
+    }
+    for r in narrow:
+        assert wide[r["vec_id"]].startswith(r["b"])

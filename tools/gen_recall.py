@@ -227,7 +227,10 @@ def capped_pair_recall_bp(
         for r in brute_force_near_dup_pairs(corpus, threshold=threshold).collect()
     }
     out: dict = {"m": m, "threshold": threshold, "exact_pairs": len(exact)}
-    for p in planes_list:
+    # r14 (VERDICT r13 item 1): the "auto" rung — num_planes resolved from
+    # the corpus count by adaptive_num_planes, no manual tuning. The gate:
+    # cluster agreement ≥ 9900 bp at every SF.
+    for p in list(planes_list) + ["auto"]:
         unc = {
             (r["a_id"], r["b_id"])
             for r in cosine_near_dup_pairs(
@@ -255,6 +258,15 @@ def capped_pair_recall_bp(
             "capped_recall_bp": 10000 * len(cap & exact) // denom,
             "cluster_agreement_bp": 10000 * agree // max(len(docs), 1),
         }
+        if p == "auto":
+            from scraper_db_refine_merge_spark.operators.similarity import (
+                adaptive_num_planes,
+                corpus_count,
+            )
+
+            out["planesauto"]["resolved_planes"] = adaptive_num_planes(
+                corpus_count(corpus)
+            )
     return out
 
 
@@ -316,7 +328,7 @@ def main() -> int:
                 f"p{p}: unc {cp[f'planes{p}']['uncapped_recall_bp']}"
                 f"/cap {cp[f'planes{p}']['capped_recall_bp']}"
                 f"/agree {cp[f'planes{p}']['cluster_agreement_bp']}"
-                for p in (6, 8, 10)
+                for p in (6, 8, 10, "auto")
             )
         )
     out = os.path.join(ROOT, f"RECALL_{rnd}.json")

@@ -109,7 +109,9 @@ def main() -> None:
     )
     q.awaitTermination()
     dt = time.perf_counter() - t0
-    final_rows = spark.read.parquet(target + "_part").count()
+    from scraper_db_refine_merge_spark.operators.merge import read_partitioned_table
+
+    final_rows = read_partitioned_table(spark, target + "_part").count()
     mp = spark.read.parquet(metrics + "_part")
     parts = mp.groupBy().sum("partitions_rewritten").first()[0]
     print(
