@@ -19,6 +19,8 @@ across engines (the DuckDB oracle mirrors them byte-for-byte).
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,10 +50,109 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def latest_wins(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+#: latest_wins auto-probe: ~1/LW_PROBE_MOD row-level hash sample; escalate
+#: to exact when the sample is smaller than LW_PROBE_MIN_ROWS (the
+#: repeated_span_profile probe pattern, operators/substr.py).
+LW_PROBE_MOD = 128
+LW_PROBE_MIN_ROWS = 512
+
+_LW_SKEW_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
+
+
+def _hashable_cols(df: DataFrame) -> list[str]:
+    """Columns Spark's hash functions accept (maps — incl. nested in
+    structs/arrays — are unhashable)."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+
+
+def _lw_probe(df: DataFrame, key_cols: list[str], mod: int):
+    """(hottest key's rows, total rows) over a deterministic row-level hash
+    sample of the frame (mod=1: exact)."""
+    s = df
+    if mod > 1:
+        cols = _hashable_cols(df) or list(key_cols)
+        s = s.filter(
+            F.pmod(F.xxhash64(F.lit(41), *[F.col(c) for c in cols]), F.lit(mod))
+            == 0
+        )
+    return (
+        s.groupBy(*key_cols)
+        .agg(F.count("*").alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
+        .first()
+    )
+
+
+def latest_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    mode: str | None = None,
+    skew_threshold: float = 0.10,
+    n_salts: int = 16,
+) -> DataFrame:
     """Keep the newest row per business key (SURVEY W3/J4: upsert latest-wins,
     reference database/data_migration.py:133-139). ``order_cols`` must
-    include a unique tie-break for determinism."""
+    include a unique tie-break for determinism.
+
+    TWO REGIMES (r14, VERDICT r13 item 6 — the repeated_span_profile
+    treatment applied to W3): a bare ``row_number`` window funnels a hot
+    key's ENTIRE row set through one task (AQE does not split window
+    partitions), so a caller handing this a key where 10% of a corpus is
+    "unknown" built a straggler. ``mode``:
+
+    - ``window`` — the single-window plan (one exchange, no join): right
+      when keys are well distributed;
+    - ``salted`` — two-phase via :func:`skew.salted_latest_per_key`: a
+      deterministic whole-row salt splits each key over ``n_salts`` tasks,
+      winners reduce in a second tiny window. Identical rows to ``window``
+      whenever ``order_cols`` is a total order (pinned by test_skew).
+    - ``None`` → ``spark.graft.dedup.latestWinsMode`` (auto|window|salted,
+      default auto): probe a ~1% deterministic row-hash sample (escalating
+      to exact when the sample can't resolve the threshold; memoized per
+      (frame, params)) and take ``salted`` when the hottest key holds more
+      than ``skew_threshold`` of rows.
+    """
+    spark = df.sparkSession
+    if mode is None:
+        mode = spark.conf.get("spark.graft.dedup.latestWinsMode", "auto")
+    if mode not in ("auto", "window", "salted"):
+        raise ValueError(f"unknown latestWinsMode {mode!r}")
+    if mode == "auto":
+        per = _LW_SKEW_MEMO.get(df)
+        key = (tuple(key_cols), skew_threshold)
+        if per is not None and key in per:
+            skewed = per[key]
+        else:
+            probe = _lw_probe(df, key_cols, LW_PROBE_MOD)
+            if probe is None or not probe["tot"] or probe["tot"] < LW_PROBE_MIN_ROWS:
+                probe = _lw_probe(df, key_cols, 1)
+            skewed = bool(
+                probe and probe["tot"] and probe["mx"] / probe["tot"] > skew_threshold
+            )
+            if per is None:
+                per = _LW_SKEW_MEMO.setdefault(df, {})
+            per[key] = skewed
+        mode = "salted" if skewed else "window"
+    if mode == "salted":
+        from .skew import salted_latest_per_key
+
+        # whole-row salt: identical rows are interchangeable under a total
+        # order, so same-salt collisions are harmless. Map-typed columns
+        # are unhashable in Spark — exclude them (and the keys, constant
+        # within a partition) from the salt; if nothing hashable remains,
+        # the salt degenerates to one bucket, which is just the window
+        # plan with an extra no-op reduction (still correct).
+        salt_from = [
+            c for c in _hashable_cols(df) if c not in key_cols
+        ] or list(key_cols)
+        return salted_latest_per_key(
+            df, key_cols, order_cols, salt_from=salt_from, n_salts=n_salts
+        )
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 

@@ -55,3 +55,22 @@ def test_catalog_query_analyzes(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.schema is not None
     assert len(df.schema.fields) > 0
+
+
+def test_coverage_md_matches_catalog():
+    """COVERAGE.md drifted from the live catalog at two consecutive round
+    closes (VERDICT r12/r13) — pin it: the committed document's query table
+    and headline count must equal the registered catalog exactly."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    text = open(path).read()
+    m = re.search(r"## Query catalog: (\d+) queries, (\d+) with DuckDB oracles", text)
+    assert m, "COVERAGE.md missing the query-catalog headline"
+    listed = set(re.findall(r"^\| (q\w+) \|", text, re.M))
+    assert int(m.group(1)) == len(QUERIES)
+    assert listed == set(QUERIES), (
+        sorted(set(QUERIES) - listed),
+        sorted(listed - set(QUERIES)),
+    )

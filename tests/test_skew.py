@@ -36,7 +36,7 @@ def test_salted_join_rejects_outer_modes(spark):
 def test_salted_latest_per_key_equals_single_window(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     order = [F.col("ts").desc(), F.col("event_id").asc()]
-    plain = latest_wins(e, ["user_id"], order)
+    plain = latest_wins(e, ["user_id"], order, mode="window")
     salted = salted_latest_per_key(
         e, ["user_id"], order, salt_from=["event_id"], n_salts=8
     )
@@ -234,3 +234,46 @@ def test_funnel_two_phase_boundary_state_is_bounded(spark, sf_dir):
         if "collect_list" in ln and "keys=" in ln and "__fn" not in ln
     ]
     assert agg_lines and all("__block" in ln for ln in agg_lines), agg_lines
+
+
+def test_latest_wins_auto_salts_hot_keys(spark):
+    """r14 (VERDICT r13 item 6): latest_wins auto-probes key skew — a key
+    holding >10% of rows switches the plan to the salted two-phase window,
+    with rows identical to the plain window."""
+    from scraper_db_refine_merge_spark.operators import dedup as dd
+
+    # 4000 rows, 80% on one hot key; ~1% probe sample resolves this easily
+    rows = [(("hot" if i % 5 != 0 else f"k{i}"), i, float(i)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, seq long, v double")
+    order = [F.col("seq").desc()]
+
+    auto = dd.latest_wins(df, ["k"], order)  # mode=None -> conf default auto
+    window = dd.latest_wins(df, ["k"], order, mode="window")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, window.collect()))
+    # the probe classified the frame as skewed → salted regime
+    assert dd._LW_SKEW_MEMO[df][(("k",), 0.10)] is True
+    # plan-observable: the salted path carries the __salt column
+    assert "__salt" in auto._jdf.queryExecution().analyzed().toString()
+
+    # well-distributed keys stay on the single-window plan
+    flat = spark.createDataFrame(
+        [(f"k{i % 997}", i, float(i)) for i in range(4000)],
+        "k string, seq long, v double",
+    )
+    auto_flat = dd.latest_wins(flat, ["k"], order)
+    assert dd._LW_SKEW_MEMO[flat][(("k",), 0.10)] is False
+    assert "__salt" not in auto_flat._jdf.queryExecution().analyzed().toString()
+
+
+def test_latest_wins_salted_handles_map_columns(spark):
+    """Map columns are unhashable in Spark — the whole-row salt must skip
+    them instead of crashing the plan build."""
+    from scraper_db_refine_merge_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [("a", 1, {"x": "1"}), ("a", 2, {"y": "2"}), ("b", 1, {})],
+        "k string, seq long, m map<string,string>",
+    )
+    out = dd.latest_wins(df, ["k"], [F.col("seq").desc()], mode="salted")
+    got = {(r["k"], r["seq"]) for r in out.collect()}
+    assert got == {("a", 2), ("b", 1)}
