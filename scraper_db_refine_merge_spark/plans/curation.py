@@ -518,10 +518,13 @@ def q129_incremental_lm_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.lm import fold_bigram_index, lm_scores_from_index
 
+    from ..streaming.store import store_compact
+
     d = load_table(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="q129_lm_")
     for i in range(3):
         fold_bigram_index(spark, root, d.filter(F.col("doc_id") % 3 == i), "doc_id", "text")
+    store_compact(spark, root)  # r14: gate scores from the compacted index
     return lm_scores_from_index(spark, root, d, "doc_id", "text")
 
 

@@ -694,20 +694,26 @@ def q109_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sets) — never recomputing the corpus. Every pair is discovered exactly
 # once, when its later member arrives, so the accumulated pair log must
 # equal the whole-corpus q25 computation — the oracle IS q25's, verbatim.
+# r14: the store is COMPACTED after the folds (store_compact squashes the
+# 3 per-batch parts per table to one) and the returned state re-read from
+# the compacted snapshot — the driver gate now proves compaction is
+# read-identical, not just a pytest claim.
 def q113_incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from ..streaming.store import store_compact, store_read_part
+
     d = load_table(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="q113_mh_")
     target = os.path.join(root, "index")
-    out = None
     for i in range(3):
         batch = d.filter(F.col("doc_id") % 3 == i)
-        out = dd.fold_minhash_index(
+        dd.fold_minhash_index(
             spark, target, batch, "doc_id", "text", k=5, threshold=0.2
         )
-    return out
+    store_compact(spark, target)
+    return store_read_part(spark, target, "pairs")
 
 
 QUERIES["q113_incremental_minhash_index"] = q113_incremental_minhash_index

@@ -590,10 +590,13 @@ def q131_incremental_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.pq import fold_pq_codes, pq_codes_from_index
 
+    from ..streaming.store import store_compact
+
     e = load_table(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="q131_pq_")
     for i in range(3):
         fold_pq_codes(spark, root, e.filter(F.col("vec_id") % 3 == i), "vec_id", "embedding")
+    store_compact(spark, root)  # r14: gate codes from the compacted index
     return pq_codes_from_index(spark, root)
 
 
@@ -938,6 +941,8 @@ def q141_incremental_semantic_index(spark: SparkSession, sf_dir: str) -> DataFra
 
     from ..operators.similarity import fold_semantic_index, semantic_index_state
 
+    from ..streaming.store import store_compact
+
     e = load_table(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="q141_sem_")
     for i in range(3):
@@ -949,6 +954,7 @@ def q141_incremental_semantic_index(spark: SparkSession, sf_dir: str) -> DataFra
             iters=_KM_ITERS,
             threshold=_SD_THRESHOLD,
         )
+    store_compact(spark, root)  # r14: gate state from the compacted index
     return semantic_index_state(spark, root)
 
 

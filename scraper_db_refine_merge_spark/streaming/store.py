@@ -334,6 +334,56 @@ def store_commit_parts(
     return vd
 
 
+def store_compact(
+    spark: SparkSession, target_path: str, keep: int = 1
+) -> str | None:
+    """Squash a multi-part store's accumulated parts (r14, VERDICT r13
+    item 5): N folds leave N part dirs per table, so replay/read cost grows
+    with fold count — fine for a harness, wrong at a year of daily batches.
+    Each table whose manifest lists >1 parts is union-read and rewritten as
+    ONE part; the new manifest commits behind the usual single pointer
+    replace, and retention GC reclaims the small parts. Read results are
+    row-identical by construction (readers union the listed parts — the
+    union now has one member); markers are carried over so exactly-once
+    batch guards survive compaction.
+
+    Returns the committed snapshot dir; None for an empty store; the live
+    dir unchanged when there is nothing to squash (already compact, or a
+    full-rewrite snapshot with no manifest). Same single-writer contract
+    as every commit. Time-travel note: compaction commits a NEW version —
+    with ``keep=1`` older snapshots (and the fine-grained parts they
+    reference) are reclaimed, so run it only when replay-from-parts is no
+    longer needed, or raise ``keep``.
+    """
+    prior = store_version_dir(target_path)
+    if prior is None:
+        return None
+    manifest = _manifest_of(prior)
+    if manifest is None or all(len(v) <= 1 for v in manifest.values()):
+        return prior
+    parts_root = os.path.join(target_path, _PARTS)
+    new_manifest: dict[str, list[str]] = {}
+    for name, plist in manifest.items():
+        if len(plist) <= 1:
+            new_manifest[name] = list(plist)
+            continue
+        df = spark.read.parquet(*[os.path.join(parts_root, p) for p in plist])
+        pname = f"p-compact-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(parts_root, pname))
+        new_manifest[name] = [pname]
+    version = _new_version(target_path)
+    vd = os.path.join(target_path, version)
+    os.makedirs(vd)
+    with open(os.path.join(vd, _MANIFEST), "w") as f:
+        json.dump(new_manifest, f)
+    for fname in os.listdir(prior):  # markers travel with their state
+        src = os.path.join(prior, fname)
+        if fname != _MANIFEST and os.path.isfile(src):
+            shutil.copy2(src, os.path.join(vd, fname))
+    _commit_pointer(target_path, version, keep)
+    return vd
+
+
 def _read_part_of_dir(
     spark: SparkSession, target_path: str, vd: str, part: str
 ) -> DataFrame | None:
