@@ -140,6 +140,31 @@ def main() -> None:
     except Exception:
         oracle_timings = {}
 
+    # Per-query JOB FLOOR measurement (r14, VERDICT r13 item 4 / ROADMAP
+    # 13m(c)): time the identical query at the smallest SF in the SAME warm
+    # session. Floor-dominated entries (q43/q44/q47: fixed Python-worker /
+    # Arrow / job-submission cost, the measure_q44_floor volume-scaling
+    # adjudication) show t(small) ≈ t(bench); marginal-cost entries show
+    # t(small) << t(bench). bench_dispersion subtracts the floor median so
+    # a real marginal regression can't hide under the floor. Opt IN with
+    # SPARK_GRAFT_BENCH_FLOORS=1 (extra keys only — the driver's headline
+    # line is unchanged).
+    floor_timings: dict[str, float] = {}
+    floor_sf_dir = os.environ.get("SPARK_GRAFT_FLOOR_SF_DIR", "/root/testdata/sf0.001")
+    if os.environ.get("SPARK_GRAFT_BENCH_FLOORS") == "1":
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            try:
+                fn(spark, floor_sf_dir).count()  # warm at the floor SF
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, floor_sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+                floor_timings[name] = round(best, 3)
+            except Exception:
+                pass
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -151,6 +176,12 @@ def main() -> None:
     if oracle_timings:
         out["oracle_queries"] = oracle_timings
         out["oracle_total"] = round(sum(oracle_timings.values()), 3)
+        # the same-run normalizer IS the headline number (VERDICT r13
+        # item 7): absolutes drift ±30% with host load, the ratio doesn't
+        out["ratio_vs_oracle"] = round(total / out["oracle_total"], 3)
+    if floor_timings:
+        out["floor_queries"] = floor_timings
+        out["floor_sf_dir"] = floor_sf_dir
 
     # TPC-H-throughput-test shape (always in the committed artifact,
     # VERDICT r5 item 3): all headline queries submitted CONCURRENTLY from

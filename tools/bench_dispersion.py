@@ -29,7 +29,7 @@ def run_once() -> dict:
         capture_output=True,
         text=True,
         env={**os.environ, "PYTHONPATH": ROOT},
-        timeout=900,
+        timeout=1800,
     )
     line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
     return json.loads(line)
@@ -78,6 +78,22 @@ def main() -> int:
                 statistics.median(sv) / max(statistics.median(ov), 1e-9), 2
             ),
         }
+        # r14 (VERDICT r13 item 4): floor-adjusted ratio. The floor is the
+        # same query's same-session wall time at the smallest SF (bench.py
+        # SPARK_GRAFT_BENCH_FLOORS=1 — the measure_q44_floor volume-scaling
+        # methodology): fixed job cost a 1000-executor run pays once, not
+        # per-row. (spark_median − floor_median)/oracle_median exposes the
+        # MARGINAL cost, so a real per-row regression can't hide under a
+        # floor-dominated raw ratio (q43/q44/q47).
+        fv = sorted(r["floor_queries"][q] for r in runs if q in r.get("floor_queries", {}))
+        if fv:
+            fm = statistics.median(fv)
+            per_query[q]["floor_median"] = round(fm, 3)
+            per_query[q]["floor_adjusted_ratio_of_medians"] = round(
+                max(statistics.median(sv) - fm, 0.0)
+                / max(statistics.median(ov), 1e-9),
+                2,
+            )
     doc = {
         "n_runs": len(runs),
         "sf": runs[0]["sf"],
@@ -96,6 +112,16 @@ def main() -> int:
         "runs_dropped_no_oracle": n_dropped,
         "per_query": per_query,
     }
+    adj = [
+        v["floor_adjusted_ratio_of_medians"]
+        for v in per_query.values()
+        if "floor_adjusted_ratio_of_medians" in v
+    ]
+    if adj:
+        doc["median_floor_adjusted_ratio"] = round(statistics.median(adj), 3)
+        doc["median_ratio_of_medians_raw"] = round(
+            statistics.median(v["ratio_of_medians"] for v in per_query.values()), 3
+        )
     with open(final, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"{final}: {len(runs)} runs, median ratio {doc['median_per_run_ratio']}")
