@@ -510,8 +510,14 @@ def ivf_assign(
 
 
 #: above this cell count the probe-selection expression (k² struct
-#: comparisons per query row) loses to the window plan's shuffles
-PROBE_EXPR_MAX_CELLS = 256
+#: comparisons per query row) loses to the window plan's shuffles.
+#: MEASURED crossover (ADVICE r13, tools/measure_probe_crossover.py —
+#: 200 queries × 64 dims, warm min-of-3, expr/window time ratio):
+#: 8 cells 0.68×, 32 cells 1.06×, 64 cells 2.2×, 128 cells 8.0×,
+#: 256 cells 25.8× — Catalyst does NOT subexpression-eliminate the k
+#: cosines inside the nested filter lambdas, so the quadratic term is
+#: real and the old 256 bound sat deep in the regression regime.
+PROBE_EXPR_MAX_CELLS = 32
 
 
 def _sql_double(x) -> str | None:
