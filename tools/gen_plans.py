@@ -65,6 +65,12 @@ NAMES = [
     # this round (expression probes, per-cell Arrow election, auto skew
     # regime)
     "q159_minhash_capped_pairs", "q160_cosine_lsh_capped_pairs",
+    # r14 additions: the per-doc top-k emitter cap and the fold-index
+    # queries after compaction landed in their read path — q159/q160 above
+    # changed shape this round too (corpus-adaptive width, stride-24
+    # planes)
+    "q161_neardup_topk_per_doc", "q113_incremental_minhash_index",
+    "q129_incremental_lm_index",
 ]
 
 
@@ -82,6 +88,39 @@ def main() -> None:
         "\nDeliberate 1-row-side crossJoins (q85/q117/q120/q121 final"
         "\naggregate assembly, cosine-topk broadcast probe set) are the only"
         "\nexpected BroadcastNestedLoop/Cartesian sites."
+    )
+    print(
+        "\nRound-14 notes (the round's reworks; see ROADMAP 14a-14i for the"
+        "\nfull record):"
+        "\n- q159/q160/q161 run CORPUS-ADAPTIVE signature widths"
+        "\n  (num_planes='auto' / band_size='auto'): the width is resolved"
+        "\n  from a memoized corpus count at plan build (one count job per"
+        "\n  frame per session), so the PLAN SHAPE is unchanged — only the"
+        "\n  bucket projection's literal plane count grows log2-style with"
+        "\n  the corpus (stride-24 plane indexing keeps p-bit signatures"
+        "\n  prefixes of the 24-bit ones; the static q160 oracle mirrors"
+        "\n  the count-dependent width with an integer CASE ladder +"
+        "\n  dynamic nested-lambda bucket loop). RECALL_r14 auto rung:"
+        "\n  cluster agreement 10000 bp at all three SFs, no manual tuning"
+        "\n  (static p=6 at sf0.1 measured 8750 bp in r13)."
+        "\n- PROBE_EXPR_MAX_CELLS 256 -> 32 (measured crossover,"
+        "\n  tools/measure_probe_crossover.py): the probe expression's k^2"
+        "\n  nested filters are NOT subexpression-eliminated by Catalyst"
+        "\n  (25.8x the window plan at 256 cells) — >32-cell tables now"
+        "\n  take the crossJoin+window fallback they should."
+        "\n- q113/q129/q131/q141 COMPACT their fold store before the final"
+        "\n  read (store_compact: one part per table behind one atomic"
+        "\n  pointer replace) — the oracle gate now proves compaction is"
+        "\n  read-identical every round; read cost no longer grows with"
+        "\n  fold count."
+        "\n- merge_upsert_partitioned commits fresh targets via a pointer"
+        "\n  layout (immutable symlink views over immutable data commits,"
+        "\n  one atomic os.replace) — crash between partition swaps can no"
+        "\n  longer leave a mixed table; untouched partitions re-link, not"
+        "\n  rewrite. Legacy plain-hive targets keep the in-place swap."
+        "\n- latest_wins auto-routes hot-key frames (>10% share on a 1%"
+        "\n  hash-sample probe) through the salted two-phase window —"
+        "\n  plan-observable via __salt, rows identical."
     )
     print(
         "\nRound-13 notes (the round's reworks; see ROADMAP 13a-13j for the"
