@@ -783,10 +783,24 @@ def fold_minhash_index(
     k: int = 5,
     threshold: float = 0.4,
     num_hashes: int = MINHASH_NUM_HASHES,
-    band_size: int = MINHASH_BAND_SIZE,
+    band_size: int | str = MINHASH_BAND_SIZE,
+    auto_widen: bool = False,
 ) -> DataFrame:
     """Fold a batch of NEW documents into a persistent MinHash near-dup
     index and return the accumulated pair log.
+
+    ``band_size="auto"`` (r14): batch 0 sizes the band width from the
+    adaptive ladder and FREEZES it as a store marker — the band structure
+    must stay constant across folds, so the ladder never re-evaluates on
+    later folds. ``auto_widen=True`` additionally re-evaluates the ladder
+    against the ACCUMULATED doc count after each fold and, when the index
+    has outgrown its frozen width, rebuilds the signature table from the
+    stored shingles at the wider width (:func:`reindex_minhash_width`) —
+    one atomic replace commit, O(corpus) by necessity but amortized over
+    the ~2^16× growth between ladder rungs. Pairs already verified stay
+    (exact Jaccard doesn't depend on banding); the whole-corpus-equality
+    invariant then holds piecewise per width era — pairs discovered after
+    a widening follow the wider structure's recall curve.
 
     The 100 TB ingestion shape: when data lands, its near-dups are found
     against the existing corpus WITHOUT recomputing it — the batch's
@@ -809,7 +823,24 @@ def fold_minhash_index(
     WRITE path too. State grows with the corpus, as any dedup index must;
     every join here is id-/band-keyed with no broadcast hints.
     """
-    from ..streaming.store import store_commit_parts, store_read_part
+    from ..streaming.store import store_commit_parts, store_marker, store_read_part
+
+    markers = None
+    if band_size == "auto":
+        # Frozen-width contract (r14): band structure must be CONSTANT
+        # across folds (sig_old ∪ sig_new must share lane columns), so auto
+        # resolves once — batch 0 sizes the ladder and the choice commits
+        # as a marker; later folds read the marker, never the count. Width
+        # growth is an explicit, atomic rebuild: reindex_minhash_width
+        # (or fold with auto_widen=True to trigger it from the ladder).
+        n_bands = max(1, num_hashes // MINHASH_BAND_SIZE)
+        frozen = store_marker(target_root, "_minhash_width")
+        if frozen:
+            num_hashes, band_size = (int(x) for x in frozen.split(":"))
+        else:
+            band_size = adaptive_band_size(new_docs.count())
+            num_hashes = n_bands * band_size
+        markers = {"_minhash_width": f"{num_hashes}:{band_size}"}
 
     sh_new = word_shingles(new_docs, id_col, text_col, k)
     sig_new = minhash_signatures(sh_new, num_hashes).persist()
@@ -890,11 +921,57 @@ def fold_minhash_index(
     # next fold and duplicate them). Only the NEW batch's rows are written;
     # prior parts are immutable and merely re-listed by the manifest.
     store_commit_parts(
-        {"pairs": new_pairs, "shingles": sh_new, "sigs": sig_new}, target_root
+        {"pairs": new_pairs, "shingles": sh_new, "sigs": sig_new},
+        target_root,
+        markers=markers,
     )
     sig_new.unpersist()
     cand.unpersist()
+    if auto_widen and markers is not None:
+        total = store_read_part(spark, target_root, "sigs").count()
+        want = adaptive_band_size(total)
+        if want > band_size:
+            reindex_minhash_width(
+                spark, target_root, want, n_bands=num_hashes // band_size
+            )
     return store_read_part(spark, target_root, "pairs")
+
+
+def reindex_minhash_width(
+    spark,
+    target_root: str,
+    band_size: int,
+    n_bands: int = MINHASH_NUM_HASHES // MINHASH_BAND_SIZE,
+) -> None:
+    """Re-widen a fold_minhash_index store's signatures (r14, the
+    incremental-index answer to the adaptive-width policy): recompute the
+    ``sigs`` table from the STORED shingle sets at ``n_bands·band_size``
+    lanes and commit it as one atomic replace (``store_commit_parts``
+    ``replace_parts`` — shingles and the pair log are untouched, the
+    superseded signature parts are GC'd after the pointer commit, and the
+    ``_minhash_width`` marker moves with the new table).
+
+    Why it exists: the fold index freezes its band structure at batch 0,
+    so an index born at 10⁶ docs still runs 32-bit band signatures at 10⁹
+    — exactly the collider regime adaptive_band_size exists to avoid, and
+    the one case the one-shot auto mode can't reach. The stored shingle
+    sets make the rebuild possible without the original corpus. Pairs
+    already in the log remain valid (they were verified with exact
+    Jaccard); future folds discover under the wider structure.
+    """
+    from ..streaming.store import store_commit_parts, store_read_part
+
+    sh = store_read_part(spark, target_root, "shingles")
+    if sh is None:
+        raise ValueError(f"reindex_minhash_width: no index at {target_root!r}")
+    num_hashes = n_bands * band_size
+    sigs = minhash_signatures(sh, num_hashes)
+    store_commit_parts(
+        {},
+        target_root,
+        markers={"_minhash_width": f"{num_hashes}:{band_size}"},
+        replace_parts={"sigs": sigs},
+    )
 
 
 def fold_contamination_index(

@@ -230,7 +230,19 @@ def adaptive_num_planes(
     (lsh_candidate_pairs_capped / cosine_near_dup_pairs) doesn't silently
     enter its failure regime at 10⁹ vectors under a static default width.
     Pure integer arithmetic (no float log2 at branch boundaries) so the
-    SQL oracle's comparison ladder mirrors it exactly."""
+    SQL oracle's comparison ladder mirrors it exactly.
+
+    Recall at extreme widths (stated, not hidden): per-table collision
+    probability for a pair at angle θ is (1−θ/π)^p, so growing p cheapens
+    buckets but thins BORDERLINE-pair recall — the OR-amplification curse;
+    keeping it constant would need exponentially many tables. What the
+    dedup use case relies on survives: exact/near-exact duplicates have
+    (near-)identical sign vectors and collide at ANY width, and clique
+    members reach each other through chains and multiple tables — the
+    trade RECALL_r14's auto rung measures (cluster agreement 10000 bp at
+    every harness SF). Callers needing high recall on borderline pairs at
+    extreme corpus scale should raise ``num_tables`` (cost-linear) or
+    lower ``occupancy`` deliberately rather than rely on defaults."""
     p = lo
     while p < hi and n > (occupancy << p):
         p += 1

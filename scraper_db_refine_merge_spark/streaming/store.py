@@ -269,6 +269,7 @@ def store_commit_parts(
     target_path: str,
     markers: dict[str, str] | None = None,
     keep: int = 1,
+    replace_parts: dict[str, DataFrame] | None = None,
 ) -> str:
     """Incremental multi-part commit (ADVICE r5): write ONLY the new
     batch's rows — one immutable ``parts/p-*`` directory per table — and
@@ -282,9 +283,21 @@ def store_commit_parts(
     state still moves together; a crash before the pointer commit leaves
     only unreferenced part dirs that the next successful commit GCs.
 
-    Tables are APPEND-ONLY under this primitive. For replace-the-table
-    semantics use ``store_commit_many`` (full rewrite, also atomic).
+    Tables are APPEND-ONLY through ``new_parts``. ``replace_parts`` (r14)
+    REPLACES the named tables' whole part list with the one new part, in
+    the same atomic commit — the primitive for derived-state rewrites
+    (index re-widening, store_compact's squash) where one table must be
+    rebuilt while its siblings keep accumulating. A table may appear in
+    only one of the two dicts. For replacing EVERY table as a plain
+    snapshot use ``store_commit_many``.
     """
+    replace_parts = replace_parts or {}
+    overlap = set(new_parts) & set(replace_parts)
+    if overlap:
+        raise ValueError(
+            f"store_commit_parts: tables {sorted(overlap)} passed as both "
+            "new_parts (append) and replace_parts (rewrite)"
+        )
     os.makedirs(os.path.join(target_path, _PARTS), exist_ok=True)
     prior = store_version_dir(target_path)
     manifest: dict[str, list[str]] = {}
@@ -324,6 +337,13 @@ def store_commit_parts(
         pname = f"p-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(target_path, _PARTS, pname))
         manifest.setdefault(name, []).append(pname)
+    for name, df in replace_parts.items():
+        # materialize the rewrite BEFORE the manifest drops the old parts:
+        # the write is the action that reads them; after the pointer commit
+        # the superseded parts become GC-able
+        pname = f"p-rewrite-{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(target_path, _PARTS, pname))
+        manifest[name] = [pname]
     version = _new_version(target_path)
     vd = os.path.join(target_path, version)
     os.makedirs(vd)

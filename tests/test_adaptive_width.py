@@ -189,3 +189,80 @@ def test_adaptive_stride_prefix_property(spark):
     }
     for r in narrow:
         assert wide[r["vec_id"]].startswith(r["b"])
+
+
+# ----------------------------------------------------------------------
+# incremental-index width: freeze at batch 0, atomic re-widening
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE = "the quick brown fox jumps over the lazy dog near the riverbank today"
+_NEAR = "the quick brown fox jumps over the lazy dog near the riverbank tonight"
+
+
+def test_fold_auto_freezes_width_and_reindex_widens(spark, tmp_path):
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_marker,
+        store_read_part,
+        store_version_dir,
+        _manifest_of,
+    )
+
+    root = str(tmp_path / "mh")
+    dd.fold_minhash_index(
+        spark, root, _docs(spark, [(1, _BASE), (2, "pack my box with five dozen liquor jugs right now ok")]),
+        "doc_id", "text", threshold=0.2, band_size="auto",
+    )
+    assert store_marker(root, "_minhash_width") == "8:2"  # frozen at batch 0
+    dd.fold_minhash_index(
+        spark, root, _docs(spark, [(3, _NEAR)]),
+        "doc_id", "text", threshold=0.2, band_size="auto",
+    )
+    pairs_before = sorted(
+        map(tuple, store_read_part(spark, root, "pairs").collect())
+    )
+    assert (1, 3) in {(a, b) for (a, b, *_r) in pairs_before}  # cross-fold dup found
+
+    dd.reindex_minhash_width(spark, root, band_size=3)
+    assert store_marker(root, "_minhash_width") == "12:3"
+    sigs = store_read_part(spark, root, "sigs")
+    assert [c for c in sigs.columns if c.startswith("h")] == [f"h{j}" for j in range(12)]
+    # atomic replace: ONE sigs part, pair log untouched
+    m = _manifest_of(store_version_dir(root))
+    assert len(m["sigs"]) == 1
+    assert sorted(map(tuple, store_read_part(spark, root, "pairs").collect())) == pairs_before
+
+    # future folds read the widened marker and keep discovering dups
+    dd.fold_minhash_index(
+        spark, root, _docs(spark, [(4, _BASE + " again")]),
+        "doc_id", "text", threshold=0.2, band_size="auto",
+    )
+    got = {(a, b) for (a, b, *_r) in map(tuple, store_read_part(spark, root, "pairs").collect())}
+    assert (1, 4) in got and (3, 4) in got
+
+
+def test_fold_auto_widen_triggers_from_ladder(spark, tmp_path, monkeypatch):
+    from scraper_db_refine_merge_spark.streaming.store import store_marker, store_read_part
+
+    # ladder double: width 2 below 3 docs, 3 at >= 3 accumulated docs
+    monkeypatch.setattr(dd, "adaptive_band_size", lambda n, *a, **k: 2 if n < 3 else 3)
+    root = str(tmp_path / "mh2")
+    dd.fold_minhash_index(
+        spark, root, _docs(spark, [(1, _BASE), (2, _NEAR)]),
+        "doc_id", "text", threshold=0.2, band_size="auto", auto_widen=True,
+    )
+    # batch 0: froze at 2 lanes... but the post-commit total (2 docs) is
+    # still below the rung — no widening yet
+    assert store_marker(root, "_minhash_width") == "8:2"
+    out = dd.fold_minhash_index(
+        spark, root, _docs(spark, [(3, _BASE + " again")]),
+        "doc_id", "text", threshold=0.2, band_size="auto", auto_widen=True,
+    )
+    # total hit 3 → the index re-widened itself after the fold
+    assert store_marker(root, "_minhash_width") == "12:3"
+    sigs = store_read_part(spark, root, "sigs")
+    assert [c for c in sigs.columns if c.startswith("h")] == [f"h{j}" for j in range(12)]
+    assert {(a, b) for (a, b, *_r) in map(tuple, out.collect())} >= {(1, 2), (1, 3)}

@@ -345,6 +345,21 @@ def main():
             ).count(),
         ),
         (
+            # r14 (VERDICT r13 item 1): corpus-adaptive width — at Nx the
+            # policy picks MORE planes (2000 -> p=8, 20000 -> p=12), so
+            # bucket occupancy stays ~constant and capped candidate growth
+            # stays ~linear WITHOUT the static-width collider pile-up
+            "cosine_near_dup_capped(auto)",
+            lambda: cosine_near_dup_pairs(
+                base_vecs, threshold=0.4, num_planes="auto",
+                max_bucket_successors=3,
+            ).count(),
+            lambda: cosine_near_dup_pairs(
+                vecs, threshold=0.4, num_planes="auto",
+                max_bucket_successors=3,
+            ).count(),
+        ),
+        (
             "lsh_topk(5 queries)",
             lambda: lsh_topk(base_vecs, base_vecs.filter(F.col("vec_id") < 5), k=5).count(),
             lambda: lsh_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=5).count(),
