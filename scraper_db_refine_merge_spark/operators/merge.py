@@ -31,9 +31,12 @@ end-to-end check wherever the package exists.
 Scale notes:
 - within-batch dedup is W3 (row_number over the key) — mandatory before any
   MERGE to avoid nondeterministic multi-match (SURVEY §7 hard-part 5);
-- the fallback rewrite is partition-parallel and the swap is atomic at the
-  directory level only (a crashed multi-partition merge can leave a mixed
-  table — the relaxation vs Mongo's per-doc atomicity that Delta removes);
+- the whole-table fallback swap is atomic at the directory level; the
+  PARTITIONED merge commits fresh targets through a pointer layout (r14,
+  see merge_upsert_partitioned) whose single atomic pointer replace gives
+  whole-commit atomicity over plain parquet — the crash-between-partition-
+  swaps window of the r13 in-place form is closed (legacy plain-hive
+  targets keep the per-partition-atomic swap, the documented relaxation);
 - stats are computed in a SINGLE key-overlap aggregation job, not per-count
   table re-reads (Delta path reads them from the commit's operationMetrics).
 """

@@ -267,6 +267,24 @@ def capped_pair_recall_bp(
             out["planesauto"]["resolved_planes"] = adaptive_num_planes(
                 corpus_count(corpus)
             )
+    # r14: tables sweep at auto width — the measurement num_tables
+    # adaptivity would need (ROADMAP r14 candidate): OR-amplification is
+    # the only recall lever once the width is occupancy-pinned, and its
+    # cost is one more corpus bucket pass per table.
+    for t in (2, 4, 8):
+        cap = {
+            (r["a_id"], r["b_id"])
+            for r in cosine_near_dup_pairs(
+                corpus, threshold=threshold, num_planes="auto", num_tables=t,
+                max_bucket_successors=m,
+            ).collect()
+        }
+        _cache.release_caches()
+        denom = max(len(exact), 1)
+        out[f"tables{t}_auto"] = {
+            "capped_pairs": len(cap),
+            "capped_recall_bp": 10000 * len(cap & exact) // denom,
+        }
     return out
 
 
