@@ -62,7 +62,11 @@ def inject_year(c: Column, year: Column | int) -> Column:
     """F2 year-injection: append the page-context year when the string has no
     4-digit year (scrapers_v2/schema_adapter.py:47-48)."""
     y = F.lit(year) if isinstance(year, int) else year
-    has_year = c.rlike(r"\b\d{4}\b")
+    # \b\d{4}\b can't see the year inside a compact yyyyMMdd run (digit-
+    # digit positions are not word boundaries), and appending a year there
+    # would break the r14 'yyyyMMdd' format — treat a bare 8-digit run as
+    # already carrying its year.
+    has_year = c.rlike(r"\b\d{4}\b") | c.rlike(r"^\s*\d{8}\s*$")
     return F.when(c.isNull() | has_year, c).otherwise(F.concat(c, F.lit(" "), y.cast("string")))
 
 
@@ -154,6 +158,28 @@ def parse_fuzzy_to_utc_iso(
     return to_utc_iso(ts)
 
 
+def dateutil_utc_iso(s: str | None, default_tz: str = "UTC") -> str | None:
+    """The reference's dateutil fuzzy parse → UTC ISO 'Z' (or None), as a
+    plain Python function — the ONE implementation behind both the
+    fallback UDF and the driver-side differential (tools/gen_dates_diff.py,
+    tests/test_dates_differential.py), so the committed divergence-domain
+    artifacts can never measure a stale copy of the UDF's logic."""
+    if not s or not isinstance(s, str):
+        return None
+    try:
+        from datetime import timezone as _tz
+        from zoneinfo import ZoneInfo
+
+        from dateutil import parser as dateutil_parser
+
+        dt = dateutil_parser.parse(s.strip())
+        if dt.tzinfo is None or dt.tzinfo.utcoffset(dt) is None:
+            dt = dt.replace(tzinfo=ZoneInfo(default_tz))
+        return dt.astimezone(_tz.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def dateutil_fallback_udf():
     """Compatibility-oracle UDF over dateutil for strings the format chain
     cannot parse. Returns UTC ISO 'Z' or None. Import-gated; keep off the
@@ -161,23 +187,7 @@ def dateutil_fallback_udf():
     from pyspark.sql.functions import udf
     from pyspark.sql.types import StringType
 
-    def _parse(s: str | None, default_tz: str = "UTC") -> str | None:
-        if not s or not isinstance(s, str):
-            return None
-        try:
-            from datetime import timezone as _tz
-            from zoneinfo import ZoneInfo
-
-            from dateutil import parser as dateutil_parser
-
-            dt = dateutil_parser.parse(s.strip())
-            if dt.tzinfo is None or dt.tzinfo.utcoffset(dt) is None:
-                dt = dt.replace(tzinfo=ZoneInfo(default_tz))
-            return dt.astimezone(_tz.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
-        except Exception:  # noqa: BLE001
-            return None
-
-    return udf(_parse, StringType())
+    return udf(dateutil_utc_iso, StringType())
 
 
 # F5-F7 sanity derivations (quality_scorer.py:216-247; docs rules CP001-CP003)

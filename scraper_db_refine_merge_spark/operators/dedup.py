@@ -50,12 +50,6 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-#: latest_wins auto-probe: ~1/LW_PROBE_MOD row-level hash sample; escalate
-#: to exact when the sample is smaller than LW_PROBE_MIN_ROWS (the
-#: repeated_span_profile probe pattern, operators/substr.py).
-LW_PROBE_MOD = 128
-LW_PROBE_MIN_ROWS = 512
-
 _LW_SKEW_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
 
 
@@ -69,18 +63,18 @@ def _hashable_cols(df: DataFrame) -> list[str]:
     ]
 
 
-def _lw_probe(df: DataFrame, key_cols: list[str], mod: int):
-    """(hottest key's rows, total rows) over a deterministic row-level hash
-    sample of the frame (mod=1: exact)."""
-    s = df
-    if mod > 1:
-        cols = _hashable_cols(df) or list(key_cols)
-        s = s.filter(
-            F.pmod(F.xxhash64(F.lit(41), *[F.col(c) for c in cols]), F.lit(mod))
-            == 0
-        )
+def _lw_probe(df: DataFrame, key_cols: list[str]):
+    """(hottest key's rows, total rows) — ONE exact aggregation pass.
+
+    Unlike the substr position probe (where positions ≫ rows and a hash
+    sample cuts real work), a row sample here still scans the full
+    upstream and only thins the map-side combine — and a sample too small
+    to resolve the threshold would force a second, exact pass over the
+    same (possibly expensive, uncached) upstream plan. One exact
+    keyed-count pass costs the scan once and shuffles only (key, count)
+    partials; the decision is memoized per frame."""
     return (
-        s.groupBy(*key_cols)
+        df.groupBy(*key_cols)
         .agg(F.count("*").alias("__n"))
         .agg(F.max("__n").alias("mx"), F.sum("__n").alias("tot"))
         .first()
@@ -112,10 +106,11 @@ def latest_wins(
       winners reduce in a second tiny window. Identical rows to ``window``
       whenever ``order_cols`` is a total order (pinned by test_skew).
     - ``None`` → ``spark.graft.dedup.latestWinsMode`` (auto|window|salted,
-      default auto): probe a ~1% deterministic row-hash sample (escalating
-      to exact when the sample can't resolve the threshold; memoized per
-      (frame, params)) and take ``salted`` when the hottest key holds more
-      than ``skew_threshold`` of rows.
+      default auto): ONE exact keyed-count probe pass (memoized per
+      (frame, params) — see _lw_probe for why sampling doesn't pay here)
+      takes ``salted`` when the hottest key holds more than
+      ``skew_threshold`` of rows. Callers with an expensive uncached
+      upstream should persist it first: the probe is a second evaluation.
     """
     spark = df.sparkSession
     if mode is None:
@@ -128,9 +123,7 @@ def latest_wins(
         if per is not None and key in per:
             skewed = per[key]
         else:
-            probe = _lw_probe(df, key_cols, LW_PROBE_MOD)
-            if probe is None or not probe["tot"] or probe["tot"] < LW_PROBE_MIN_ROWS:
-                probe = _lw_probe(df, key_cols, 1)
+            probe = _lw_probe(df, key_cols)
             skewed = bool(
                 probe and probe["tot"] and probe["mx"] / probe["tot"] > skew_threshold
             )

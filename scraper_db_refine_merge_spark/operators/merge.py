@@ -288,6 +288,10 @@ def resolve_partitioned_path(target_path: str) -> str | None:
     if os.path.exists(pointer):
         with open(pointer) as f:
             version = f.read().strip()
+        if not version:
+            # torn/empty pointer: joining "" would resolve to the RAW root
+            # (data/ + v-*/ mixed), which readers must never scan
+            return None
         d = os.path.join(target_path, version)
         return d if os.path.isdir(d) else None
     return target_path if os.path.isdir(target_path) else None
@@ -331,31 +335,53 @@ def _merge_partitions_pointer(
     version = _pt_next_version(target_path, prev_view)
     view_dir = os.path.join(target_path, version)
     os.makedirs(view_dir)
-    touched_dirs = {f"{partition_col}={v}" for v in touched}
+    # The staged write's OWN directory names define the touched set — the
+    # hive writer percent-escapes special chars (':', '%', '=', …), so a
+    # name constructed from str(value) can silently miss the staged dir
+    # (new data dropped, stale data relinked). Every staged dir is, by
+    # construction, exactly the touched partitions' new contents.
+    prefix = f"{partition_col}="
+    staged = {
+        name
+        for name in os.listdir(data_dir)
+        if name.startswith(prefix) and os.path.isdir(os.path.join(data_dir, name))
+    }
     # untouched partitions: re-point at the previous view's data (resolve
     # one hop so links always target data/ dirs, never chain through views)
     if prev_view is not None:
         for name in os.listdir(prev_view):
-            if name in touched_dirs or not name.startswith(f"{partition_col}="):
+            if name in staged or not name.startswith(prefix):
                 continue
             src = os.path.join(prev_view, name)
-            dest = os.readlink(src) if os.path.islink(src) else os.path.relpath(
-                src, view_dir
-            )
+            if os.path.islink(src):
+                dest = os.readlink(src)
+            else:
+                # a REAL directory inside a view (hand-migrated table):
+                # linking through the view would dangle once GC drops it —
+                # preserve the data as its own immutable migrated commit
+                # (hardlink tree, the store.py migration precedent)
+                from ..streaming.store import _link_tree
+
+                mig = os.path.join(data_root, f"mig-{uuid.uuid4().hex[:8]}")
+                os.makedirs(mig)
+                _link_tree(src, os.path.join(mig, name))
+                dest = os.path.relpath(os.path.join(mig, name), view_dir)
             os.symlink(dest, os.path.join(view_dir, name))
-    for name in touched_dirs:
-        if not os.path.isdir(os.path.join(data_dir, name)):
-            continue  # value rendered differently by the hive writer
+    for name in staged:
         os.symlink(
             os.path.relpath(os.path.join(data_dir, name), view_dir),
             os.path.join(view_dir, name),
         )
 
-    # THE commit: atomic pointer replace (os.replace on POSIX)
+    # THE commit: atomic pointer replace. flush+fsync BEFORE the replace
+    # (the store.py _commit_pointer discipline): without it a crash after
+    # the rename can journal an EMPTY pointer file, bricking the table.
     pointer = os.path.join(target_path, _PT_POINTER)
     tmp = f"{pointer}.__tmp__{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, pointer)
 
     # GC (post-commit, store.py precedent): drop view dirs other than the
@@ -373,6 +399,11 @@ def _merge_partitions_pointer(
         p = os.path.join(target_path, name)
         if name.startswith("v-") and name != version and os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
+        elif name.startswith(f"{_PT_POINTER}.__tmp__"):  # crashed writers
+            try:
+                os.remove(p)
+            except OSError:
+                pass
     for name in os.listdir(data_root):
         if name not in live_data:
             shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
@@ -456,17 +487,19 @@ def merge_upsert_partitioned(
         )
         return sorted(str(v) for v in touched)
 
-    # legacy plain-hive target: in-place per-partition swap (see docstring)
+    # legacy plain-hive target: in-place per-partition swap (see docstring).
+    # Swap the dirs the staged write actually PRODUCED (hive-escaped names)
+    # — constructing "col=str(value)" misses any value the writer escapes
+    # (same fix as the pointer path).
     staging = f"{target_path}.__staging__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
 
     os.makedirs(target_path, exist_ok=True)
-    for value in touched:
-        part_dir = f"{partition_col}={value}"
+    for part_dir in sorted(os.listdir(staging)):
         src = os.path.join(staging, part_dir)
-        dst = os.path.join(target_path, part_dir)
-        if not os.path.exists(src):
+        if not part_dir.startswith(f"{partition_col}=") or not os.path.isdir(src):
             continue
+        dst = os.path.join(target_path, part_dir)
         backup = f"{dst}.__old__{uuid.uuid4().hex[:8]}"
         if os.path.exists(dst):
             os.rename(dst, backup)

@@ -69,6 +69,10 @@ def store_version_dir(target_path: str) -> str | None:
         return None
     with open(pointer) as f:
         version = f.read().strip()
+    if not version:
+        # torn/empty pointer: os.path.join(target, "") IS the store root,
+        # which isdir() would happily bless — never hand that to a reader
+        return None
     d = os.path.join(target_path, version)
     return d if os.path.isdir(d) else None
 

@@ -11,6 +11,7 @@ corpus + a hypothesis sweep over rendered calendar dates.
 
 from __future__ import annotations
 
+import os
 import sys
 from datetime import date
 
@@ -18,7 +19,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 from gen_dates_diff import DAY_FIRST_RE, classify, corpus, dateutil_utc_iso  # noqa: E402
 
 from scraper_db_refine_merge_spark.functions.dates import parse_fuzzy_to_utc_iso

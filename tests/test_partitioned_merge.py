@@ -230,3 +230,42 @@ def test_legacy_plain_layout_keeps_inplace_swap(spark, tmp_path):
     assert not os.path.exists(os.path.join(target, "CURRENT"))
     assert resolve_partitioned_path(target) == target
     assert _table(spark, target) == {("e1", "d1", 9.0), ("e2", "d2", 2.0)}
+
+
+def test_pointer_layout_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values the hive writer percent-escapes (':' in a
+    timestamp-like string) must round-trip: the commit links the dirs the
+    staged write PRODUCED, never names constructed from str(value)."""
+    target = str(tmp_path / "esc")
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "2025-05-05 21:30:00", 1.0), ("e2", "plain", 2.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    assert _table(spark, target) == {
+        ("e1", "2025-05-05 21:30:00", 1.0), ("e2", "plain", 2.0),
+    }
+    # upsert into the escaped partition: new value wins, nothing relinks stale
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "2025-05-05 21:30:00", 9.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    assert _table(spark, target) == {
+        ("e1", "2025-05-05 21:30:00", 9.0), ("e2", "plain", 2.0),
+    }
+    view = resolve_partitioned_path(target)
+    assert any("%3A" in d for d in os.listdir(view))  # escaping really happened
+
+
+def test_legacy_layout_hive_escaped_partition_values(spark, tmp_path):
+    """Same escaping contract for the legacy in-place swap."""
+    target = str(tmp_path / "escl")
+    _mk_batch(spark, [("e1", "a:b", 1.0), ("e2", "c", 2.0)]).write.partitionBy(
+        "day"
+    ).parquet(target)
+    merge_upsert_partitioned(
+        spark, target, _mk_batch(spark, [("e1", "a:b", 9.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    assert _table(spark, target) == {("e1", "a:b", 9.0), ("e2", "c", 2.0)}

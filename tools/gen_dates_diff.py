@@ -61,23 +61,9 @@ def corpus() -> list[str]:
     return [s for s in out if not (s in seen or seen.add(s))]
 
 
-def dateutil_utc_iso(s: str, default_tz: str = "UTC") -> str | None:
-    """The reference's dateutil parse → UTC ISO 'Z' (the
-    dateutil_fallback_udf body, run driver-side)."""
-    if not s or not isinstance(s, str):
-        return None
-    try:
-        from datetime import timezone as _tz
-        from zoneinfo import ZoneInfo
-
-        from dateutil import parser as dateutil_parser
-
-        dt = dateutil_parser.parse(s.strip())
-        if dt.tzinfo is None or dt.tzinfo.utcoffset(dt) is None:
-            dt = dt.replace(tzinfo=ZoneInfo(default_tz))
-        return dt.astimezone(_tz.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
-    except Exception:  # noqa: BLE001
-        return None
+# the ONE dateutil implementation — the same function the fallback UDF
+# wraps, so this differential can never measure a stale copy
+from scraper_db_refine_merge_spark.functions.dates import dateutil_utc_iso  # noqa: E402
 
 
 def classify(spark, strings: list[str]) -> dict[str, list]:

@@ -272,6 +272,15 @@ def capped_pair_recall_bp(
     # the only recall lever once the width is occupancy-pinned, and its
     # cost is one more corpus bucket pass per table.
     for t in (2, 4, 8):
+        if t == 4:
+            # identical emitter to the planes loop's capped 'auto' rung
+            # (default num_tables=4) — reuse instead of a third full
+            # bucket-build + verify pipeline per SF
+            out["tables4_auto"] = {
+                "capped_pairs": out["planesauto"]["capped_pairs"],
+                "capped_recall_bp": out["planesauto"]["capped_recall_bp"],
+            }
+            continue
         cap = {
             (r["a_id"], r["b_id"])
             for r in cosine_near_dup_pairs(
