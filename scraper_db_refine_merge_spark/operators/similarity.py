@@ -1547,6 +1547,63 @@ def _cross_dropped_ids(
     )
 
 
+def reindex_semantic(
+    spark,
+    target_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    round_scale: int = 5,
+) -> None:
+    """Rebuild a fold_semantic_index store from its own stored vectors
+    (r14, the semantic analog of dedup.reindex_minhash_width): retrain the
+    k-means centroids on the FULL accumulated corpus, re-cell every
+    vector, and re-run the election — committed as ONE atomic replace of
+    the ``centroids``/``vectors``/``dropped`` parts.
+
+    Why it exists: the fold freezes batch-0 centroids by design (re-fitting
+    would silently re-cell previously indexed vectors), so an index born on
+    a small unrepresentative batch keeps those cells forever — and ``k``
+    should grow with the corpus (SemDeDup runs k≈10⁵ at 5B vectors) the
+    same way the LSH widths do. A deliberate rebuild is the sanctioned way
+    to move both. Post-rebuild state equals the ONE-SHOT
+    :func:`semantic_dedup` over the accumulated corpus with these params
+    (pinned by test) — the monotone fold log is replaced by the fresh
+    election wholesale. O(corpus) by necessity; the replace also compacts
+    the per-fold parts as a side effect.
+    """
+    from ..streaming.store import store_commit_parts, store_read_part
+
+    stored = store_read_part(spark, target_root, "vectors")
+    if stored is None:
+        raise ValueError(f"reindex_semantic: no index at {target_root!r}")
+    vecs = stored.select(id_col, vec_col)
+    cents = kmeans_centroids(vecs, id_col, vec_col, k, iters, round_scale)
+    assigned = ivf_assign(vecs, cents, id_col, vec_col, "cell", round_scale)
+    sides = assigned.select(
+        "cell", F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    dropped = _cross_dropped_ids(
+        sides,
+        sides,
+        vecs.schema[id_col].dataType.simpleString(),
+        id_col,
+        threshold,
+        round_scale,
+    )
+    store_commit_parts(
+        {},
+        target_root,
+        replace_parts={
+            "centroids": cents,
+            "vectors": assigned,
+            "dropped": dropped.dropDuplicates(),
+        },
+    )
+
+
 def semantic_index_state(spark, target_root: str, id_col: str = "vec_id") -> DataFrame:
     """Accumulated (id, cell, kept) of a folded semantic-dedup index."""
     from ..streaming.store import store_read_part
