@@ -178,7 +178,9 @@ def main() -> None:
         out["oracle_total"] = round(sum(oracle_timings.values()), 3)
         # the same-run normalizer IS the headline number (VERDICT r13
         # item 7): absolutes drift ±30% with host load, the ratio doesn't
-        out["ratio_vs_oracle"] = round(total / out["oracle_total"], 3)
+        # max() guard: per-query rounding to 3 decimals can make the oracle
+        # total exactly 0.0 (ADVICE r14) — bench_dispersion already guards
+        out["ratio_vs_oracle"] = round(total / max(out["oracle_total"], 1e-9), 3)
     if floor_timings:
         out["floor_queries"] = floor_timings
         out["floor_sf_dir"] = floor_sf_dir

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .strings import python_strip
+
 # F1 format chain (schema_adapter_enhanced.py:114-123), strptime → JVM patterns
 MULTI_FORMATS = (
     "yyyy-MM-dd'T'HH:mm:ssXXX",  # %Y-%m-%dT%H:%M:%S%z
@@ -38,8 +40,10 @@ _DAY_NAME_RE = r"(?i)^(monday|tuesday|wednesday|thursday|friday|saturday|sunday)
 
 
 def parse_multi_format(c: Column, formats: tuple[str, ...] = MULTI_FORMATS) -> Column:
-    """F1: first format that parses wins; NULL if none do."""
-    trimmed = F.trim(c)
+    """F1: first format that parses wins; NULL if none do. Edge-strip uses
+    python_strip — the reference strips date_str with str.strip()
+    (scrapers_v2/schema_adapter.py:42)."""
+    trimmed = python_strip(c)
     return F.coalesce(*[F.try_to_timestamp(trimmed, F.lit(fmt)) for fmt in formats])
 
 
@@ -51,7 +55,7 @@ def strip_day_name(c: Column) -> Column:
 def parse_club_date(c: Column, default_hour: int = 23) -> Column:
     """F3: day-name strip, date-only parse, clamp to the club-default hour UTC
     (schema_adapter_enhanced.py:263 sets 23:00)."""
-    cleaned = F.trim(strip_day_name(c))
+    cleaned = python_strip(strip_day_name(c))
     d = F.coalesce(*[F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in CLUB_FORMATS])
     return F.to_timestamp(
         F.concat(F.date_format(d, "yyyy-MM-dd"), F.lit(f" {default_hour:02d}:00:00"))
@@ -133,7 +137,7 @@ def parse_fuzzy_to_utc_iso(
     wall clock) → UTC ISO 'Z'. The declared-offset formats are absolute and
     bypass localization. Divergence from the reference's dateutil parse is
     measured and documented at :data:`_FUZZY_EXTRA_FORMATS`."""
-    s = F.trim(strip_day_name(c))
+    s = python_strip(strip_day_name(c))
     s = F.regexp_replace(s, _ORDINAL_RE, "$1")
     s = inject_year(s, current_year) if current_year is not None else s
     absolute = F.coalesce(

@@ -40,15 +40,18 @@ def generate_unique_id(prefix: str, identifier: Column) -> Column:
 def composite_event_id(*fields: Column) -> Column:
     """sha256 of "|"-joined key fields; null → "none", else lower(strip(str)).
 
-    The reference strips with Python ``str.strip()`` (ALL whitespace); SQL
-    TRIM strips only ' ', so fields edged with tab/newline would hash to a
-    different event_id and break dedup/upsert key parity. Strip with a
-    ``\\s`` regex instead (same pitfall as strings._strip_ws).
+    The reference strips with Python ``str.strip()``
+    (scrapers_v2/schema_adapter.py:31), whose whitespace set is wider than
+    both SQL TRIM (' ' only) and Java ``\\s`` (no NEL/\\x1c-\\x1f/\\p{Z}) —
+    a title edged with NEL (which html.unescape can emit) must hash to the
+    SAME event_id, or dedup/upsert identity (J3/J4/S6) silently forks.
+    ``python_strip`` is the exact-parity primitive (r14 falsifying input
+    ``('', '\\x85')`` is pinned in test_properties.py).
     """
+    from .strings import python_strip
+
     parts = [
-        F.when(f.isNull(), F.lit("none")).otherwise(
-            F.lower(F.regexp_replace(f.cast("string"), r"^\s+|\s+$", ""))
-        )
+        F.when(f.isNull(), F.lit("none")).otherwise(F.lower(python_strip(f.cast("string"))))
         for f in fields
     ]
     return F.sha2(F.concat_ws("|", *parts), 256)

@@ -148,10 +148,13 @@ def normalize_with_mapping_table(
     df: DataFrame, col: str, mapping: DataFrame, key_col: str = "key", value_col: str = "value"
 ) -> DataFrame:
     """Large-dictionary variant: broadcast-join a mapping table and coalesce.
-    The scale path when the dictionary outgrows a literal map."""
+    The scale path when the dictionary outgrows a literal map. Keys strip
+    like the literal-map variants (python_strip — reference str.strip())."""
+    from .strings import python_strip
+
     joined = df.join(
         F.broadcast(mapping.withColumnRenamed(key_col, "__k").withColumnRenamed(value_col, "__v")),
-        F.lower(F.trim(F.col(col))) == F.col("__k"),
+        F.lower(python_strip(F.col(col))) == F.col("__k"),
         "left",
     )
     return joined.withColumn(col, F.coalesce(F.col("__v"), F.col(col))).drop("__k", "__v")

@@ -32,6 +32,8 @@ from datetime import datetime, timedelta, timezone
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .strings import _PY_WS, _PY_WS_CHARS, python_strip
+
 FIELD_WEIGHTS = {  # quality_scorer.py:21-27
     "title": 0.25,
     "venue": 0.20,
@@ -70,9 +72,15 @@ def score_title_info(title: Column) -> Column:
     length = F.length(title)
     len_ok = length >= 5
     has_date = title.rlike(r"\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}")
-    words = F.when(F.trim(title) == "", F.lit(0)).otherwise(F.size(F.split(F.trim(title), r"\s+")))
+    # reference: len(title.split()) — Python no-arg split strips edges and
+    # splits on the FULL Python whitespace set. Java split over a \s+ pattern
+    # keeps a leading empty element ('\tword' would count 2), so strip with
+    # python_strip first and split on the same full class.
+    stripped = python_strip(title)
+    words = F.when(stripped == "", F.lit(0)).otherwise(F.size(F.split(stripped, f"{_PY_WS}+")))
     multi_word = words >= 2
-    specials = F.length(F.regexp_replace(title, r"[a-zA-Z0-9\s&-]", ""))
+    # reference: re.findall(r'[^a-zA-Z0-9\s\-&]') — Python \s again
+    specials = F.length(F.regexp_replace(title, f"[a-zA-Z0-9&\\-{_PY_WS_CHARS}]", ""))
     special_ok = (specials / length) < 0.2
     first = F.substring(title, 1, 1)
     first_upper = (first == F.upper(first)) & (first != F.lower(first))
@@ -449,15 +457,18 @@ def _score_struct_s(missing_cond: str, missing_flag: str, score: str, flags: str
 
 def score_title_info_sql(t: str) -> str:
     date_re = _re_s(r"\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}")
-    ws_re = _re_s(r"\s+")
-    special_re = _re_s(r"[a-zA-Z0-9\s&-]")
+    # full Python whitespace set, matching the Column variant above
+    ws_re = _re_s(f"{_PY_WS}+")
+    strip_re = _re_s(f"^{_PY_WS}+|{_PY_WS}+$")
+    special_re = _re_s(f"[a-zA-Z0-9&\\-{_PY_WS_CHARS}]")
     missing = f"({t} IS NULL OR {t} = '')"
     length = f"length({t})"
     len_ok = f"({length} >= 5)"
     has_date = f"({t} RLIKE '{date_re}')"
+    stripped = f"regexp_replace({t}, '{strip_re}', '')"
     words = (
-        f"(CASE WHEN trim({t}) = '' THEN 0"
-        f" ELSE size(split(trim({t}), '{ws_re}')) END)"
+        f"(CASE WHEN {stripped} = '' THEN 0"
+        f" ELSE size(split({stripped}, '{ws_re}')) END)"
     )
     multi_word = f"({words} >= 2)"
     specials = f"length(regexp_replace({t}, '{special_re}', ''))"

@@ -14,35 +14,46 @@ from pyspark.sql import functions as F
 # F11 — whitespace normalization
 
 
-def _strip_ws(c: Column) -> Column:
-    # SQL TRIM removes only ' '; the reference's str.strip() removes all
-    # whitespace (a lone '\t' must normalize to NULL, not ' ' — caught by the
-    # hypothesis differential test), so strip with a \s regex instead.
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+# Python str.strip() / re-module \s whitespace, as a Java regex class.
+# Java \s is only [ \t\n\x0B\f\r]; Python additionally treats the
+# \x1c-\x1f info separators, NEL (\x85 — category Cc, so \p{Z} does NOT
+# match it; the r14 parity bug), and every \p{Z} space/line/paragraph
+# separator as whitespace. test_py_ws_class_exhaustive pins this class ==
+# str.isspace() over the full codepoint range.
+_PY_WS_CHARS = r"\s\x1c-\x1f\x85\p{Z}"
+_PY_WS = f"[{_PY_WS_CHARS}]"
 
-
-# Python str.strip()'s whitespace set beyond Java \s: the \x1c-\x1f info
-# separators, NEL (\x85), and every Unicode space separator (\p{Z}).
-_PY_WS = r"[\s\x1c-\x1f\p{Z}]"
+#: The same set for RE2 (DuckDB oracle SQL). RE2's \s is [\t\n\f\r ] —
+#: vertical tab (\x0b) must be added explicitly on top of the Java delta.
+PY_WS_RE2 = r"[\s\x0b\x1c-\x1f\x85\p{Z}]"
 
 
 def python_strip(c: Column) -> Column:
     """Full-parity Python ``str.strip()``: strips everything ``str.isspace()``
-    considers whitespace, not just Java's ``\\s``. Use where key parity with
-    reference dict lookups matters (normalize.py maps)."""
+    considers whitespace, not just Java's ``\\s``. Use at every site that
+    mirrors a reference ``.strip()`` (key parity: normalize.py maps, J2
+    composite ids, F11 normalization)."""
     return F.regexp_replace(c, f"^{_PY_WS}+|{_PY_WS}+$", "")
+
+
+# str.strip() is the reference's only edge trim; keep the old internal name
+# as an alias so existing call sites keep reading like the reference.
+_strip_ws = python_strip
 
 
 def normalize_whitespace(c: Column) -> Column:
     """strip + collapse all whitespace runs to ' ', empty → NULL
-    (scrapers_v2/data_quality/cleaning.py:5-19)."""
-    return F.nullif(F.regexp_replace(_strip_ws(c), r"\s+", " "), F.lit(""))
+    (scrapers_v2/data_quality/cleaning.py:5-19). Strip AND collapse use the
+    full Python whitespace set: the reference strips with str.strip() and
+    collapses with re-\\s, which match the same chars."""
+    return F.nullif(F.regexp_replace(python_strip(c), f"{_PY_WS}+", " "), F.lit(""))
 
 
 def normalize_text_v2(c: Column) -> Column:
     """strip + collapse only 2+ whitespace (single newlines survive), empty →
-    NULL (scrapers_v2/schema_adapter.py:21-26)."""
-    return F.nullif(F.regexp_replace(_strip_ws(c), r"\s{2,}", " "), F.lit(""))
+    NULL (scrapers_v2/schema_adapter.py:21-26). Full Python whitespace set,
+    as in normalize_whitespace."""
+    return F.nullif(F.regexp_replace(python_strip(c), f"{_PY_WS}{{2,}}", " "), F.lit(""))
 
 
 # ----------------------------------------------------------------------
@@ -57,6 +68,9 @@ def extract_price(price_text: Column) -> Column:
     "free"/"gratis" → (0.0, EUR); else first money-pattern match with symbol/
     ISO-code resolution and EUR default, mirroring the reference branch order.
     """
+    # reference does price_text.strip().lower() — the edge strip is
+    # UNOBSERVABLE here (both `contains` and regexp_extract search anywhere
+    # in the string), so plain trim is parity-safe; no python_strip needed.
     t = F.lower(F.trim(price_text))
     is_free = t.contains("free") | t.contains("gratis")
 

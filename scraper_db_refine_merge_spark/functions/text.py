@@ -13,6 +13,13 @@ Analysis: language-ID (stopword-profile heuristic), quality scoring
 scrapers_v2/data_quality/scoring.py:112-162 shape), token counting
 (whitespace + regex), and document fingerprinting (md5 content hash +
 min-shingle "winnowing-lite" hash). All pure built-in expressions.
+
+Whitespace note (r15 \\s-parity sweep): the tokenizers/fingerprints here
+split on Java ``\\s`` after ASCII-space ``trim`` — that is this engine's own
+tokenizer SPEC for the LLM-pipeline ops (T1/T2 and the dedup family), stated
+identically in their DuckDB oracle SQL, NOT a mirror of a reference
+``str.strip()`` call. Reference-parity strip sites use
+``strings.python_strip`` (full Python whitespace set) instead.
 """
 
 from __future__ import annotations

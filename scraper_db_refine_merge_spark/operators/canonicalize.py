@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 def candidate_key(
     title: Column, start_date: Column, venue_name: Column
 ) -> Column:
-    """Normalized (title, date, venue) blocking key for entity resolution."""
+    """Normalized (title, date, venue) blocking key for entity resolution.
+
+    Engine spec, not a reference-parity strip site: the reference dedups on
+    raw ``source_url + start_date`` (database/data_migration.py:88-91), so
+    the ASCII-space ``trim`` here is this engine's own blocking-key
+    definition, mirrored verbatim by the q40 oracle SQL.
+    """
     return F.sha2(
         F.concat_ws(
             "|",

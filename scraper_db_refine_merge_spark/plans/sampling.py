@@ -17,8 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.strings import PY_WS_RE2
 from ..operators.dedup import normalized_text
 from ..sources.tables import load_table
+
+# Python str.strip()/re-\s whitespace for DuckDB (RE2) oracle mirrors —
+# keep in lockstep with functions.strings._PY_WS (the Spark/Java class).
+_WS = PY_WS_RE2
+_STRIP = f"^{_WS}+|{_WS}+$"
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -144,7 +150,7 @@ def q49_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no sha1.
 @_register(
     "q50_refine_core",
-    r"""
+    rf"""
     WITH raw AS (
         SELECT doc_id,
                '  Event ' || CAST(doc_id AS VARCHAR) ||
@@ -160,10 +166,10 @@ def q49_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cleaned AS (
         SELECT doc_id, date_str,
-               nullif(regexp_replace(regexp_replace(title, '^\s+|\s+$', '', 'g'),
-                                     '\s+', ' ', 'g'), '') AS title,
-               nullif(regexp_replace(regexp_replace(venue, '^\s+|\s+$', '', 'g'),
-                                     '\s+', ' ', 'g'), '') AS venue
+               nullif(regexp_replace(regexp_replace(title, '{_STRIP}', '', 'g'),
+                                     '{_WS}+', ' ', 'g'), '') AS title,
+               nullif(regexp_replace(regexp_replace(venue, '{_STRIP}', '', 'g'),
+                                     '{_WS}+', ' ', 'g'), '') AS venue
         FROM raw
     )
     SELECT doc_id, title, venue,
@@ -173,11 +179,11 @@ def q49_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'club_night' END AS event_type,
            sha256(concat_ws('|',
                CASE WHEN title IS NULL THEN 'none'
-                    ELSE lower(regexp_replace(title, '^\s+|\s+$', '', 'g')) END,
+                    ELSE lower(regexp_replace(title, '{_STRIP}', '', 'g')) END,
                CASE WHEN date_str IS NULL THEN 'none'
-                    ELSE lower(regexp_replace(date_str, '^\s+|\s+$', '', 'g')) END,
+                    ELSE lower(regexp_replace(date_str, '{_STRIP}', '', 'g')) END,
                CASE WHEN venue IS NULL THEN 'none'
-                    ELSE lower(regexp_replace(venue, '^\s+|\s+$', '', 'g')) END,
+                    ELSE lower(regexp_replace(venue, '{_STRIP}', '', 'g')) END,
                'stream.example.com')) AS event_id
     FROM cleaned
     """,
@@ -236,9 +242,12 @@ def q50_refine_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, title,
                length(title) AS len,
                regexp_matches(title, '\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|\d{4}') AS has_date,
-               CASE WHEN trim(title) = '' THEN 0
-                    ELSE len(string_split_regex(trim(title), '\s+')) END AS words,
-               length(regexp_replace(title, '[a-zA-Z0-9\s&-]', '', 'g')) AS specials,
+               -- Python len(title.split()): full-Python-\s strip + split
+               CASE WHEN regexp_replace(title, '^[\s\x0b\x1c-\x1f\x85\p{Z}]+|[\s\x0b\x1c-\x1f\x85\p{Z}]+$', '', 'g') = '' THEN 0
+                    ELSE len(string_split_regex(
+                             regexp_replace(title, '^[\s\x0b\x1c-\x1f\x85\p{Z}]+|[\s\x0b\x1c-\x1f\x85\p{Z}]+$', '', 'g'),
+                             '[\s\x0b\x1c-\x1f\x85\p{Z}]+')) END AS words,
+               length(regexp_replace(title, '[a-zA-Z0-9&\-\s\x0b\x1c-\x1f\x85\p{Z}]', '', 'g')) AS specials,
                substring(title, 1, 1) AS first
         FROM titled
     )

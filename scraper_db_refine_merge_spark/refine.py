@@ -37,6 +37,7 @@ from .functions.strings import (
     extract_price,
     normalize_text_v2,
     normalize_url,
+    python_strip,
 )
 from .functions.text import search_blob
 
@@ -81,14 +82,16 @@ def refine(
     venue_id = generate_unique_id("venue", venue_name)
 
     # W1 — positional headliner + billing order (schema_adapter_enhanced.py:646-682)
+    # act names strip with python_strip: the reference strips artist names
+    # with str.strip() (schema_adapter_enhanced.py:297) before id generation.
     lineup = F.coalesce(F.col("lineup"), F.lit(None).cast(df.schema["lineup"].dataType))
-    named = F.filter(lineup, lambda a: a["name"].isNotNull() & (F.trim(a["name"]) != ""))
+    named = F.filter(lineup, lambda a: a["name"].isNotNull() & (python_strip(a["name"]) != ""))
 
     def _act(a):
         role = a["role"] if "role" in df.schema["lineup"].dataType.elementType.fieldNames() else F.lit(None)
         return F.struct(
-            generate_unique_id("artist", F.trim(a["name"])).alias("act_id"),
-            F.trim(a["name"]).alias("act_name"),
+            generate_unique_id("artist", python_strip(a["name"])).alias("act_id"),
+            python_strip(a["name"]).alias("act_name"),
             F.lower(F.coalesce(role, F.lit("dj"))).alias("act_type"),
             F.array().cast("array<string>").alias("genres"),
             F.array().cast("array<string>").alias("styles"),
@@ -102,7 +105,7 @@ def refine(
     stage_acts = F.transform(
         named,
         lambda a, i: F.struct(
-            generate_unique_id("artist", F.trim(a["name"])).alias("act_id"),
+            generate_unique_id("artist", python_strip(a["name"])).alias("act_id"),
             F.struct(
                 F.lit(None).cast("string").alias("start"),
                 F.lit(None).cast("string").alias("end"),

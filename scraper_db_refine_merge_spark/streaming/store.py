@@ -62,6 +62,14 @@ class StoreConcurrentWriterError(RuntimeError):
     contract was violated and this writer's merge may be lost."""
 
 
+class StoreCorruptPointerError(RuntimeError):
+    """CURRENT exists but resolves to no snapshot (empty/torn write or a
+    dangling version name). Writers must NOT treat this as a fresh store:
+    committing would produce a truncated snapshot and post-commit GC would
+    then delete every prior commit — recoverable corruption (restore the
+    pointer to the latest intact v-*/ dir) turned into permanent loss."""
+
+
 def store_version_dir(target_path: str) -> str | None:
     """Absolute path of the live snapshot dir, or None if no commit yet."""
     pointer = os.path.join(target_path, _POINTER)
@@ -140,9 +148,25 @@ def _seq_of(version_name: str) -> int | None:
         return None
 
 
+def _version_dir_for_write(target_path: str) -> str | None:
+    """store_version_dir for WRITER paths: raises StoreCorruptPointerError
+    when CURRENT exists but resolves to nothing, instead of letting the
+    writer re-initialize over a corrupted pointer (ADVICE r14, medium).
+    Readers keep the safe None path in store_version_dir."""
+    d = store_version_dir(target_path)
+    if d is None and os.path.exists(os.path.join(target_path, _POINTER)):
+        raise StoreCorruptPointerError(
+            f"store {target_path}: CURRENT exists but names no snapshot "
+            "directory — refusing to commit as if the store were fresh. "
+            "Restore CURRENT to the latest intact v-*/ dir (store_versions "
+            "lists candidates) or delete the store directory to reset."
+        )
+    return d
+
+
 def _new_version(target_path: str) -> str:
     os.makedirs(target_path, exist_ok=True)
-    prior = store_version_dir(target_path)
+    prior = _version_dir_for_write(target_path)
     seq = (_seq_of(os.path.basename(prior)) or 0) + 1 if prior else 1
     return f"v-{seq:06d}-{uuid.uuid4().hex[:8]}"
 
@@ -303,7 +327,7 @@ def store_commit_parts(
             "new_parts (append) and replace_parts (rewrite)"
         )
     os.makedirs(os.path.join(target_path, _PARTS), exist_ok=True)
-    prior = store_version_dir(target_path)
+    prior = _version_dir_for_write(target_path)
     manifest: dict[str, list[str]] = {}
     if prior is not None:
         pm = _manifest_of(prior)
@@ -379,7 +403,7 @@ def store_compact(
     reference) are reclaimed, so run it only when replay-from-parts is no
     longer needed, or raise ``keep``.
     """
-    prior = store_version_dir(target_path)
+    prior = _version_dir_for_write(target_path)
     if prior is None:
         return None
     manifest = _manifest_of(prior)

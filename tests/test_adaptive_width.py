@@ -266,3 +266,122 @@ def test_fold_auto_widen_triggers_from_ladder(spark, tmp_path, monkeypatch):
     sigs = store_read_part(spark, root, "sigs")
     assert [c for c in sigs.columns if c.startswith("h")] == [f"h{j}" for j in range(12)]
     assert {(a, b) for (a, b, *_r) in map(tuple, out.collect())} >= {(1, 2), (1, 3)}
+
+
+def test_reindex_dedups_reingested_shingles(spark, tmp_path):
+    """ADVICE r14: a doc re-ingested across folds stores its (doc, shingle)
+    rows twice; reindex must count DISTINCT shingles or the rebuilt
+    n_shingles inflates and Jaccard underestimates for that doc."""
+    from scraper_db_refine_merge_spark.streaming.store import store_read_part
+
+    root = str(tmp_path / "mh")
+    for _ in range(2):  # same doc folded twice
+        dd.fold_minhash_index(
+            spark, root, _docs(spark, [(1, _BASE)]),
+            "doc_id", "text", threshold=0.2, band_size="auto",
+        )
+    dd.reindex_minhash_width(spark, root, band_size=3)
+    sigs = {r["doc"]: r["n_shingles"] for r in store_read_part(spark, root, "sigs").collect()}
+    one_shot = dd.minhash_signatures(
+        dd.word_shingles(_docs(spark, [(1, _BASE)]), "doc_id", "text"), 12
+    ).collect()[0]["n_shingles"]
+    assert sigs[1] == one_shot
+
+
+# ----------------------------------------------------------------------
+# r15 (VERDICT r14 item 4): the contamination blocklist was the last fold
+# family without a width growth path — k was burned into the stored hashes
+# with nothing recording it. Freeze / mismatch-raise / rewiden / trigger,
+# mirroring the MinHash tests above.
+
+_PROT1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_PROT2 = "one two three four five six seven eight nine ten eleven"
+
+
+def test_contamination_k_freezes_and_mismatch_raises(spark, tmp_path):
+    from scraper_db_refine_merge_spark.streaming.store import store_marker
+
+    root = str(tmp_path / "contam")
+    dd.fold_contamination_index(spark, root, _docs(spark, [(1, _PROT1)]), k=5)
+    assert store_marker(root, "_contamination_k") == "5"
+
+    with pytest.raises(ValueError, match="frozen width"):
+        dd.fold_contamination_index(spark, root, _docs(spark, [(2, _PROT2)]), k=7)
+    # k=None adopts the frozen width
+    dd.fold_contamination_index(spark, root, _docs(spark, [(2, _PROT2)]), k=None)
+
+    # scan side: frozen k adopted by default, mismatch raises
+    corpus = _docs(spark, [(10, "x " + _PROT1 + " y"), (11, "nothing shared here at all ok")])
+    got = {r["doc_id"] for r in dd.contamination_scan(spark, root, corpus).collect()}
+    assert got == {10}
+    with pytest.raises(ValueError, match="frozen width"):
+        dd.contamination_scan(spark, root, corpus, k=7)
+
+
+def test_contamination_reindex_rebuilds_blocklist_at_wider_k(spark, tmp_path):
+    from scraper_db_refine_merge_spark.streaming.store import (
+        store_marker,
+        store_read_part,
+        store_version_dir,
+        _manifest_of,
+    )
+
+    root = str(tmp_path / "contam")
+    dd.fold_contamination_index(spark, root, _docs(spark, [(1, _PROT1)]))
+    dd.fold_contamination_index(spark, root, _docs(spark, [(2, _PROT2), (1, _PROT1)]))
+
+    dd.reindex_contamination_k(spark, root, 7)
+    assert store_marker(root, "_contamination_k") == "7"
+    # atomic replace: ONE blocked part; texts parts untouched (2 folds)
+    m = _manifest_of(store_version_dir(root))
+    assert len(m["blocked"]) == 1
+    assert len(m["texts"]) == 2
+
+    # rebuilt blocklist == one-shot fold at k=7 over the distinct docs
+    # (the re-ingested doc 1 must not double anything)
+    one_shot = str(tmp_path / "oneshot")
+    dd.fold_contamination_index(
+        spark, one_shot, _docs(spark, [(1, _PROT1), (2, _PROT2)]), k=7
+    )
+    got = {r["h"] for r in store_read_part(spark, root, "blocked").collect()}
+    want = {r["h"] for r in store_read_part(spark, one_shot, "blocked").collect()}
+    assert got == want
+
+    # a 7-word overlap still matches; the scan runs at the new frozen k
+    corpus = _docs(spark, [(10, "pre alpha beta gamma delta epsilon zeta eta post")])
+    assert {r["doc_id"] for r in dd.contamination_scan(spark, root, corpus).collect()} == {10}
+
+
+def test_contamination_auto_widen_triggers_from_ladder(spark, tmp_path, monkeypatch):
+    from scraper_db_refine_merge_spark.streaming.store import store_marker
+
+    # ladder double: 5 below 15 accumulated blocked shingles, 6 at >= 15
+    # (fold 1 stores 6 shingles, fold 2 brings the union to 18)
+    monkeypatch.setattr(dd, "adaptive_shingle_k", lambda n: 5 if n < 15 else 6)
+    root = str(tmp_path / "contam")
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(1, _PROT1)]), auto_widen=True
+    )
+    assert store_marker(root, "_contamination_k") == "5"  # 6 shingles: below
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(2, _PROT2 + " twelve thirteen fourteen fifteen sixteen")]),
+        k=None, auto_widen=True,
+    )
+    assert store_marker(root, "_contamination_k") == "6"  # outgrown → rebuilt
+
+
+def test_contamination_keep_texts_false_blocks_reindex(spark, tmp_path):
+    root = str(tmp_path / "contam")
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(1, _PROT1)]), keep_texts=False
+    )
+    with pytest.raises(ValueError, match="keep_texts=False"):
+        dd.reindex_contamination_k(spark, root, 7)
+
+
+def test_adaptive_shingle_k_ladder_values():
+    assert dd.adaptive_shingle_k(1) == 5
+    assert dd.adaptive_shingle_k(1 << 25) == 5
+    assert dd.adaptive_shingle_k((1 << 25) + 1) == 6
+    assert dd.adaptive_shingle_k(1 << 38) == 6
+    assert dd.adaptive_shingle_k((1 << 38) + 1) == 7

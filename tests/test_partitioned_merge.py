@@ -269,3 +269,250 @@ def test_legacy_layout_hive_escaped_partition_values(spark, tmp_path):
         key_cols=["event_id"], partition_col="day",
     )
     assert _table(spark, target) == {("e1", "a:b", 9.0), ("e2", "c", 2.0)}
+
+
+# ----------------------------------------------------------------------
+# r15 (ADVICE r14, medium): a torn/empty or dangling CURRENT must fail the
+# WRITER loudly — re-initializing over it would let post-commit GC delete
+# every prior view/data commit. Readers keep returning None (safe).
+
+
+@pytest.mark.parametrize("corruption", ["", "v-999999-deadbeef"])
+def test_pointer_corruption_blocks_writer_not_reader(spark, tmp_path, corruption):
+    target = str(tmp_path / "pt")
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "d1", 1.0), ("e2", "d2", 2.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    view_before = resolve_partitioned_path(target)
+
+    with open(os.path.join(target, "CURRENT"), "w") as f:
+        f.write(corruption)
+
+    # reader: safe None, no raise
+    assert resolve_partitioned_path(target) is None
+    assert read_partitioned_table(spark, target) is None
+
+    # writer: refuses — and leaves every prior commit dir on disk
+    dirs_before = sorted(os.listdir(target))
+    with pytest.raises(RuntimeError, match="CURRENT exists but"):
+        merge_upsert_partitioned(
+            spark, target,
+            _mk_batch(spark, [("e9", "d9", 9.0)]),
+            key_cols=["event_id"], partition_col="day",
+        )
+    assert sorted(os.listdir(target)) == dirs_before
+
+    # recovery: restoring the pointer brings the old snapshot back intact
+    with open(os.path.join(target, "CURRENT"), "w") as f:
+        f.write(os.path.basename(view_before))
+    assert _table(spark, target) == {("e1", "d1", 1.0), ("e2", "d2", 2.0)}
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e9", "d9", 9.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    assert _table(spark, target) == {
+        ("e1", "d1", 1.0), ("e2", "d2", 2.0), ("e9", "d9", 9.0),
+    }
+
+
+@pytest.mark.parametrize("corruption", ["", "v-999999-deadbeef"])
+def test_store_pointer_corruption_blocks_writers(spark, tmp_path, corruption):
+    from scraper_db_refine_merge_spark.streaming.store import (
+        StoreCorruptPointerError,
+        store_commit,
+        store_commit_parts,
+        store_compact,
+        store_read,
+    )
+
+    target = str(tmp_path / "store")
+    store_commit_parts({"t": spark.createDataFrame([(1,)], "k long")}, target)
+
+    with open(os.path.join(target, "CURRENT"), "w") as f:
+        f.write(corruption)
+
+    assert store_read(spark, target) is None  # reader: safe None
+
+    df = spark.createDataFrame([(2,)], "k long")
+    with pytest.raises(StoreCorruptPointerError):
+        store_commit_parts({"t": df}, target)
+    with pytest.raises(StoreCorruptPointerError):
+        store_commit(df, target)
+    with pytest.raises(StoreCorruptPointerError):
+        store_compact(spark, target)
+
+
+# ----------------------------------------------------------------------
+# r15 (VERDICT r14 item 5): MANIFEST view layout — the symlink-free format
+# for filesystems without symlinks (object stores). Same pointer commit,
+# same crash windows, and it must behave identically with os.symlink
+# DISABLED end to end.
+
+
+@pytest.fixture
+def no_symlinks(monkeypatch):
+    """Simulate a symlink-free filesystem (object-store-like): any
+    os.symlink call raises, including the layout="auto" probe."""
+    def refuse(*a, **k):
+        raise OSError("symlinks not supported on this filesystem")
+
+    monkeypatch.setattr(os, "symlink", refuse)
+
+
+def test_manifest_layout_roundtrip_without_symlinks(spark, tmp_path, no_symlinks):
+    """auto layout on a symlink-free FS → manifest views; upserts update/
+    insert across partitions; untouched partitions' data dirs are reused,
+    not rewritten."""
+    import scraper_db_refine_merge_spark.operators.merge as m
+
+    target = str(tmp_path / "pt")
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "d1", 1.0), ("e2", "d2", 2.0), ("e3", "d3", 3.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    view1 = resolve_partitioned_path(target)
+    assert os.path.exists(os.path.join(view1, m._PT_MANIFEST))
+    assert not any(os.path.islink(os.path.join(view1, n)) for n in os.listdir(view1))
+    map1 = m._view_mapping(target, view1, "day=")
+
+    touched = merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "d1", 10.0), ("e4", "d4", 4.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    assert touched == ["d1", "d4"]
+    assert _table(spark, target) == {
+        ("e1", "d1", 10.0), ("e2", "d2", 2.0), ("e3", "d3", 3.0), ("e4", "d4", 4.0),
+    }
+    view2 = resolve_partitioned_path(target)
+    map2 = m._view_mapping(target, view2, "day=")
+    assert map2["day=d2"] == map1["day=d2"]  # untouched → same immutable data
+    assert map2["day=d1"] != map1["day=d1"]
+
+
+def test_manifest_layout_crash_before_pointer_replace(spark, tmp_path, monkeypatch, no_symlinks):
+    import scraper_db_refine_merge_spark.operators.merge as m
+
+    target = str(tmp_path / "pt")
+    merge_upsert_partitioned(
+        spark, target, _mk_batch(spark, [("e1", "d1", 1.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    before = _table(spark, target)
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst, *a, **k):
+        if os.path.basename(dst) == "CURRENT":
+            raise OSError("injected crash at pointer commit")
+        return real_replace(src, dst, *a, **k)
+
+    monkeypatch.setattr(m.os, "replace", crashing_replace)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_upsert_partitioned(
+            spark, target, _mk_batch(spark, [("e1", "d1", 2.0)]),
+            key_cols=["event_id"], partition_col="day",
+        )
+    monkeypatch.setattr(m.os, "replace", real_replace)
+    assert _table(spark, target) == before
+
+    merge_upsert_partitioned(
+        spark, target, _mk_batch(spark, [("e1", "d1", 2.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    assert _table(spark, target) == {("e1", "d1", 2.0)}
+    views = [d for d in os.listdir(target) if d.startswith("v-")]
+    assert len(views) == 1  # crash orphan GC'd
+
+
+def test_manifest_layout_crash_during_manifest_write(spark, tmp_path, monkeypatch, no_symlinks):
+    """Kill the writer mid-manifest (the analog of 'between two partition
+    links'): readers stay on the old snapshot, retry commits cleanly."""
+    import scraper_db_refine_merge_spark.operators.merge as m
+
+    target = str(tmp_path / "pt")
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "d1", 1.0), ("e2", "d2", 2.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    before = _table(spark, target)
+    pointer_before = open(os.path.join(target, "CURRENT")).read()
+
+    real_dump = m.json.dump
+
+    def crashing_dump(obj, fh, *a, **k):
+        if os.path.basename(fh.name) == m._PT_MANIFEST:
+            fh.write('{"day=d1": "data/tor')  # torn partial write
+            raise OSError("injected crash mid-manifest")
+        return real_dump(obj, fh, *a, **k)
+
+    monkeypatch.setattr(m.json, "dump", crashing_dump)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_upsert_partitioned(
+            spark, target,
+            _mk_batch(spark, [("e1", "d1", 99.0), ("e4", "d4", 4.0)]),
+            key_cols=["event_id"], partition_col="day",
+        )
+    monkeypatch.undo()
+    monkeypatch.setattr(os, "symlink", lambda *a, **k: (_ for _ in ()).throw(OSError("no symlinks")))
+
+    assert open(os.path.join(target, "CURRENT")).read() == pointer_before
+    assert _table(spark, target) == before
+
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "d1", 99.0), ("e4", "d4", 4.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    assert _table(spark, target) == {
+        ("e1", "d1", 99.0), ("e2", "d2", 2.0), ("e4", "d4", 4.0),
+    }
+
+
+def test_layout_interop_symlink_then_manifest(spark, tmp_path):
+    """A table can switch view formats across versions: a symlink-view
+    table keeps working when later commits write manifest views (e.g. the
+    table moved to a symlink-free mount)."""
+    target = str(tmp_path / "pt")
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "d1", 1.0), ("e2", "d2", 2.0)]),
+        key_cols=["event_id"], partition_col="day", layout="symlink",
+    )
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e3", "d3", 3.0)]),
+        key_cols=["event_id"], partition_col="day", layout="manifest",
+    )
+    assert _table(spark, target) == {
+        ("e1", "d1", 1.0), ("e2", "d2", 2.0), ("e3", "d3", 3.0),
+    }
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e2", "d2", 22.0)]),
+        key_cols=["event_id"], partition_col="day", layout="symlink",
+    )
+    assert _table(spark, target) == {
+        ("e1", "d1", 1.0), ("e2", "d2", 22.0), ("e3", "d3", 3.0),
+    }
+
+
+def test_manifest_layout_pointer_corruption_blocks_writer(spark, tmp_path, no_symlinks):
+    target = str(tmp_path / "pt")
+    merge_upsert_partitioned(
+        spark, target, _mk_batch(spark, [("e1", "d1", 1.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    with open(os.path.join(target, "CURRENT"), "w") as f:
+        f.write("")
+    assert read_partitioned_table(spark, target) is None
+    with pytest.raises(RuntimeError, match="CURRENT exists but"):
+        merge_upsert_partitioned(
+            spark, target, _mk_batch(spark, [("e2", "d2", 2.0)]),
+            key_cols=["event_id"], partition_col="day",
+        )

@@ -118,8 +118,10 @@ def main() -> None:
         "\n  one atomic os.replace) — crash between partition swaps can no"
         "\n  longer leave a mixed table; untouched partitions re-link, not"
         "\n  rewrite. Legacy plain-hive targets keep the in-place swap."
-        "\n- latest_wins auto-routes hot-key frames (>10% share on a 1%"
-        "\n  hash-sample probe) through the salted two-phase window —"
+        "\n- latest_wins auto-routes hot-key frames (>10% share, measured"
+        "\n  by one exact keyed-count pass over the frame — memoized per"
+        "\n  frame; persist expensive upstreams first, see the latest_wins"
+        "\n  docstring) through the salted two-phase window —"
         "\n  plan-observable via __salt, rows identical."
     )
     print(
