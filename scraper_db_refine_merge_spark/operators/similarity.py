@@ -241,12 +241,58 @@ def adaptive_num_planes(
     members reach each other through chains and multiple tables — the
     trade RECALL_r14's auto rung measures (cluster agreement 10000 bp at
     every harness SF). Callers needing high recall on borderline pairs at
-    extreme corpus scale should raise ``num_tables`` (cost-linear) or
-    lower ``occupancy`` deliberately rather than rely on defaults."""
+    extreme corpus scale can pass ``num_tables="auto"``
+    (:func:`adaptive_num_tables`, r15) — base amplification at the
+    occupancy-pinned width, doubling cost-linearly once the width deviates
+    into a bucket-miss or bucket-dense regime — or lower ``occupancy``
+    deliberately."""
     p = lo
     while p < hi and n > (occupancy << p):
         p += 1
     return p
+
+
+#: OR-amplification policy constants (r15, VERDICT r14 item 6). The table
+#: count doubles once per DOUBLING_PLANES of |width − occupancy-pinned
+#: width|, grounded in equal-candidate-budget measurements (T·m held
+#: constant, RECALL_r15 tables_policy_equal_cost + the sweep behind it):
+#: near the occupancy point, spending the budget on successor DEPTH beats
+#: spending it on tables (T4·m6 > T8·m3 at surplus +2/+6 on sf0.01, and
+#: still at +10 on sf0.1), while deep in the bucket-miss regime tables win
+#: (T8·m3 > T4·m6 at +10/+12 on sf0.001/sf0.01 and at +12/+14 on sf0.1).
+#: The measured crossover sits between +10 and +12 depending on corpus
+#: density, so the first doubling lands at +12 — conservative for every
+#: measured corpus. The same deviation logic covers the width-CAP regime
+#: (n > occupancy·2^24: buckets densify, colliders interleave past the
+#: successor cap, extra independent tables restore adjacency odds) —
+#: stated from the collision model, not measurable at harness SFs.
+ADAPTIVE_TABLES_BASE = 4
+ADAPTIVE_TABLES_DOUBLING_PLANES = 12
+ADAPTIVE_TABLES_CAP = 32
+
+
+def adaptive_num_tables(
+    n: int,
+    num_planes: int,
+    base: int = ADAPTIVE_TABLES_BASE,
+    cap: int = ADAPTIVE_TABLES_CAP,
+) -> int:
+    """Corpus/width-driven OR-amplification (the policy the RECALL_r14
+    tables-2/4/8 sweep motivated): ``base`` tables at the occupancy-pinned
+    width, doubling per :data:`ADAPTIVE_TABLES_DOUBLING_PLANES` planes of
+    DEVIATION between the actual signature width and the uncapped
+    occupancy ladder point for ``n`` vectors — wider-than-pinned means
+    sparse buckets (true pairs stop colliding anywhere; more independent
+    tables are the only recall lever), narrower-than-pinned (the 24-plane
+    cap at n > 2^27) means dense buckets (colliders interleave past the
+    successor cap; more tables restore adjacency odds). At the pinned
+    width itself the successor cap, not bucket membership, binds recall —
+    measured in RECALL_r15 — so the base stays put and the q55/q159/q160
+    oracles are unchanged by ``num_tables="auto"``. Pure integer
+    arithmetic, mirrorable like the planes ladder."""
+    p_star = adaptive_num_planes(n, hi=1 << 30)  # uncapped ladder point
+    doublings = abs(num_planes - p_star) // ADAPTIVE_TABLES_DOUBLING_PLANES
+    return min(cap, base << doublings)
 
 
 def hyperplane_bucket(
@@ -1135,7 +1181,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     num_planes: int | str = 6,
-    num_tables: int = 4,
+    num_tables: int | str = 4,
     round_scale: int = 5,
     max_bucket_successors: int | None = None,
 ) -> DataFrame:
@@ -1179,6 +1225,14 @@ def cosine_near_dup_pairs(
     if num_planes == "auto":
         num_planes = adaptive_num_planes(corpus_count(df))
         stride = ADAPTIVE_PLANE_STRIDE
+    if num_tables == "auto":
+        # ``num_tables="auto"`` (r15, VERDICT r14 item 6): resolve the
+        # OR-amplification from the corpus count and the (resolved) width
+        # via adaptive_num_tables — base tables at the occupancy-pinned
+        # width (harness oracles unchanged), doubling only when the width
+        # deviates into a bucket-miss/bucket-dense regime. Same memoized
+        # corpus_count freeze as the width.
+        num_tables = adaptive_num_tables(corpus_count(df), num_planes)
     dim = detect_fixed_dim(df, vec_col)
     # The bucket table is the LSH index: (id, bucket) only — num_tables
     # short strings per vector, a sliver of the corpus width. persist()

@@ -1194,3 +1194,99 @@ def q151_incremental_contamination_index(spark: SparkSession, sf_dir: str) -> Da
             spark, root, ev.filter(F.col("doc_id") % 2 == i)
         )
     return contamination_scan(spark, root, d.filter(u < 0.8))
+
+
+# --------------------------------------------------------------------------
+# q162 — CONTAMINATION INDEX RE-WIDENING under the oracle gate (r15,
+# VERDICT r14 item 4): eval docs folded in two batches at k=4, the index
+# atomically rebuilt at k=6 from its stored protected texts
+# (reindex_contamination_k), then the train split scanned at the NEW
+# frozen width — the oracle computes the k=6 scan single-shot with no
+# store and no re-widening at all, so the gate proves rebuild-equals-
+# one-shot every round (the q113/q141 pattern for this fold family).
+@_register(
+    "q162_contamination_reindex",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               {_SQL_HASH_UNIT} AS unit,
+               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    shidx AS (
+        SELECT doc_id, unit, t, unnest(range(1, greatest(len(t) - 4, 1))) AS i
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, unit, md5(array_to_string(t[i:i+5], ' ')) AS h
+        FROM shidx
+    ),
+    blocked AS (SELECT DISTINCT h FROM sh WHERE unit >= 0.9),
+    tr AS (SELECT doc_id, h FROM sh WHERE unit < 0.8)
+    SELECT tr.doc_id, COUNT(*) AS n_blocked
+    FROM tr JOIN blocked ON tr.h = blocked.h
+    GROUP BY tr.doc_id
+    """,
+)
+def q162_contamination_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import (
+        contamination_scan,
+        fold_contamination_index,
+        reindex_contamination_k,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    u = hash_unit(F.col("doc_id"))
+    ev = d.filter(u >= 0.9)
+    root = tempfile.mkdtemp(prefix="q162_contam_")
+    for i in range(2):
+        fold_contamination_index(
+            spark, root, ev.filter(F.col("doc_id") % 2 == i), k=4
+        )
+    reindex_contamination_k(spark, root, 6)
+    return contamination_scan(spark, root, d.filter(u < 0.8))
+
+
+# --------------------------------------------------------------------------
+# q163 — MANIFEST-LAYOUT partitioned merge under the oracle gate (r15,
+# VERDICT r14 item 5): two keyed upserts into a source-partitioned table
+# committed through the symlink-FREE manifest views (the object-store
+# format), read back through the manifest resolver, aggregated — the
+# oracle states the latest-wins result over the same two logical batches
+# with no store at all, so the driver proves the layout's read/merge
+# equivalence every round.
+@_register(
+    "q163_partitioned_merge_manifest",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+                         ELSE n_chars END) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q163_partitioned_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.merge import merge_upsert_partitioned, read_partitioned_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    target = tempfile.mkdtemp(prefix="q163_pm_") + "/t"
+    merge_upsert_partitioned(
+        spark, target, d, key_cols=["doc_id"], partition_col="source",
+        layout="manifest",
+    )
+    b2 = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    merge_upsert_partitioned(
+        spark, target, b2, key_cols=["doc_id"], partition_col="source",
+        layout="manifest",
+    )
+    t = read_partitioned_table(spark, target)
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

@@ -385,3 +385,38 @@ def test_adaptive_shingle_k_ladder_values():
     assert dd.adaptive_shingle_k((1 << 25) + 1) == 6
     assert dd.adaptive_shingle_k(1 << 38) == 6
     assert dd.adaptive_shingle_k((1 << 38) + 1) == 7
+
+
+# ----------------------------------------------------------------------
+# r15 (VERDICT r14 item 6): num_tables policy — base amplification at the
+# occupancy-pinned width, doubling per 8 planes of deviation either side.
+
+
+def test_adaptive_num_tables_values():
+    # n=2000 → uncapped ladder point p*=8
+    assert sim.adaptive_num_planes(2000, hi=1 << 30) == 8
+    assert sim.adaptive_num_tables(2000, 8) == 4     # at the pin: base
+    assert sim.adaptive_num_tables(2000, 19) == 4    # <12 surplus: base
+    assert sim.adaptive_num_tables(2000, 20) == 8    # 12 surplus: double
+    # width-cap regime: huge corpus, width pinned at 24 → deficit doubles
+    n_huge = 8 << 40  # uncapped point p*=40
+    assert sim.adaptive_num_tables(n_huge, 24) == 8   # deficit 16
+    assert sim.adaptive_num_tables(n_huge, 40) == 4
+    # cap
+    assert sim.adaptive_num_tables(8 << 80, 24) == 32
+
+
+def test_cosine_near_dup_auto_tables_resolves_base_at_auto_width(spark):
+    """num_tables='auto' with num_planes='auto' must resolve to the BASE at
+    harness scale — the oracle-visible bucket structure (q55/q159/q160) is
+    unchanged by turning the policy on."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    auto = sim.cosine_near_dup_pairs(
+        emb, threshold=0.4, num_planes="auto", num_tables="auto",
+        max_bucket_successors=3,
+    )
+    fixed = sim.cosine_near_dup_pairs(
+        emb, threshold=0.4, num_planes="auto", num_tables=4,
+        max_bucket_successors=3,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))

@@ -294,6 +294,46 @@ def capped_pair_recall_bp(
             "capped_pairs": len(cap),
             "capped_recall_bp": 10000 * len(cap & exact) // denom,
         }
+    # r15 (VERDICT r14 item 6): the EQUAL-COST policy rung. Pin the width
+    # at the policy's first doubling (uncapped occupancy point + the
+    # doubling constant — the bucket-miss regime) and spend the same budget
+    # T·m = 24 two ways: the policy's allocation (more tables, base
+    # successor depth) vs the fixed default's (4 tables, deeper
+    # successors). The policy must win HERE — while at the occupancy point
+    # itself it deliberately stays at the base (where the same budget is
+    # measurably better spent on depth; see adaptive_num_tables).
+    from scraper_db_refine_merge_spark.operators.similarity import (
+        ADAPTIVE_TABLES_DOUBLING_PLANES,
+        adaptive_num_planes,
+        adaptive_num_tables,
+        corpus_count,
+    )
+
+    n = corpus_count(corpus)
+    p_pin = adaptive_num_planes(n, hi=1 << 30) + ADAPTIVE_TABLES_DOUBLING_PLANES
+    t_policy = adaptive_num_tables(n, p_pin)
+    budget = t_policy * m
+    denom = max(len(exact), 1)
+    rung: dict = {"pinned_planes": p_pin, "budget": budget}
+    for label, tt, mm in (
+        ("policy", t_policy, m),
+        ("fixed", 4, budget // 4),
+    ):
+        cap = {
+            (r["a_id"], r["b_id"])
+            for r in cosine_near_dup_pairs(
+                corpus, threshold=threshold, num_planes=p_pin, num_tables=tt,
+                max_bucket_successors=mm,
+            ).collect()
+        }
+        _cache.release_caches()
+        rung[label] = {
+            "num_tables": tt,
+            "m": mm,
+            "capped_pairs": len(cap),
+            "capped_recall_bp": 10000 * len(cap & exact) // denom,
+        }
+    out["tables_policy_equal_cost"] = rung
     return out
 
 
