@@ -1,0 +1,167 @@
+"""Deterministic weighted sampling (with replacement) — the data-mixing
+primitive a training pipeline uses to draw a corpus according to quality /
+importance weights (e.g. DSIR weights, q128) instead of uniformly.
+
+Never ``rand()`` (the repo-wide determinism contract): the k draws are
+md5-derived integer targets into the corpus's cumulative-weight axis, so
+retries, re-runs, and different partitionings produce the identical sample,
+and a DuckDB oracle can state the same arithmetic exactly.
+
+Why with-replacement: the classic WITHOUT-replacement orderings
+(Efraimidis–Spirakis ``u^(1/w)``) need pow/ln, which are not cross-engine
+bit-stable (ROADMAP gotcha: no transcendentals in gated paths). Inverse-CDF
+sampling with replacement is exact INTEGER arithmetic end to end —
+cumulative sums of integer weights, one modular draw per sample — which is
+also what mixture sampling at scale actually wants (a 100 TB run draws far
+fewer samples than rows per source, so collisions are rare and replacement
+is statistically immaterial).
+
+Scale shape: ONE distributed prefix-sum (operators/ranking.global_cumsum —
+range-partitioned, no single-task window), one tiny per-stratum totals
+aggregate, and a bucketed equi-join of the k probes against weight
+intervals: each row lands in ``ceil(w/bucket)`` ≈ 1 buckets, each probe in
+exactly one, so the join is hash-partitioned with no n×k nested loop. The
+1-row total and the k-row probe frames are explicitly broadcast (the
+whitelisted constant-side pattern); every division is integer ``DIV`` —
+double division would silently lose exactness past 2^53 total weight.
+
+Draw arithmetic: ``u_j`` is the top 15 hex chars (60 bits) of
+``md5(seed|j)`` — fits a signed 64-bit int in both engines — and the target
+is ``u_j mod W + 1`` ∈ [1, W]. The modular fold carries a deterministic
+bias < W / 2^60 (identical in the oracle, so parity is exact); callers with
+W approaching 2^60 total weight should rescale weights first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ranking import global_cumsum
+
+#: buckets per (stratum's) weight axis for the probe equi-join
+SAMPLE_BUCKETS = 64
+
+
+def _draw60(key: Column) -> Column:
+    """Deterministic 60-bit integer from md5(key) — top 15 hex chars."""
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def weighted_sample_with_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    order_cols: list[str],
+    seed: str = "ws",
+    num_buckets: int = SAMPLE_BUCKETS,
+) -> DataFrame:
+    """k rows drawn with replacement, P(row) ∝ its positive integer weight;
+    output = the row's columns plus ``sample_idx`` (0..k-1), one output row
+    per draw (a row drawn twice appears twice, with distinct indices).
+
+    ``order_cols`` must be a total order over ``df`` (it fixes each row's
+    interval on the cumulative axis — the determinism anchor, same contract
+    as global_cumsum). NULL or non-positive weights are excluded: a
+    zero-weight row is never drawn.
+    """
+    w = F.col(weight_col).cast("long")
+    base = df.filter(w.isNotNull() & (w > 0))
+    cum = global_cumsum(base, [F.col(c) for c in order_cols], w, out_col="__hi")
+    cum = cum.withColumn("__lo", F.col("__hi") - w)
+
+    total = cum.agg(F.max("__hi").alias("__W")).withColumn(
+        "__bs", F.expr(f"(__W + {num_buckets - 1}) DIV {num_buckets}")
+    )  # 1 row
+    probes = (
+        total.crossJoin(
+            _spark_of(df).range(k).withColumnRenamed("id", "sample_idx")
+        )
+        .withColumn(
+            "__t",
+            _draw60(F.concat(F.lit(f"{seed}|"), F.col("sample_idx").cast("string")))
+            % F.col("__W")
+            + 1,
+        )
+        .withColumn("__b", F.expr("(__t - 1) DIV __bs"))
+        .select("sample_idx", "__t", "__b")
+    )
+    rows = cum.crossJoin(F.broadcast(total)).withColumn(
+        "__b",
+        F.explode(F.sequence(F.expr("__lo DIV __bs"), F.expr("(__hi - 1) DIV __bs"))),
+    )
+    out = (
+        rows.join(F.broadcast(probes), "__b")
+        .filter((F.col("__t") > F.col("__lo")) & (F.col("__t") <= F.col("__hi")))
+    )
+    return out.select("sample_idx", *df.columns)
+
+
+def weighted_sample_stratified(
+    df: DataFrame,
+    k_per_stratum: int,
+    stratum_col: str,
+    weight_col: str,
+    order_cols: list[str],
+    seed: str = "ws",
+    num_buckets: int = SAMPLE_BUCKETS,
+) -> DataFrame:
+    """``k_per_stratum`` weighted draws WITHIN each stratum (the q48-style
+    per-group quota composed with weighted selection — data mixing with
+    per-source budgets). Scale-safe for mega-strata: the per-stratum
+    cumulative axis is derived from ONE global prefix-sum ordered by
+    (stratum, order) minus each stratum's starting offset (a tiny
+    per-stratum aggregate, broadcast back) — no per-stratum window over a
+    single task. Probe seeds include the stratum value, so adding a
+    stratum never changes another stratum's sample.
+    """
+    w = F.col(weight_col).cast("long")
+    base = df.filter(w.isNotNull() & (w > 0))
+    order = [F.col(stratum_col)] + [F.col(c) for c in order_cols]
+    cum = global_cumsum(base, order, w, out_col="__g")
+
+    totals = (
+        cum.groupBy(stratum_col)
+        .agg(F.sum(w).alias("__Ws"), F.min(F.col("__g") - w).alias("__start"))
+        .withColumn("__bs", F.expr(f"(__Ws + {num_buckets - 1}) DIV {num_buckets}"))
+    )  # one row per stratum
+    probes = (
+        totals.crossJoin(
+            _spark_of(df).range(k_per_stratum).withColumnRenamed("id", "sample_idx")
+        )
+        .withColumn(
+            "__t",
+            _draw60(
+                F.concat_ws(
+                    "|",
+                    F.lit(seed),
+                    F.col(stratum_col).cast("string"),
+                    F.col("sample_idx").cast("string"),
+                )
+            )
+            % F.col("__Ws")
+            + 1,
+        )
+        .withColumn("__b", F.expr("(__t - 1) DIV __bs"))
+        .select(stratum_col, "sample_idx", "__t", "__b")
+    )
+    rows = (
+        cum.join(F.broadcast(totals), stratum_col)
+        .withColumn("__hi", F.col("__g") - F.col("__start"))
+        .withColumn("__lo", F.col("__hi") - w)
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(F.expr("__lo DIV __bs"), F.expr("(__hi - 1) DIV __bs"))
+            ),
+        )
+    )
+    out = (
+        rows.join(F.broadcast(probes), [stratum_col, "__b"])
+        .filter((F.col("__t") > F.col("__lo")) & (F.col("__t") <= F.col("__hi")))
+    )
+    return out.select("sample_idx", *df.columns)
+
+
+def _spark_of(df: DataFrame):
+    return df.sparkSession

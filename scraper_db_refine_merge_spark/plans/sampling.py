@@ -1290,3 +1290,74 @@ def q163_partitioned_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFra
     return t.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# q164/q165 — DETERMINISTIC WEIGHTED SAMPLING (operators/weighted.py; the
+# ROADMAP item-3 modality): inverse-CDF draws with replacement over the
+# integer cumulative-weight axis, md5-derived targets instead of rand().
+# The without-replacement ordering (Efraimidis–Spirakis u^(1/w)) needs
+# pow/ln — not cross-engine bit-stable — so the exact-integer form is the
+# gated one; the oracle states the identical cumsum + modular-draw
+# arithmetic. q164 = global draw; q165 = per-source quota (stratified),
+# probe seeds include the stratum so strata are independent.
+@_register(
+    "q164_weighted_sample",
+    """
+    WITH pos AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS hi
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    tot AS (SELECT MAX(hi) AS w_total FROM pos),
+    probes AS (
+        SELECT j AS sample_idx,
+               (('0x' || substring(md5('q164|' || CAST(j AS VARCHAR)), 1, 15))::UBIGINT
+                 % (SELECT w_total FROM tot)) + 1 AS target
+        FROM (SELECT unnest(range(20)) AS j)
+    )
+    SELECT p.sample_idx, c.doc_id, c.n_chars
+    FROM probes p JOIN pos c
+      ON p.target > c.hi - c.n_chars AND p.target <= c.hi
+    """,
+)
+def q164_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.weighted import weighted_sample_with_replacement
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_with_replacement(
+        d, 20, "n_chars", ["doc_id"], seed="q164"
+    )
+
+
+@_register(
+    "q165_weighted_sample_stratified",
+    """
+    WITH pos AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS hi
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    tot AS (SELECT source, MAX(hi) AS w_total FROM pos GROUP BY source),
+    probes AS (
+        SELECT tt.source, js.j AS sample_idx,
+               (('0x' || substring(md5('q165|' || tt.source || '|'
+                                        || CAST(js.j AS VARCHAR)), 1, 15))::UBIGINT
+                 % tt.w_total) + 1 AS target
+        FROM tot tt CROSS JOIN (SELECT unnest(range(5)) AS j) js
+    )
+    SELECT p.sample_idx, c.doc_id, c.source, c.n_chars
+    FROM probes p JOIN pos c
+      ON c.source = p.source
+     AND p.target > c.hi - c.n_chars AND p.target <= c.hi
+    """,
+)
+def q165_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.weighted import weighted_sample_stratified
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_stratified(
+        d, 5, "source", "n_chars", ["doc_id"], seed="q165"
+    )
