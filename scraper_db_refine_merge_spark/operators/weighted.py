@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import persist_tracked
 from .ranking import global_cumsum
 
 #: buckets per (stratum's) weight axis for the probe equi-join
@@ -68,7 +69,10 @@ def weighted_sample_with_replacement(
     w = F.col(weight_col).cast("long")
     base = df.filter(w.isNotNull() & (w > 0))
     cum = global_cumsum(base, [F.col(c) for c in order_cols], w, out_col="__hi")
-    cum = cum.withColumn("__lo", F.col("__hi") - w)
+    # materialized once: the total (probe side) and the interval join (row
+    # side) would otherwise each re-run the prefix-sum over the corpus
+    # (tracked persist — callers release via _cache.release_caches())
+    cum = persist_tracked(cum.withColumn("__lo", F.col("__hi") - w))
 
     total = cum.agg(F.max("__hi").alias("__W")).withColumn(
         "__bs", F.expr(f"(__W + {num_buckets - 1}) DIV {num_buckets}")
@@ -118,7 +122,7 @@ def weighted_sample_stratified(
     w = F.col(weight_col).cast("long")
     base = df.filter(w.isNotNull() & (w > 0))
     order = [F.col(stratum_col)] + [F.col(c) for c in order_cols]
-    cum = global_cumsum(base, order, w, out_col="__g")
+    cum = persist_tracked(global_cumsum(base, order, w, out_col="__g"))
 
     totals = (
         cum.groupBy(stratum_col)
