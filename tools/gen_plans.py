@@ -71,6 +71,11 @@ NAMES = [
     # planes)
     "q161_neardup_topk_per_doc", "q113_incremental_minhash_index",
     "q129_incremental_lm_index",
+    # r15 additions: contamination reindex + manifest-layout merge gates,
+    # and the weighted inverse-CDF samplers (one prefix-sum + bucketed
+    # probe join; the cumsum subtree is persisted once)
+    "q162_contamination_reindex", "q163_partitioned_merge_manifest",
+    "q164_weighted_sample", "q165_weighted_sample_stratified",
 ]
 
 
@@ -88,6 +93,24 @@ def main() -> None:
         "\nDeliberate 1-row-side crossJoins (q85/q117/q120/q121 final"
         "\naggregate assembly, cosine-topk broadcast probe set) are the only"
         "\nexpected BroadcastNestedLoop/Cartesian sites."
+    )
+    print(
+        "\nRound-15 notes (see ROADMAP 15a-15k):"
+        "\n- every reference .strip() mirror now uses the FULL Python"
+        "\n  whitespace class (strings.python_strip / PY_WS_RE2 — \\x85 was"
+        "\n  missing from \\p{Z}); plans are unchanged in shape, only the"
+        "\n  regex literals inside string expressions widened."
+        "\n- q162 (contamination reindex) and q163 (manifest-view merge)"
+        "\n  execute store folds/commits at PLAN BUILD time like the other"
+        "\n  fold gates — their printed plans are the final read."
+        "\n- q164/q165 (weighted sampling): ONE range-partitioned prefix"
+        "\n  sum (persisted once — probe and interval sides share it), the"
+        "\n  1-row total / per-stratum totals and k-row probe frames are"
+        "\n  the only broadcast sides, and the probe join is a bucketed"
+        "\n  equi-join (no n x k nested loop). Integer DIV throughout."
+        "\n- cosine_near_dup_pairs num_tables='auto' resolves at plan build"
+        "\n  from the memoized corpus count (base 4 at the occupancy-pinned"
+        "\n  width, so harness plans are unchanged)."
     )
     print(
         "\nRound-14 notes (the round's reworks; see ROADMAP 14a-14i for the"

@@ -279,6 +279,13 @@ def main():
         # counts — the quadratic term — stay constant across the 10x step
         return semantic_dedup(v, k=max(8, v.count() // 250), iters=1, threshold=0.4)
 
+    def _wsample(d):
+        from scraper_db_refine_merge_spark.operators.weighted import (
+            weighted_sample_with_replacement,
+        )
+
+        return weighted_sample_with_replacement(d, 50, "n_chars", ["doc_id"])
+
     def _ranked(e):
         from scraper_db_refine_merge_spark.operators.ranking import with_global_ranks
 
@@ -466,6 +473,13 @@ def main():
             "global_cumsum(spend)",
             lambda: _cumsum(base_evts).count(),
             lambda: _cumsum(evts).count(),
+        ),
+        (
+            # r15 weighted sampling: one prefix-sum + bucketed probe join —
+            # cost is the prefix-sum's (~linear); output is k rows exactly
+            "weighted_sample(k=50)",
+            lambda: _wsample(base_docs).count(),
+            lambda: _wsample(docs).count(),
         ),
         (
             # q138 SemDeDup: k scales with the corpus so the per-cell
