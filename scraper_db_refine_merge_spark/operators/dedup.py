@@ -989,13 +989,36 @@ def adaptive_shingle_k(n_blocked: int) -> int:
     return 5 + ((n_blocked - 1).bit_length() - 26) // 13 + 1
 
 
+def _contamination_texts_complete(target_root: str) -> bool:
+    """Does the store's ``texts`` table cover EVERY fold? (r16 ADVICE,
+    medium.) The ``_contamination_texts_complete`` marker is authoritative
+    once present — ``false`` is permanent (a keep_texts=False fold's
+    protected docs are unrecoverable). Pre-marker stores are inferred from
+    the live manifest: every fold appends exactly one ``blocked`` part and
+    one ``texts`` part iff it kept texts, so a texts list SHORTER than the
+    blocked list proves at least one fold skipped texts (reindex collapses
+    ``blocked`` to one part, which can only shrink the blocked side — the
+    inference errs toward blocking a reindex, never toward allowing a
+    partial rebuild)."""
+    from ..streaming.store import _manifest_of, store_marker, store_version_dir
+
+    marker = store_marker(target_root, "_contamination_texts_complete")
+    if marker is not None:
+        return marker == "true"
+    vd = store_version_dir(target_root)
+    if vd is None:
+        return True  # fresh store: nothing folded yet
+    manifest = _manifest_of(vd) or {}
+    return len(manifest.get("texts") or []) >= len(manifest.get("blocked") or [])
+
+
 def fold_contamination_index(
     spark,
     target_root: str,
     protected_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int | None = 5,
+    k: int | None = None,
     keep_texts: bool = True,
     auto_widen: bool = False,
 ) -> None:
@@ -1014,20 +1037,40 @@ def fold_contamination_index(
     Width contract (r15, VERDICT r14 item 4 — the last fold family without
     a growth path): ``k`` freezes at batch 0 as the ``_contamination_k``
     marker; a later fold passing a DIFFERENT k raises instead of silently
-    mixing widths in one blocklist (pass ``k=None`` to adopt the frozen
-    width). Unlike the MinHash index, a wider k is NOT derivable from the
-    stored hashes (k-grams don't compose into (k+1)-grams), so each fold
-    also stores its batch's (doc, text) rows as a ``texts`` part
-    (``keep_texts=True``, the default) — the re-fold input
-    :func:`reindex_contamination_k` rebuilds from. ``keep_texts=False``
-    keeps the old raw-text-never-stored property and documents away the
-    growth path. ``auto_widen=True`` re-evaluates
-    :func:`adaptive_shingle_k` against the ACCUMULATED blocklist size
-    after each fold and triggers the rebuild when outgrown.
+    mixing widths in one blocklist. ``k=None`` (the default, r16 ADVICE)
+    adopts the frozen width — so repeated default-argument folds keep
+    working after an ``auto_widen`` rebuild moved the marker — and falls
+    back to 5 on a fresh store. Unlike the MinHash index, a wider k is NOT
+    derivable from the stored hashes (k-grams don't compose into
+    (k+1)-grams), so each fold also stores its batch's (doc, text) rows as
+    a ``texts`` part (``keep_texts=True``, the default) — the re-fold
+    input :func:`reindex_contamination_k` rebuilds from.
+    ``keep_texts=False`` keeps the old raw-text-never-stored property and
+    PERMANENTLY forfeits the growth path for the whole store: the
+    ``_contamination_texts_complete`` marker flips to ``false`` on the
+    first such fold and never flips back (r16 ADVICE, medium — a LATER
+    keep_texts=True fold must not make the partial ``texts`` table look
+    rebuildable: reindexing from it would silently drop the untracked
+    folds' blocked hashes, under-blocking a decontamination gate).
+    ``auto_widen=True`` re-evaluates :func:`adaptive_shingle_k` against
+    the ACCUMULATED blocklist size after each fold and triggers the
+    rebuild when outgrown; combining it with an incomplete texts table
+    (this fold or any earlier one passing ``keep_texts=False``) raises
+    loudly UP FRONT — before any commit — rather than failing later
+    inside the triggered rebuild.
     """
     from ..streaming.store import store_commit_parts, store_marker, store_read_part
 
     frozen = store_marker(target_root, "_contamination_k")
+    will_be_complete = _contamination_texts_complete(target_root) and keep_texts
+    if auto_widen and not will_be_complete:
+        raise ValueError(
+            "fold_contamination_index: auto_widen=True needs the COMPLETE "
+            "protected texts to rebuild from, but this store's texts table "
+            "is (or would become) partial — a fold passed keep_texts=False. "
+            "Re-fold every protected suite from source with keep_texts=True "
+            "into a fresh store to regain the growth path."
+        )
     if frozen is not None:
         if k is not None and k != int(frozen):
             raise ValueError(
@@ -1049,7 +1092,14 @@ def fold_contamination_index(
         tables["texts"] = protected_docs.select(
             F.col(id_col).alias("doc"), F.col(text_col).alias("text")
         )
-    store_commit_parts(tables, target_root, markers={"_contamination_k": str(k)})
+    store_commit_parts(
+        tables,
+        target_root,
+        markers={
+            "_contamination_k": str(k),
+            "_contamination_texts_complete": "true" if will_be_complete else "false",
+        },
+    )
     if auto_widen:
         total = store_read_part(spark, target_root, "blocked").distinct().count()
         want = adaptive_shingle_k(total)
@@ -1063,16 +1113,26 @@ def reindex_contamination_k(spark, target_root: str, new_k: int) -> None:
     triggers (mirrors reindex_minhash_width): one atomic
     ``replace_parts`` commit swaps the whole ``blocked`` table and moves
     the ``_contamination_k`` marker; the ``texts`` parts are untouched, so
-    the operation is repeatable in either direction."""
+    the operation is repeatable in either direction.
+
+    Refuses unless the texts table is COMPLETE (r16 ADVICE, medium): a
+    store that ever folded with ``keep_texts=False`` has texts for only
+    SOME folds, and rebuilding from the partial table would atomically
+    replace the whole blocklist with shingles from only the retained
+    batches — silently un-blocking the untracked protected docs in a
+    decontamination gate."""
     from ..streaming.store import store_commit_parts, store_read_part
 
     texts = store_read_part(spark, target_root, "texts")
-    if texts is None:
+    if texts is None or not _contamination_texts_complete(target_root):
         raise ValueError(
-            f"reindex_contamination_k: no stored texts at {target_root!r} — "
-            "the index was folded with keep_texts=False, and a wider k is "
-            "not derivable from shingle hashes alone. Re-fold the protected "
-            "suites from source at the new width."
+            f"reindex_contamination_k: the stored texts at {target_root!r} "
+            "are missing or PARTIAL — at least one fold passed "
+            "keep_texts=False, and a wider k is not derivable from shingle "
+            "hashes alone (rebuilding from partial texts would silently "
+            "drop the untracked folds' blocked hashes). Re-fold every "
+            "protected suite from source at the new width into a fresh "
+            "store."
         )
     # re-ingested docs appear once per fold in the texts union; the
     # DISTINCT blocklist would absorb exact duplicates anyway, but dedup
@@ -1086,7 +1146,12 @@ def reindex_contamination_k(spark, target_root: str, new_k: int) -> None:
     store_commit_parts(
         {},
         target_root,
-        markers={"_contamination_k": str(new_k)},
+        # only reachable when texts are complete — re-assert the marker so
+        # the rebuilt snapshot (whose markers are per-version) keeps it
+        markers={
+            "_contamination_k": str(new_k),
+            "_contamination_texts_complete": "true",
+        },
         replace_parts={"blocked": blocked},
     )
 

@@ -65,6 +65,17 @@ def weighted_sample_with_replacement(
     interval on the cumulative axis — the determinism anchor, same contract
     as global_cumsum). NULL or non-positive weights are excluded: a
     zero-weight row is never drawn.
+
+    The k-row contract holds only when the filtered corpus is non-empty
+    (total weight W > 0). With zero drawable rows the result is EMPTY, not
+    k rows — every probe's target is ``u mod NULL`` = NULL and no interval
+    matches (r16 ADVICE: documented rather than raised, because raising
+    would force an eager count job on an otherwise fully lazy plan; a
+    caller mixing sources who must distinguish "empty stratum" from a
+    sampler bug should assert ``df.filter(w > 0).limit(1).count()``
+    first). Same contract for the stratified form: a stratum with no
+    positive-weight rows contributes zero output rows, not
+    ``k_per_stratum``.
     """
     w = F.col(weight_col).cast("long")
     base = df.filter(w.isNotNull() & (w > 0))

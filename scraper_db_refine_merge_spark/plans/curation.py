@@ -50,7 +50,7 @@ def _toks(c) -> F.Column:
     return F.split(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")), " ")
 
 
-_SQL_TOKS = "string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')"
+_SQL_TOKS = "string_split(lower(regexp_replace(trim(text), '[\\s\\x0b]+', ' ', 'g')), ' ')"
 
 
 # --------------------------------------------------------------------------
@@ -375,12 +375,12 @@ def q81_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q82_bloom_decontaminate",
     f"""
     WITH contam AS (
-        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+        SELECT md5(lower(regexp_replace(trim(text), '[\\s\\x0b]+', ' ', 'g'))) AS h
         FROM documents WHERE doc_id % 100 = 7
     ),
     corpus AS (
         SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+               md5(lower(regexp_replace(trim(text), '[\\s\\x0b]+', ' ', 'g'))) AS h
         FROM documents
     )
     SELECT c.doc_id FROM corpus c
@@ -765,7 +765,7 @@ _CUR_BUDGET = 4096
     rf"""
     WITH t AS (
         SELECT doc_id, n_chars,
-               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+               len(string_split_regex(lower(trim(text)), '[\s\x0b]+')) AS n_tokens
         FROM documents
     ),
     c AS (

@@ -330,7 +330,7 @@ def q116_component_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q117_neardup_triangles",
     """
     WITH toks AS (SELECT doc_id,
-                         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+                         string_split(lower(regexp_replace(trim(text), '[\\s\\x0b]+', ' ', 'g')), ' ') AS t
                   FROM documents),
     shidx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i FROM toks),
     sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle FROM shidx),

@@ -117,7 +117,7 @@ def q48_per_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q49 — benchmark decontamination: drop corpus docs whose normalized content
 # hash appears in the "benchmark" set (simulated here as docs with id < 25).
 # The anti-join catches verbatim benchmark leakage including re-ids.
-_SQL_NORM49 = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+_SQL_NORM49 = "md5(lower(regexp_replace(trim(text), '[\\s\\x0b]+', ' ', 'g')))"
 
 
 @_register(
@@ -875,7 +875,7 @@ _N_SHARDS = 16
     WITH t AS (
         SELECT doc_id,
                md5(CAST(doc_id AS VARCHAR)) AS pk,
-               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+               len(string_split_regex(lower(trim(text)), '[\s\x0b]+')) AS n_tokens,
                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS fp_unit
         FROM documents
     ),
@@ -952,7 +952,7 @@ def q142_shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id,
                {_SQL_HASH_UNIT} AS unit,
-               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+               string_split(lower(regexp_replace(trim(text), '[\s\x0b]+', ' ', 'g')), ' ') AS t
         FROM documents
     ),
     shidx AS (
@@ -1162,7 +1162,7 @@ def q147_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id,
                {_SQL_HASH_UNIT} AS unit,
-               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+               string_split(lower(regexp_replace(trim(text), '[\s\x0b]+', ' ', 'g')), ' ') AS t
         FROM documents
     ),
     shidx AS (
@@ -1210,7 +1210,7 @@ def q151_incremental_contamination_index(spark: SparkSession, sf_dir: str) -> Da
     WITH toks AS (
         SELECT doc_id,
                {_SQL_HASH_UNIT} AS unit,
-               string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+               string_split(lower(regexp_replace(trim(text), '[\s\x0b]+', ' ', 'g')), ' ') AS t
         FROM documents
     ),
     shidx AS (

@@ -363,7 +363,7 @@ def q156_duplication_length_profile(spark: SparkSession, sf_dir: str) -> DataFra
     rf"""
     WITH d AS (
         SELECT doc_id, text, {_SQL_HASH_UNIT} AS unit,
-               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+               len(string_split_regex(lower(trim(text)), '[\s\x0b]+')) AS n_tokens
         FROM documents
     ),
     cand AS (
@@ -372,7 +372,7 @@ def q156_duplication_length_profile(spark: SparkSession, sf_dir: str) -> DataFra
     ),
     hashes AS (
         SELECT doc_id, text, n_tokens,
-               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS ch
+               md5(lower(regexp_replace(trim(text), '[\s\x0b]+', ' ', 'g'))) AS ch
         FROM cand
     ),
     canon AS (SELECT ch, MIN(doc_id) AS canonical_id FROM hashes GROUP BY ch),

@@ -38,7 +38,7 @@ def _register(name: str, oracle: str | None = None):
 
 
 # DuckDB mirror of dedup.normalized_text / word_shingles (k=5).
-_SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SQL_NORM = "lower(regexp_replace(trim(text), '[\\s\\x0b]+', ' ', 'g'))"
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 _SQL_SHINGLES = f"""
     toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
@@ -109,7 +109,7 @@ def q21_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q22 — per-document text analysis: token counts, ratios, quality score,
 # band, heuristic language. SURVEY D1/D6 banded scoring generalized to text.
 _Q22_STOP_SQL = "('the','a','an','and','or','of','to','in')"
-_SQL_Q22_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SQL_Q22_TOKS = "string_split_regex(lower(trim(text)), '[\\s\\x0b]+')"
 
 
 @_register(
@@ -732,7 +732,7 @@ ORACLES["q113_incremental_minhash_index"] = ORACLES["q25_minhash_lsh_pairs"]
     r"""
     WITH per_doc AS (
         SELECT lang,
-               len(string_split_regex(lower(trim(text)), '\s+')) AS ws_toks,
+               len(string_split_regex(lower(trim(text)), '[\s\x0b]+')) AS ws_toks,
                len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS re_toks
         FROM documents
     )

@@ -420,3 +420,105 @@ def test_cosine_near_dup_auto_tables_resolves_base_at_auto_width(spark):
         max_bucket_successors=3,
     )
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))
+
+
+def test_contamination_mixed_folds_block_reindex(spark, tmp_path):
+    """r16 ADVICE (medium): keep_texts=False on ANY fold poisons the texts
+    table permanently — a LATER keep_texts=True fold must not make the
+    partial table look rebuildable (reindexing from it would silently drop
+    the untracked fold's blocked hashes: under-blocking in a
+    decontamination gate)."""
+    from scraper_db_refine_merge_spark.streaming.store import store_marker
+
+    root = str(tmp_path / "contam")
+    dd.fold_contamination_index(spark, root, _docs(spark, [(1, _PROT1)]))
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(2, _PROT2)]), keep_texts=False
+    )
+    assert store_marker(root, "_contamination_texts_complete") == "false"
+    # texts is non-None (fold 1 and 3 stored theirs) but PARTIAL
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(3, "extra words for the third fold here")])
+    )
+    assert store_marker(root, "_contamination_texts_complete") == "false"
+    with pytest.raises(ValueError, match="keep_texts=False"):
+        dd.reindex_contamination_k(spark, root, 7)
+
+
+def test_contamination_auto_widen_refuses_partial_texts_up_front(spark, tmp_path):
+    """auto_widen needs the complete texts to rebuild from; combining it
+    with keep_texts=False (this fold or an earlier one) raises BEFORE any
+    commit — the loud-early form of the r15 documented-away growth gap."""
+    from scraper_db_refine_merge_spark.streaming.store import store_versions
+
+    root = str(tmp_path / "contam")
+    with pytest.raises(ValueError, match="auto_widen"):
+        dd.fold_contamination_index(
+            spark, root, _docs(spark, [(1, _PROT1)]),
+            keep_texts=False, auto_widen=True,
+        )
+    assert store_versions(root) == []  # nothing committed
+
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(1, _PROT1)]), keep_texts=False
+    )
+    n_before = len(store_versions(root))
+    with pytest.raises(ValueError, match="auto_widen"):
+        dd.fold_contamination_index(
+            spark, root, _docs(spark, [(2, _PROT2)]), auto_widen=True
+        )
+    assert len(store_versions(root)) == n_before
+
+
+def test_contamination_default_k_adopts_frozen_after_auto_widen(spark, tmp_path, monkeypatch):
+    """r16 ADVICE (low): the default fold signature must keep working after
+    auto_widen moved the frozen width — k=None (adopt-frozen) is the
+    default, so the exact call that enabled auto-widening doesn't start
+    raising a width-mismatch after its own rebuild."""
+    from scraper_db_refine_merge_spark.streaming.store import store_marker
+
+    monkeypatch.setattr(dd, "adaptive_shingle_k", lambda n: 5 if n < 15 else 6)
+    root = str(tmp_path / "contam")
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(1, _PROT1)]), auto_widen=True
+    )
+    dd.fold_contamination_index(
+        spark, root,
+        _docs(spark, [(2, _PROT2 + " twelve thirteen fourteen fifteen sixteen")]),
+        auto_widen=True,
+    )
+    assert store_marker(root, "_contamination_k") == "6"  # widened
+    # the SAME default-argument call again: adopts 6, no raise
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(3, "yet more protected words arriving later")]),
+        auto_widen=True,
+    )
+    assert store_marker(root, "_contamination_k") == "6"
+
+
+def test_contamination_legacy_store_completeness_inferred_from_manifest(spark, tmp_path):
+    """Pre-marker stores (folded before r16) carry no completeness marker;
+    completeness is inferred from the live manifest part counts — a texts
+    list shorter than the blocked list proves a fold skipped texts."""
+    import os
+
+    from scraper_db_refine_merge_spark.streaming.store import store_version_dir
+
+    root = str(tmp_path / "contam")
+    dd.fold_contamination_index(spark, root, _docs(spark, [(1, _PROT1)]))
+    dd.fold_contamination_index(
+        spark, root, _docs(spark, [(2, _PROT2)]), keep_texts=False
+    )
+    # simulate a legacy store: strip the r16 marker from the live snapshot
+    os.remove(os.path.join(store_version_dir(root), "_contamination_texts_complete"))
+    assert dd._contamination_texts_complete(root) is False
+    with pytest.raises(ValueError, match="PARTIAL"):
+        dd.reindex_contamination_k(spark, root, 7)
+
+    # a legacy store whose every fold kept texts infers complete
+    root2 = str(tmp_path / "contam2")
+    dd.fold_contamination_index(spark, root2, _docs(spark, [(1, _PROT1)]))
+    dd.fold_contamination_index(spark, root2, _docs(spark, [(2, _PROT2)]))
+    os.remove(os.path.join(store_version_dir(root2), "_contamination_texts_complete"))
+    assert dd._contamination_texts_complete(root2) is True
+    dd.reindex_contamination_k(spark, root2, 7)  # allowed

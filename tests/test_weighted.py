@@ -94,3 +94,17 @@ def test_stratified_quota_and_independence(spark):
         tuple(r) for r in out.filter(F.col("src") != "s2").collect()
     }
     assert {tuple(r) for r in sub.collect()} == full
+
+
+def test_weighted_sample_empty_and_zero_weight_inputs_yield_zero_rows(spark):
+    """r16 ADVICE: the k-row contract requires positive total weight; an
+    empty/all-nonpositive corpus yields ZERO rows (documented), not k."""
+    empty = _docs(spark, []).filter(F.lit(False))
+    assert weighted_sample_with_replacement(empty, 5, "w", ["doc_id"]).count() == 0
+    zeros = _docs(spark, [(1, "a", 0), (2, "b", 0)])
+    assert weighted_sample_with_replacement(zeros, 5, "w", ["doc_id"]).count() == 0
+    # stratified: an all-zero stratum contributes nothing; the live stratum
+    # still meets its quota
+    mixed = _docs(spark, [(1, "dead", 0), (2, "live", 3), (3, "live", 2)])
+    out = weighted_sample_stratified(mixed, 4, "src", "w", ["doc_id"]).collect()
+    assert len(out) == 4 and {r["src"] for r in out} == {"live"}
