@@ -287,9 +287,16 @@ def merge_upsert(
 # view formats are readable at any time — a table can even mix formats
 # across versions. ``layout="auto"`` (the default) probes os.symlink once
 # per commit and falls back to the manifest, so the same code path works
-# on POSIX and symlink-free filesystems. (The pointer replace itself still
-# assumes atomic rename; a true object-store port swaps that single call
-# for a conditional put.)
+# on POSIX and symlink-free filesystems.
+#
+# POINTER COMMIT (r16, VERDICT r15 item 1): the pointer put itself no
+# longer assumes atomic rename either — it routes through
+# streaming/store.py put_pointer, whose "auto" strategy probes os.replace
+# per commit and falls back to the CAS commit log (_commits/c-<seq>,
+# committed by EXCLUSIVE CREATE = conditional put / If-None-Match on a
+# real object store). With layout="manifest" + the CAS strategy the whole
+# commit path is rename-free AND symlink-free: stage immutable data,
+# write one manifest file, put-if-absent one log entry.
 
 _PT_POINTER = "CURRENT"
 _PT_DATA = "data"
@@ -342,6 +349,15 @@ def _read_view_df(
         return spark.read.option("basePath", view_dir).parquet(view_dir)
     with open(mpath) as f:
         mapping = json.load(f)
+    if not mapping:
+        # a commit always maps >=1 touched partition, so an empty manifest
+        # is a hand-truncated/corrupt view — indexing dfs[0] below would
+        # surface it as a bare IndexError (r16 ADVICE)
+        raise RuntimeError(
+            f"partitioned merge view {view_dir}: _VIEW_MANIFEST.json maps no "
+            "partitions — corrupt or hand-truncated view. Restore CURRENT "
+            "to the latest intact v-*/ dir or delete the table to reset."
+        )
     groups: dict[str, list[str]] = {}
     for name, rel in mapping.items():
         commit_root = os.path.dirname(os.path.join(target_path, rel))
@@ -358,13 +374,14 @@ def _read_view_df(
 
 def resolve_partitioned_path(target_path: str) -> str | None:
     """Readable root of a partitioned merge target: the live view dir for
-    pointer-layout tables, the path itself for legacy plain-hive tables,
-    None if nothing committed/written yet."""
-    pointer = os.path.join(target_path, _PT_POINTER)
-    if os.path.exists(pointer):
-        with open(pointer) as f:
-            version = f.read().strip()
-        if not version:
+    pointer-layout tables (either commit mechanism — CURRENT file or CAS
+    commit log, streaming/store.py), the path itself for legacy plain-hive
+    tables, None if nothing committed/written yet."""
+    from ..streaming.store import pointer_exists, resolve_pointer_name
+
+    if pointer_exists(target_path):
+        version = resolve_pointer_name(target_path)
+        if version is None:
             # torn/empty pointer: joining "" would resolve to the RAW root
             # (data/ + v-*/ mixed), which readers must never scan
             return None
@@ -403,6 +420,7 @@ def _merge_partitions_pointer(
     touched: list,
     prev_view: str | None,
     layout: str = "auto",
+    pointer_strategy: str = "auto",
 ) -> None:
     """Commit ``merged`` (the touched partitions' full new contents) plus
     the previous view's untouched partitions as one new immutable view,
@@ -472,16 +490,13 @@ def _merge_partitions_pointer(
             f.flush()
             os.fsync(f.fileno())
 
-    # THE commit: atomic pointer replace. flush+fsync BEFORE the replace
-    # (the store.py _commit_pointer discipline): without it a crash after
-    # the rename can journal an EMPTY pointer file, bricking the table.
-    pointer = os.path.join(target_path, _PT_POINTER)
-    tmp = f"{pointer}.__tmp__{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, pointer)
+    # THE commit: one pointer put — atomic replace on POSIX, or the CAS
+    # commit-log exclusive create where rename isn't atomic/available
+    # (streaming/store.py put_pointer; strategy "auto" probes per commit).
+    from ..streaming.store import _gc_commitlog, put_pointer
+
+    put_pointer(target_path, version, pointer_strategy)
+    _gc_commitlog(target_path, version)
 
     # GC (post-commit, store.py precedent): drop view dirs other than the
     # one just committed and data commits it no longer references. Readers
@@ -496,7 +511,9 @@ def _merge_partitions_pointer(
         p = os.path.join(target_path, name)
         if name.startswith("v-") and name != version and os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
-        elif name.startswith(f"{_PT_POINTER}.__tmp__"):  # crashed writers
+        elif name.startswith(
+            (f"{_PT_POINTER}.__tmp__", f".{_PT_POINTER}.tmp.")
+        ):  # crashed writers (legacy + put_pointer tmp namings)
             try:
                 os.remove(p)
             except OSError:
@@ -515,6 +532,7 @@ def merge_upsert_partitioned(
     order_cols: list[Column] | None = None,
     prefilter: str = "none",
     layout: str = "auto",
+    pointer_strategy: str = "auto",
 ) -> list[str]:
     """Partition-pruned upsert into a hive-partitioned Parquet table.
 
@@ -567,9 +585,9 @@ def merge_upsert_partitioned(
             f"{partition_col!r}; coalesce to a sentinel before merging"
         )
 
-    pointer_mode = os.path.exists(
-        os.path.join(target_path, _PT_POINTER)
-    ) or not os.path.isdir(target_path)
+    from ..streaming.store import pointer_exists
+
+    pointer_mode = pointer_exists(target_path) or not os.path.isdir(target_path)
     read_root = resolve_partitioned_path(target_path)
     if read_root is None and os.path.exists(os.path.join(target_path, _PT_POINTER)):
         # ADVICE r14 (medium): CURRENT exists but resolves to nothing —
@@ -603,7 +621,8 @@ def merge_upsert_partitioned(
 
     if pointer_mode:
         _merge_partitions_pointer(
-            target_path, merged, partition_col, touched, prev_view, layout
+            target_path, merged, partition_col, touched, prev_view, layout,
+            pointer_strategy,
         )
         return sorted(str(v) for v in touched)
 

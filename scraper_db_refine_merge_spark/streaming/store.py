@@ -17,11 +17,32 @@ snapshot — fully intact; orphaned snapshots are garbage-collected by the
 next successful commit. Readers resolve the pointer and read one immutable
 directory, so they can never observe a half-swapped store.
 
-Scope note (also from ADVICE r4): the pointer commit relies on atomic
-rename, so this store targets local/POSIX filesystems (and would map to an
-atomic-rename FS like HDFS via its own API). On object stores without
-atomic rename, use a transactional table format (Delta/Iceberg) instead —
-operators/merge.py carries the import-guarded Delta MERGE path.
+Pointer commit strategies (r16, VERDICT r15 item 1 — the last POSIX
+assumption in the 100 TB story):
+
+- ``replace`` — write ``.CURRENT.tmp.*`` + fsync + ONE atomic
+  ``os.replace`` onto ``CURRENT`` (local/POSIX, HDFS-like).
+- ``cas`` — object-store form, NO rename anywhere: an append-only commit
+  log ``_commits/c-<seq>`` where committing seq N is an EXCLUSIVE CREATE
+  of ``c-<N>`` (``O_CREAT|O_EXCL`` here; conditional put / If-None-Match
+  on a real object store — the put-if-absent primitive S3/GCS/ABFS all
+  expose, and the same one Delta Lake's S3 LogStore builds on). Readers
+  resolve the HIGHEST INTACT entry: entries are immutable once written,
+  so a crashed writer leaves at worst an empty/dangling TOP entry, which
+  resolution skips — the previous entry still IS the committed state
+  (append-only logs make crash fallback trivially safe where a torn
+  REPLACED pointer needs manual recovery). The exclusive create is also
+  the single-writer check: two writers deriving the same next seq from
+  the same prior snapshot collide on the same entry name and the loser
+  raises ``StoreConcurrentWriterError`` at create time, BEFORE its state
+  becomes visible (strictly stronger than the replace strategy's
+  after-the-fact re-read).
+- ``auto`` (default) — probe ``os.replace`` on a scratch file per commit
+  (the ``layout="auto"`` symlink-probe pattern); stick with ``cas`` once
+  a store has a commit log, so a table created on an object store keeps
+  one mechanism even when later written from a POSIX host. Both
+  mechanisms interoperate per commit: resolution compares the CURRENT
+  file and the log and the higher seq wins.
 
 SINGLE-WRITER CONTRACT (ADVICE r5): at most one committer per store at a
 time. Two concurrent commits could derive the same seq from the same prior
@@ -55,6 +76,7 @@ from pyspark.sql import DataFrame, SparkSession
 _POINTER = "CURRENT"
 _MANIFEST = "_MANIFEST.json"
 _PARTS = "parts"
+_COMMITLOG = "_commits"
 
 
 class StoreConcurrentWriterError(RuntimeError):
@@ -70,16 +92,68 @@ class StoreCorruptPointerError(RuntimeError):
     pointer to the latest intact v-*/ dir) turned into permanent loss."""
 
 
-def store_version_dir(target_path: str) -> str | None:
-    """Absolute path of the live snapshot dir, or None if no commit yet."""
+def _commitlog_entries(target_path: str) -> list[tuple[int, str]]:
+    """CAS commit-log entries as (seq, filename), ascending."""
+    d = os.path.join(target_path, _COMMITLOG)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if not name.startswith("c-"):
+            continue
+        try:
+            out.append((int(name.split("-")[1]), name))
+        except (IndexError, ValueError):
+            continue
+    return sorted(out)
+
+
+def pointer_exists(target_path: str) -> bool:
+    """Has EITHER commit mechanism ever touched this path? (The writer-side
+    'this is a pointer table' test — counterpart of os.path.exists(CURRENT)
+    from before the CAS strategy existed.)"""
+    return os.path.exists(os.path.join(target_path, _POINTER)) or bool(
+        _commitlog_entries(target_path)
+    )
+
+
+def resolve_pointer_name(target_path: str) -> str | None:
+    """Committed version NAME via either mechanism, or None.
+
+    The CURRENT file and the commit log each yield one candidate; the
+    higher seq wins (mixed-mechanism histories interoperate per commit).
+    A torn/empty/dangling CURRENT file resolves the whole store to None —
+    replace-mode corruption stays strict (writers then refuse via
+    ``_version_dir_for_write``). Crashed TOP log entries (empty content /
+    naming no directory) are SKIPPED down to the last intact entry: the
+    log is append-only, so an incomplete top entry means that commit never
+    finished and the previous entry is the true committed state."""
+    cand: list[tuple[int, str]] = []
     pointer = os.path.join(target_path, _POINTER)
-    if not os.path.exists(pointer):
-        return None
-    with open(pointer) as f:
-        version = f.read().strip()
-    if not version:
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            version = f.read().strip()
         # torn/empty pointer: os.path.join(target, "") IS the store root,
         # which isdir() would happily bless — never hand that to a reader
+        if not version or not os.path.isdir(os.path.join(target_path, version)):
+            return None
+        cand.append((_seq_of(version) or 0, version))
+    log_dir = os.path.join(target_path, _COMMITLOG)
+    for seq, name in reversed(_commitlog_entries(target_path)):
+        with open(os.path.join(log_dir, name)) as f:
+            version = f.read().strip()
+        if version and os.path.isdir(os.path.join(target_path, version)):
+            cand.append((seq, version))
+            break
+    if not cand:
+        return None
+    return max(cand)[1]
+
+
+def store_version_dir(target_path: str) -> str | None:
+    """Absolute path of the live snapshot dir, or None if no commit yet."""
+    version = resolve_pointer_name(target_path)
+    if version is None:
         return None
     d = os.path.join(target_path, version)
     return d if os.path.isdir(d) else None
@@ -185,27 +259,130 @@ def _manifest_of(vd: str) -> dict[str, list[str]] | None:
         return json.load(f)
 
 
-def _commit_pointer(target_path: str, version: str, keep: int) -> None:
-    """THE commit: one atomic pointer replace, then GC of snapshots beyond
-    the retention window, crashed-writer orphans (seq above the committed
-    pointer), stale pointer tmps, and ``parts/`` directories no retained
-    manifest references (best-effort — a concurrent reader holding an old
-    dir open on POSIX keeps its fds). After the replace, CURRENT is
-    re-read to enforce the single-writer contract (module docstring)."""
-    tmp = os.path.join(target_path, f".{_POINTER}.tmp.{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(target_path, _POINTER))
-    with open(os.path.join(target_path, _POINTER)) as f:
-        observed = f.read().strip()
-    if observed != version:
-        raise StoreConcurrentWriterError(
-            f"store {target_path}: pointer moved to {observed!r} during commit of "
-            f"{version!r} — this store is single-writer; the competing commit may "
-            "have merged from a stale snapshot"
-        )
+def _replace_supported(root: str) -> bool:
+    """Probe atomic rename on this filesystem (the _symlinks_supported
+    pattern from the merge layer): an object-store-like FS — or the
+    crash-injection suites' forbidden-os.replace harness — fails the
+    probe and auto mode falls through to the CAS commit log."""
+    a = os.path.join(root, f".__rpprobe__{uuid.uuid4().hex[:8]}")
+    b = f"{a}.b"
+    try:
+        with open(a, "w") as f:
+            f.write("x")
+        os.replace(a, b)
+    except (OSError, NotImplementedError):
+        for p in (a, b):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return False
+    else:
+        os.remove(b)
+        return True
+
+
+def put_pointer(target_path: str, version: str, strategy: str = "auto") -> None:
+    """Commit ``version`` as the live snapshot name via the chosen
+    strategy (module docstring). The ONLY mutation readers can observe in
+    any commit path — shared by this store and the partitioned-merge
+    pointer layout (operators/merge.py)."""
+    if strategy == "auto":
+        # a store that already has a commit log stays on it (one mechanism
+        # per table even if it moves between filesystems); otherwise keep
+        # the POSIX pointer file wherever atomic rename actually works
+        if _commitlog_entries(target_path) or not _replace_supported(target_path):
+            strategy = "cas"
+        else:
+            strategy = "replace"
+    if strategy == "replace":
+        tmp = os.path.join(target_path, f".{_POINTER}.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(target_path, _POINTER))
+        with open(os.path.join(target_path, _POINTER)) as f:
+            observed = f.read().strip()
+        if observed != version:
+            raise StoreConcurrentWriterError(
+                f"store {target_path}: pointer moved to {observed!r} during "
+                f"commit of {version!r} — this store is single-writer; the "
+                "competing commit may have merged from a stale snapshot"
+            )
+        return
+    if strategy != "cas":
+        raise ValueError(f"unknown pointer commit strategy {strategy!r}")
+    log_dir = os.path.join(target_path, _COMMITLOG)
+    os.makedirs(log_dir, exist_ok=True)
+    entry = os.path.join(log_dir, f"c-{_seq_of(version) or 0:06d}")
+    if os.path.exists(entry):
+        # an existing entry at OUR seq is either a crashed writer's torn
+        # put (empty / naming no dir — safe to clear under the
+        # single-writer contract) or a competing writer's real commit
+        with open(entry) as f:
+            existing = f.read().strip()
+        if existing and os.path.isdir(os.path.join(target_path, existing)):
+            raise StoreConcurrentWriterError(
+                f"store {target_path}: commit log already holds {existing!r} "
+                f"at the seq derived for {version!r} — this store is "
+                "single-writer; this writer merged from a stale snapshot"
+            )
+        os.remove(entry)
+    # THE commit: exclusive create = conditional put. On a real object
+    # store this maps to If-None-Match; a losing racer fails HERE, before
+    # its snapshot is ever visible.
+    fd = os.open(entry, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    try:
+        os.write(fd, version.encode())
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _gc_commitlog(target_path: str, committed: str) -> None:
+    """Post-put pointer GC, shared by this store and the merge layer.
+
+    Drops log entries below the committed seq (resolution only ever reads
+    down from the top intact entry; retained-version history lives in the
+    v-*/ dirs themselves, so old entries are pure clutter). Also drops a
+    SUPERSEDED ``CURRENT`` file after a CAS commit (content != the
+    committed version): a replace-history table that switched to the log
+    would otherwise keep a stale CURRENT whose named version the version
+    GC eventually deletes — and a dangling CURRENT reads as corruption
+    (strict None / writer refusal), bricking a healthy store. Removing it
+    is a plain DELETE (object-store-legal) and completes the migration to
+    one mechanism per table."""
+    log_dir = os.path.join(target_path, _COMMITLOG)
+    committed_seq = _seq_of(committed) or 0
+    for seq, name in _commitlog_entries(target_path):
+        if seq < committed_seq:
+            try:
+                os.remove(os.path.join(log_dir, name))
+            except OSError:
+                pass
+    pointer = os.path.join(target_path, _POINTER)
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            content = f.read().strip()
+        if content != committed:
+            try:
+                os.remove(pointer)
+            except OSError:
+                pass
+
+
+def _commit_pointer(
+    target_path: str, version: str, keep: int, strategy: str = "auto"
+) -> None:
+    """THE commit: one pointer put (atomic replace or CAS log entry —
+    ``put_pointer``), then GC of snapshots beyond the retention window,
+    crashed-writer orphans (seq above the committed pointer), stale
+    pointer tmps, superseded commit-log entries, and ``parts/``
+    directories no retained manifest references (best-effort — a
+    concurrent reader holding an old dir open on POSIX keeps its fds)."""
+    put_pointer(target_path, version, strategy)
+    _gc_commitlog(target_path, version)
     keep_names = {version} | {
         name for _, name in sorted(store_versions(target_path), reverse=True)[:keep]
     }
@@ -253,6 +430,7 @@ def store_commit(
     target_path: str,
     markers: dict[str, str] | None = None,
     keep: int = 1,
+    pointer_strategy: str = "auto",
 ) -> str:
     """Write ``df`` as a new snapshot and atomically point CURRENT at it.
 
@@ -267,7 +445,7 @@ def store_commit(
     vd = os.path.join(target_path, version)
     df.write.mode("overwrite").parquet(vd)
     _write_markers(vd, markers)
-    _commit_pointer(target_path, version, keep)
+    _commit_pointer(target_path, version, keep, pointer_strategy)
     return vd
 
 
@@ -276,6 +454,7 @@ def store_commit_many(
     target_path: str,
     markers: dict[str, str] | None = None,
     keep: int = 1,
+    pointer_strategy: str = "auto",
 ) -> str:
     """Commit SEVERAL named tables as ONE atomic snapshot (one version dir
     with a parquet subdir per name, one pointer replace). The primitive
@@ -288,7 +467,7 @@ def store_commit_many(
     for name, df in dfs.items():
         df.write.mode("overwrite").parquet(os.path.join(vd, name))
     _write_markers(vd, markers)
-    _commit_pointer(target_path, version, keep)
+    _commit_pointer(target_path, version, keep, pointer_strategy)
     return vd
 
 
@@ -298,6 +477,7 @@ def store_commit_parts(
     markers: dict[str, str] | None = None,
     keep: int = 1,
     replace_parts: dict[str, DataFrame] | None = None,
+    pointer_strategy: str = "auto",
 ) -> str:
     """Incremental multi-part commit (ADVICE r5): write ONLY the new
     batch's rows — one immutable ``parts/p-*`` directory per table — and
@@ -378,12 +558,13 @@ def store_commit_parts(
     with open(os.path.join(vd, _MANIFEST), "w") as f:
         json.dump(manifest, f)
     _write_markers(vd, markers)
-    _commit_pointer(target_path, version, keep)
+    _commit_pointer(target_path, version, keep, pointer_strategy)
     return vd
 
 
 def store_compact(
-    spark: SparkSession, target_path: str, keep: int = 1
+    spark: SparkSession, target_path: str, keep: int = 1,
+    pointer_strategy: str = "auto",
 ) -> str | None:
     """Squash a multi-part store's accumulated parts (r14, VERDICT r13
     item 5): N folds leave N part dirs per table, so replay/read cost grows
@@ -428,7 +609,7 @@ def store_compact(
         src = os.path.join(prior, fname)
         if fname != _MANIFEST and os.path.isfile(src):
             shutil.copy2(src, os.path.join(vd, fname))
-    _commit_pointer(target_path, version, keep)
+    _commit_pointer(target_path, version, keep, pointer_strategy)
     return vd
 
 

@@ -9,6 +9,15 @@ from pyspark.sql import functions as F
 
 from scraper_db_refine_merge_spark.operators.merge import merge_upsert_partitioned
 
+# Tests that crash-inject INSIDE the replace mechanism (os.replace on
+# CURRENT) are meaningless under the object-store simulation — the auto
+# strategy routes around os.replace entirely there. Their commit-boundary
+# coverage under CAS lives in test_pointer_cas.py.
+replace_mechanism_only = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_FORBID_REPLACE") == "1",
+    reason="crash-injects os.replace itself; CAS analog in test_pointer_cas",
+)
+
 
 def _files_with_mtimes(root: str, part: str) -> dict[str, float]:
     d = os.path.join(root, part)
@@ -111,7 +120,9 @@ def test_pointer_layout_upsert_roundtrip(spark, tmp_path):
         _mk_batch(spark, [("e1", "d1", 1.0), ("e2", "d2", 2.0), ("e3", "d3", 3.0)]),
         key_cols=["event_id"], partition_col="day",
     )
-    assert os.path.exists(os.path.join(target, "CURRENT"))
+    from scraper_db_refine_merge_spark.streaming.store import pointer_exists
+
+    assert pointer_exists(target)  # pointer layout (either commit mechanism)
     view1 = resolve_partitioned_path(target)
     d2_real = os.path.realpath(os.path.join(view1, "day=d2"))
 
@@ -143,7 +154,7 @@ def test_pointer_layout_crash_between_partition_links(spark, tmp_path, monkeypat
         key_cols=["event_id"], partition_col="day",
     )
     before = _table(spark, target)
-    pointer_before = open(os.path.join(target, "CURRENT")).read()
+    view_before = resolve_partitioned_path(target)  # mechanism-agnostic
 
     real_symlink = os.symlink
     calls = {"n": 0}
@@ -165,7 +176,7 @@ def test_pointer_layout_crash_between_partition_links(spark, tmp_path, monkeypat
     assert calls["n"] == 2
 
     # reads stay on the old snapshot — nothing mixed, nothing missing
-    assert open(os.path.join(target, "CURRENT")).read() == pointer_before
+    assert resolve_partitioned_path(target) == view_before
     assert _table(spark, target) == before
 
     # retry succeeds and GCs the crash orphans
@@ -181,6 +192,7 @@ def test_pointer_layout_crash_between_partition_links(spark, tmp_path, monkeypat
     assert len(views) == 1  # orphaned view dirs collected
 
 
+@replace_mechanism_only
 def test_pointer_layout_crash_before_pointer_replace(spark, tmp_path, monkeypatch):
     """Kill the writer after ALL data and links are staged but before the
     pointer commit: still invisible to readers."""
@@ -394,6 +406,7 @@ def test_manifest_layout_roundtrip_without_symlinks(spark, tmp_path, no_symlinks
     assert map2["day=d1"] != map1["day=d1"]
 
 
+@replace_mechanism_only
 def test_manifest_layout_crash_before_pointer_replace(spark, tmp_path, monkeypatch, no_symlinks):
     import scraper_db_refine_merge_spark.operators.merge as m
 
@@ -441,7 +454,7 @@ def test_manifest_layout_crash_during_manifest_write(spark, tmp_path, monkeypatc
         key_cols=["event_id"], partition_col="day",
     )
     before = _table(spark, target)
-    pointer_before = open(os.path.join(target, "CURRENT")).read()
+    view_before = resolve_partitioned_path(target)  # mechanism-agnostic
 
     real_dump = m.json.dump
 
@@ -461,7 +474,7 @@ def test_manifest_layout_crash_during_manifest_write(spark, tmp_path, monkeypatc
     monkeypatch.undo()
     monkeypatch.setattr(os, "symlink", lambda *a, **k: (_ for _ in ()).throw(OSError("no symlinks")))
 
-    assert open(os.path.join(target, "CURRENT")).read() == pointer_before
+    assert resolve_partitioned_path(target) == view_before
     assert _table(spark, target) == before
 
     merge_upsert_partitioned(
@@ -516,3 +529,25 @@ def test_manifest_layout_pointer_corruption_blocks_writer(spark, tmp_path, no_sy
             spark, target, _mk_batch(spark, [("e2", "d2", 2.0)]),
             key_cols=["event_id"], partition_col="day",
         )
+
+
+def test_manifest_empty_mapping_raises_descriptive_error(spark, tmp_path, no_symlinks):
+    """r16 ADVICE: a hand-truncated/corrupt _VIEW_MANIFEST.json mapping no
+    partitions must surface as a descriptive error, not a bare IndexError
+    from dfs[0]."""
+    import json
+
+    import scraper_db_refine_merge_spark.operators.merge as m
+    from scraper_db_refine_merge_spark.operators.merge import read_partitioned_table
+
+    target = str(tmp_path / "pt")
+    merge_upsert_partitioned(
+        spark, target,
+        _mk_batch(spark, [("e1", "d1", 1.0)]),
+        key_cols=["event_id"], partition_col="day",
+    )
+    view = resolve_partitioned_path(target)
+    with open(os.path.join(view, m._PT_MANIFEST), "w") as f:
+        json.dump({}, f)
+    with pytest.raises(RuntimeError, match="maps no"):
+        read_partitioned_table(spark, target)
