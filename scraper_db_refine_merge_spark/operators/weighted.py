@@ -34,7 +34,7 @@ W approaching 2^60 total weight should rescale weights first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._cache import persist_tracked
@@ -176,6 +176,117 @@ def weighted_sample_stratified(
         .filter((F.col("__t") > F.col("__lo")) & (F.col("__t") <= F.col("__hi")))
     )
     return out.select("sample_idx", *df.columns)
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    order_cols: list[str],
+    seed: str = "wsr",
+    num_buckets: int = SAMPLE_BUCKETS,
+    initial_probes: int | None = None,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k DISTINCT rows, weighted without replacement (r16, VERDICT r15
+    item 4 — the k-distinct form the with-replacement sampler documents
+    away): output = ``sample_rank`` (0..k-1 in selection order) plus the
+    row's columns, each drawn row exactly once.
+
+    Semantics: FIRST-K-DISTINCT of the deterministic with-replacement
+    probe stream — probes j = 0, 1, 2, … each hit one row by the q164
+    inverse-CDF arithmetic; a row's selection key is the SMALLEST probe
+    index that hits it, and the k rows with the smallest keys win, ranked
+    by key. Drawing with replacement and skipping repeats IS successive
+    weighted sampling without replacement (each next distinct row appears
+    with probability proportional to weight among the not-yet-drawn), so
+    this matches the Efraimidis–Spirakis distribution without pow/ln —
+    exact integer arithmetic end to end, same modular-fold bias note as
+    the module doc.
+
+    The probe count is data-determined: rounds double the probe prefix
+    (``initial_probes`` default ``max(4k, 64)``) until it covers ≥ k
+    distinct rows, and the result is INVARIANT to the stopping round —
+    first-k-distinct by min probe index only depends on the stream prefix
+    up to the k-th distinct hit, so any probe count at or past that point
+    (including an oracle's fixed larger one) selects the identical rows
+    with identical ranks. Each round is one bucketed probe equi-join (the
+    q164 shape) + a count; under heavy weight skew rounds grow
+    geometrically until ``max_rounds`` (then raises — rescale weights).
+
+    Degenerate contracts: fewer than k positive-weight rows returns ALL of
+    them, ``sample_rank`` ordered by ``order_cols`` (a size-≥n WOR sample
+    is the whole corpus; probing would never terminate on the tail no
+    probe hits soon); an empty corpus returns 0 rows (the with-replacement
+    empty-input contract).
+    """
+    w = F.col(weight_col).cast("long")
+    base = df.filter(w.isNotNull() & (w > 0))
+    cum = global_cumsum(base, [F.col(c) for c in order_cols], w, out_col="__hi")
+    cum = persist_tracked(cum.withColumn("__lo", F.col("__hi") - w))
+    stats = cum.agg(F.max("__hi").alias("W"), F.count("*").alias("n")).first()
+    n = int(stats["n"] or 0)
+    if n == 0:
+        return (
+            cum.withColumn("sample_rank", F.lit(0).cast("int"))
+            .select("sample_rank", *df.columns)
+            .limit(0)
+        )
+    if n <= k:
+        wnd = Window.orderBy(*[F.col(c) for c in order_cols])  # n <= k rows
+        return (
+            cum.withColumn("sample_rank", (F.row_number().over(wnd) - 1).cast("int"))
+            .select("sample_rank", *df.columns)
+        )
+
+    total = cum.agg(F.max("__hi").alias("__W")).withColumn(
+        "__bs", F.expr(f"(__W + {num_buckets - 1}) DIV {num_buckets}")
+    )  # 1 row
+    rows = cum.crossJoin(F.broadcast(total)).withColumn(
+        "__b",
+        F.explode(F.sequence(F.expr("__lo DIV __bs"), F.expr("(__hi - 1) DIV __bs"))),
+    )
+    spark = _spark_of(df)
+    m = initial_probes or max(4 * k, 64)
+    first_hits = None
+    for _ in range(max_rounds):
+        probes = (
+            total.crossJoin(spark.range(m).withColumnRenamed("id", "__j"))
+            .withColumn(
+                "__t",
+                _draw60(F.concat(F.lit(f"{seed}|"), F.col("__j").cast("string")))
+                % F.col("__W")
+                + 1,
+            )
+            .withColumn("__b", F.expr("(__t - 1) DIV __bs"))
+            .select("__j", "__t", "__b")
+        )
+        # broadcast the probe frame while it is small; a skew-forced deep
+        # round falls back to a shuffle join rather than shipping millions
+        # of probes to every task
+        pr = F.broadcast(probes) if m <= (1 << 20) else probes
+        hits = (
+            rows.join(pr, "__b")
+            .filter((F.col("__t") > F.col("__lo")) & (F.col("__t") <= F.col("__hi")))
+            .groupBy("__lo")
+            .agg(F.min("__j").alias("__fh"))
+        )
+        hits = persist_tracked(hits)
+        if hits.count() >= k:
+            first_hits = hits
+            break
+        m *= 2
+    if first_hits is None:
+        raise ValueError(
+            f"weighted_sample_without_replacement: {max_rounds} probe-"
+            f"doubling rounds (final prefix {m}) did not reach {k} distinct "
+            "rows — the weight distribution is extremely skewed; rescale "
+            "weights (cap the dominant mass) or lower k."
+        )
+    sel = first_hits.orderBy("__fh").limit(k)  # TakeOrderedAndProject
+    wnd = Window.orderBy("__fh")  # <= k rows post-limit: bounded frame
+    sel = sel.withColumn("sample_rank", (F.row_number().over(wnd) - 1).cast("int"))
+    return cum.join(sel, "__lo").select("sample_rank", *df.columns)
 
 
 def _spark_of(df: DataFrame):

@@ -1361,3 +1361,50 @@ def q165_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFra
     return weighted_sample_stratified(
         d, 5, "source", "n_chars", ["doc_id"], seed="q165"
     )
+
+
+# --------------------------------------------------------------------------
+# q166 — WEIGHTED SAMPLING WITHOUT REPLACEMENT (r16, VERDICT r15 item 4):
+# k DISTINCT docs, P ∝ n_chars, as FIRST-K-DISTINCT of the deterministic
+# with-replacement probe stream (drawing with replacement and skipping
+# repeats IS successive weighted WOR). The engine grows its probe prefix
+# in data-determined rounds until k distinct rows are covered; the result
+# is invariant to the stopping point, so the oracle states the same
+# arithmetic with one big fixed prefix (4096 probes) — first-k-distinct by
+# min probe index agrees for ANY prefix at or past the k-th distinct hit.
+@_register(
+    "q166_weighted_sample_without_replacement",
+    """
+    WITH pos AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS hi
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    tot AS (SELECT MAX(hi) AS w_total FROM pos),
+    probes AS (
+        SELECT j,
+               (('0x' || substring(md5('q166|' || CAST(j AS VARCHAR)), 1, 15))::UBIGINT
+                 % (SELECT w_total FROM tot)) + 1 AS target
+        FROM (SELECT unnest(range(4096)) AS j)
+    ),
+    hits AS (
+        SELECT c.doc_id, c.n_chars, MIN(p.j) AS fh
+        FROM probes p JOIN pos c
+          ON p.target > c.hi - c.n_chars AND p.target <= c.hi
+        GROUP BY c.doc_id, c.n_chars
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY fh) - 1 AS INT) AS sample_rank,
+           doc_id, n_chars
+    FROM hits ORDER BY fh LIMIT 20
+    """,
+)
+def q166_weighted_sample_without_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.weighted import weighted_sample_without_replacement
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_without_replacement(
+        d, 20, "n_chars", ["doc_id"], seed="q166"
+    )

@@ -108,3 +108,84 @@ def test_weighted_sample_empty_and_zero_weight_inputs_yield_zero_rows(spark):
     mixed = _docs(spark, [(1, "dead", 0), (2, "live", 3), (3, "live", 2)])
     out = weighted_sample_stratified(mixed, 4, "src", "w", ["doc_id"]).collect()
     assert len(out) == 4 and {r["src"] for r in out} == {"live"}
+
+
+def _wor_mirror(rows, k, seed):
+    """Python mirror: first-k-distinct of the with-replacement probe
+    stream, ranked by first-hit probe index."""
+    cum, hi = [], 0
+    for i, _s, w in rows:
+        if w and w > 0:
+            hi += w
+            cum.append((i, hi - w, hi))
+    W = hi
+    first_hit, j = {}, 0
+    while len(first_hit) < k:
+        t = int(hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:15], 16) % W + 1
+        (doc,) = [i for (i, lo, h) in cum if lo < t <= h]
+        first_hit.setdefault(doc, j)
+        j += 1
+    order = sorted(first_hit.items(), key=lambda kv: kv[1])[:k]
+    return [(rank, doc) for rank, (doc, _) in enumerate(order)]
+
+
+def test_wor_matches_first_k_distinct_mirror(spark):
+    """Engine output equals the hand-computed successive-WOR sample,
+    including ranks — and is invariant to the probe-round schedule
+    (initial_probes=1 forces many doubling rounds; the default takes one)."""
+    from scraper_db_refine_merge_spark.operators.weighted import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, "s", (i * 13) % 37 + 1) for i in range(60)]
+    want = _wor_mirror(rows, 10, "t")
+    df = _docs(spark, rows)
+    for probes in (None, 1):
+        got = sorted(
+            (r["sample_rank"], r["doc_id"])
+            for r in weighted_sample_without_replacement(
+                df, 10, "w", ["doc_id"], seed="t", initial_probes=probes
+            ).collect()
+        )
+        assert got == want, probes
+    # distinctness by construction
+    assert len({d for _, d in got}) == 10
+
+
+def test_wor_degenerate_and_empty_contracts(spark):
+    from scraper_db_refine_merge_spark.operators.weighted import (
+        weighted_sample_without_replacement,
+    )
+
+    # fewer positive-weight rows than k: the whole corpus, ranked by order
+    rows = [(1, "a", 5), (2, "a", 0), (3, "a", 7), (4, "a", None)]
+    got = sorted(
+        tuple(r)
+        for r in weighted_sample_without_replacement(
+            _docs(spark, rows), 10, "w", ["doc_id"]
+        ).collect()
+    )
+    assert got == [(0, 1, "a", 5), (1, 3, "a", 7)]
+    # empty: 0 rows, not k
+    empty = _docs(spark, []).filter(F.lit(False))
+    assert weighted_sample_without_replacement(empty, 5, "w", ["doc_id"]).count() == 0
+
+
+def test_wor_partitioning_invariance(spark):
+    from scraper_db_refine_merge_spark.operators.weighted import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, "s", (i * 7) % 23 + 1) for i in range(80)]
+    outs = []
+    for parts in (2, 13):
+        df = _docs(spark, rows).repartition(parts)
+        outs.append(
+            sorted(
+                tuple(r)
+                for r in weighted_sample_without_replacement(
+                    df, 12, "w", ["doc_id"], seed="p"
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
