@@ -126,3 +126,61 @@ def test_lm_unit_no_overflow_at_huge_counts(spark):
     ).collect()[0]["unit"]
     assert got == ((c12 + 1) * scale) // (c1 + v)  # exact, ~scale/2
     assert (c12 + 1) * scale > 2**63  # the case BIGINT arithmetic cannot carry
+
+
+def test_dsir_unit_double_parity_at_2p53_boundary(spark):
+    """ROADMAP 1a(e), closing probe (r16): the DSIR unit is a FIXED IEEE
+    double expression tree, so CROSS-ENGINE parity holds even when the
+    intermediate products cross 2^53 — both engines execute the identical
+    rounded operations in the identical order. What degrades past 2^53 is
+    EXACTNESS versus the true rational (pinned below with a concrete
+    witness), deterministically and identically in both engines; a caller
+    needing exact units at such counts lifts the products into the q126
+    DECIMAL(38,0)-div formulation, whose beyond-2^63 parity is pinned in
+    test_decimal_div_parity_beyond_bigint."""
+    from fractions import Fraction
+
+    import duckdb
+
+    scale = 1_000_000_000
+    B = 4096
+    cases = [
+        (2**52 - 1, 2**52 + 1, 2**53 + 4097, 2**53 - 1),   # products straddle 2^53
+        (2**53 - 1, 2**53 - 3, 2**55 + 17, 2**55 + 19),    # far past, still parity
+        (12345, 99999, 10**6 + 3, 10**6 + 7),              # small control
+    ]
+    expr = (
+        "CAST(floor(CAST(({ct} + 1) AS DOUBLE) * CAST(({R} + {B}) AS DOUBLE)"
+        " / (CAST(({cr} + 1) AS DOUBLE) * CAST(({T} + {B}) AS DOUBLE))"
+        " * CAST({scale} AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+    for ct, cr, R, T in cases:
+        q = expr.format(ct=ct, cr=cr, R=R, T=T, B=B, scale=scale)
+        s = spark.sql(f"SELECT {q} AS u").collect()[0]["u"]
+        d = duckdb.sql(f"SELECT {q} AS u").fetchone()[0]
+        assert s == d, (ct, cr, R, T)  # bit-identical across engines
+
+    # The boundary that actually matters is the UNIT's magnitude, not the
+    # raw counts: with counts past 2^53 but a unit near `scale` (~1e9) the
+    # double value is still exactly representable and the unit equals the
+    # true rational (first loop above). Exactness degrades only when
+    # scale·ratio itself passes 2^53 — a target-only hot bucket with a
+    # huge count ratio. Concrete witness (found by search): both engines
+    # agree with EACH OTHER bit-for-bit but sit one off the exact
+    # rational, so the divergence is accuracy, never cross-engine parity.
+    ct, cr, R, T = 10_000_013, 0, 2**31 + 11, 2**31 - 7
+    exact = int(
+        Fraction(ct + 1) * Fraction(R + B) / (Fraction(cr + 1) * Fraction(T + B))
+        * scale
+        + Fraction(1, 2)
+    )
+    # pre-summed literals: DuckDB types bare small ints INT32 and the +B
+    # addition would overflow before the DOUBLE cast
+    q = (
+        f"CAST(floor(CAST({ct + 1} AS DOUBLE) * CAST({R + B} AS DOUBLE)"
+        f" / (CAST({cr + 1} AS DOUBLE) * CAST({T + B} AS DOUBLE))"
+        f" * CAST({scale} AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+    s = spark.sql(f"SELECT {q} AS u").collect()[0]["u"]
+    d = duckdb.sql(f"SELECT {q} AS u").fetchone()[0]
+    assert exact == 10000014083818989 and s == d == exact - 1
