@@ -286,6 +286,13 @@ def main():
 
         return weighted_sample_with_replacement(d, 50, "n_chars", ["doc_id"])
 
+    def _wsample_wor(d):
+        from scraper_db_refine_merge_spark.operators.weighted import (
+            weighted_sample_without_replacement,
+        )
+
+        return weighted_sample_without_replacement(d, 50, "n_chars", ["doc_id"])
+
     def _ranked(e):
         from scraper_db_refine_merge_spark.operators.ranking import with_global_ranks
 
@@ -480,6 +487,14 @@ def main():
             "weighted_sample(k=50)",
             lambda: _wsample(base_docs).count(),
             lambda: _wsample(docs).count(),
+        ),
+        (
+            # r16 WOR sampling: same prefix-sum + probe join, plus the
+            # data-determined round loop — normally ONE round, so growth
+            # must track the with-replacement form, not multiply it
+            "weighted_sample_wor(k=50)",
+            lambda: _wsample_wor(base_docs).count(),
+            lambda: _wsample_wor(docs).count(),
         ),
         (
             # q138 SemDeDup: k scales with the corpus so the per-cell
