@@ -76,6 +76,9 @@ NAMES = [
     # probe join; the cumsum subtree is persisted once)
     "q162_contamination_reindex", "q163_partitioned_merge_manifest",
     "q164_weighted_sample", "q165_weighted_sample_stratified",
+    # r16 addition: weighted WOR (first-k-distinct probe stream — the
+    # selection must be TakeOrderedAndProject, never a global sort)
+    "q166_weighted_sample_without_replacement",
 ]
 
 
