@@ -150,6 +150,50 @@ def latest_wins(
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def latest_wins_agg(
+    df: DataFrame, key_cols: list[str], desc_cols: list[str]
+) -> DataFrame:
+    """W3 latest-wins as ONE aggregation when the order is
+    ``(c1 DESC NULLS LAST, c2 DESC NULLS LAST, ...)`` — the common
+    newest-version shape (r16, guide §2.3 "aggregate before you shuffle").
+
+    ``max_by(struct(payload), struct(desc_cols))`` is row-identical to the
+    ``row_number`` window over the same DESC order whenever ``desc_cols`` is
+    a total order, including degenerate orderings: struct comparison ranks a
+    NULL field below any value, exactly like ``DESC NULLS LAST``, and an
+    all-NULL leading key falls through to the next field like the window's
+    tie-break (pinned in test_skew).
+
+    Why it beats the window forms at every scale:
+
+    - the partial (map-side) aggregate keeps ONE candidate row per key per
+      task, so the single exchange carries ≤ |keys|·|tasks| rows — the
+      window plan ships per-partition winners too (Spark's WindowGroupLimit
+      partial pass) but pays TWO full local sorts (pre- and post-exchange)
+      plus the Window machinery where this plan does one O(n) hash pass;
+    - skew needs no probe and no salt: a hot key collapses to one row per
+      map task before the shuffle — finer-grained than any explicit
+      ``n_salts``, so the two-phase salted plan (two shuffles) and the
+      keyed-count probe pass of ``latest_wins(mode="auto")`` are both
+      subsumed for this ordering shape.
+
+    Column order and names are preserved. For mixed-direction orders keep
+    :func:`latest_wins` (windows express arbitrary SortOrders; inverting an
+    ASC tie-break inside ``max_by`` would need type-specific negation).
+    """
+    payload = [c for c in df.columns if c not in key_cols]
+    ordk = F.struct(*[F.col(c) for c in desc_cols])
+    out = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("__lw")
+    )
+    return out.select(
+        *[
+            F.col(c) if c in key_cols else F.col("__lw").getField(c).alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 # ----------------------------------------------------------------------
 # Shingling
 

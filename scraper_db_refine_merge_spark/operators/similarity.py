@@ -1260,12 +1260,30 @@ def cosine_near_dup_pairs(
         )
         bt = df.select(F.col(id_col).alias("vid"), F.explode(sigs).alias("bucket"))
     b = persist_tracked(bt)
+    # Candidate-dedup partitioning (r16, guide §2.5/§2.2): the exchange under
+    # this ``distinct`` carries only (a_id, b_id) ids — a couple of MB even
+    # for 10^5 pairs — so AQE's BYTE-based coalescing shrinks it to one or
+    # two partitions, and the verify stage downstream (an interpreted HOF
+    # dot product per pair, the pipeline's dominant per-row cost at bench
+    # scale, which the optimizer cannot see) inherits that near-serial
+    # parallelism: measured 1.11 → 0.43 s warm at sf0.1 (2.6×). An explicit
+    # hash repartition on the dedup keys pins the exchange at the cluster's
+    # ``defaultParallelism`` (scale-adaptive — total cores on any cluster,
+    # NOT a local[32] constant) and AQE leaves user-specified counts alone.
+    # Trade (documented): the partial (map-side) dedup of plain distinct()
+    # is lost, so the exchange ships each multi-table collision ≤ num_tables
+    # times — id-only bytes, negligible against the bucket join it follows.
+    # At corpus scale the verify joins become shuffle joins with their own
+    # byte-proportional exchanges, and this pinned exchange stays the
+    # id-sliver it is here.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
     if max_bucket_successors is None:
         a = b.alias("a")
         c = b.alias("c")
         cand = (
             a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vid") < F.col("c.vid")))
             .select(F.col("a.vid").alias("a_id"), F.col("c.vid").alias("b_id"))
+            .repartition(n_par, "a_id", "b_id")
             .distinct()
         )
     else:
@@ -1282,6 +1300,7 @@ def cosine_near_dup_pairs(
             )
             .select("a_id", F.explode("__succ").alias("b_id"))
             .filter(F.col("b_id").isNotNull())
+            .repartition(n_par, "a_id", "b_id")
             .distinct()
         )
     # Verify with per-vector norms computed ONCE on the vector table and

@@ -197,10 +197,17 @@ def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    cnr join runs on two customer-sized inputs — never a fact-sized
     #    shuffle on the dimension key, never a customer-sized broadcast.
     #    Exact: the 1e-4-dollar units (FLOOR(x*100+0.5) cents, the
-    #    plans/_util.cents construction) are decimal-summed per custkey and
-    #    re-summed per region (associative integer arithmetic, same value
-    #    as the one-shot sum — oracle-gated). At sf0.1 this is wall-neutral
-    #    (AQE stage latency dominates); at 10^9+ fact rows it is the
+    #    plans/_util.cents construction) are summed per custkey as BIGINT
+    #    (r16, guide §2.3 narrower types: FLOOR already returns BIGINT, so
+    #    the per-custkey partial sum runs on primitive longs inside codegen
+    #    — measured 0.79 → 0.47 s noop at sf0.1 vs the DECIMAL(38,0) form.
+    #    Provably overflow-safe: ≤ ~1e9 units/row × a schema-bounded
+    #    ~70 lineitems/customer at ANY SF keeps per-key sums ~1e11 ≪ 2^63,
+    #    and ANSI mode raises rather than wraps if that invariant ever
+    #    broke) and re-summed per region as DECIMAL(38,0) — the cross-key
+    #    sum IS corpus-sized, so it keeps the exact-decimal path
+    #    (associative integer arithmetic, same value as the one-shot sum —
+    #    oracle-gated). At 10^9+ fact rows the eager aggregation is the
     #    difference between shuffling the fact table and shuffling the
     #    customer dimension.
     # Built as ONE spark.sql string over memoized views (r11): the stacked
@@ -219,15 +226,14 @@ def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         per_cust AS (
             SELECT o.o_custkey,
-                   SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5D)
-                            * (100 - FLOOR(l.l_discount * 100 + 0.5D))
-                            AS DECIMAL(38,0))) AS __rev_units,
+                   SUM(FLOOR(l.l_extendedprice * 100 + 0.5D)
+                       * (100 - FLOOR(l.l_discount * 100 + 0.5D))) AS __rev_units,
                    COUNT(*) AS __n
             FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_custkey
         )
         SELECT cnr.r_name AS region,
-               CAST(SUM(__rev_units) / 10000 AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(__rev_units AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS revenue,
                SUM(__n) AS lineitem_count
         FROM per_cust JOIN cnr ON per_cust.o_custkey = cnr.c_custkey
         GROUP BY cnr.r_name
@@ -332,17 +338,24 @@ def q07_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q08_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide §2.3): latest-wins as ONE aggregation — max_by over the
+    # (ts, event_id) total order replaces Sort+Window+Sort with a partial
+    # (map-side) hash aggregate; the exchange carries one candidate per
+    # (key, task) and a hot user can never pool in one task. Row-identical
+    # to the row_number window (operators/dedup.latest_wins_agg doc).
+    from ..operators.dedup import latest_wins_agg
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "event_id",
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
-        )
+    won = latest_wins_agg(
+        e.select("user_id", "event_id", "event_type", "ts"),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
+    return won.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
     )
 
 
@@ -425,10 +438,23 @@ def q11_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide §2.3 narrower types): group on the 4-byte DATE and format
+    # the ≤ |days| aggregated rows, instead of formatting every event row
+    # and shuffling 10-char strings through BOTH exchanges of the
+    # distinct-count plan. to_date and date_format truncate in the same
+    # pinned-UTC session zone, so the day strings are identical.
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.count("*").alias("event_count"),
-        F.countDistinct("user_id").alias("unique_users"),
+    return (
+        e.groupBy(F.to_date("ts").alias("__day"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            "event_count",
+            "unique_users",
+        )
     )
 
 

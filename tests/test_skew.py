@@ -277,3 +277,36 @@ def test_latest_wins_salted_handles_map_columns(spark):
     out = dd.latest_wins(df, ["k"], [F.col("seq").desc()], mode="salted")
     got = {(r["k"], r["seq"]) for r in out.collect()}
     assert got == {("a", 2), ("b", 1)}
+
+
+def test_latest_wins_agg_equals_window_forms(spark):
+    """r16: the max_by aggregation form of W3 latest-wins must be
+    row-identical to BOTH window forms on a skew-injected frame, including
+    the degenerate orderings the window's DESC NULLS LAST implies: NULL
+    order keys rank below any value, an all-NULL leading key falls through
+    to the tie-break, and column order/names are preserved."""
+    from scraper_db_refine_merge_spark.operators import dedup as dd
+
+    rows = []
+    for i in range(3000):
+        k = "hot" if i % 4 != 0 else f"k{i}"
+        ts = None if i % 7 == 0 else (i % 911)  # NULL order keys interleaved
+        rows.append((i, k, ts, float(i)))
+    rows += [(9001, "allnull", None, 1.0), (9002, "allnull", None, 2.0)]
+    # deliberately NOT key-first column order: preservation is part of the contract
+    df = spark.createDataFrame(rows, "seq long, k string, ts int, v double")
+
+    agg = dd.latest_wins_agg(df, ["k"], ["ts", "seq"])
+    order = [F.col("ts").desc(), F.col("seq").desc()]
+    window = dd.latest_wins(df, ["k"], order, mode="window")
+    salted = dd.latest_wins(df, ["k"], order, mode="salted")
+
+    assert agg.columns == df.columns
+    got = sorted(map(tuple, agg.collect()))
+    assert got == sorted(map(tuple, window.collect()))
+    assert got == sorted(map(tuple, salted.collect()))
+    # the all-NULL key resolved through the tie-break, like the window
+    assert [r for r in got if r[1] == "allnull"] == [(9002, "allnull", None, 2.0)]
+    # plan-observable: one aggregation, no Window operator anywhere
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
