@@ -463,9 +463,14 @@ def q118_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q119_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import session_paths_two_phase
 
+    # r16 (guide §2.3 narrower types): the day is an INTERNAL grouping key —
+    # never output — so group on the 4-byte DATE instead of a 10-char
+    # string; to_date truncates in the same pinned-UTC session zone, and
+    # the string ~26-byte UTF8String rode EVERY event row through the
+    # sessionization shuffle.
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.to_date("ts").alias("day"),
         "event_id",
         "event_type",
         "ts",
