@@ -44,6 +44,35 @@ _SEED2 = -1640531527
 DEFAULT_NUM_BITS = 1 << 23  # 8 Mi bits = 128 KiB broadcast; ~1% fp at 1M keys
 DEFAULT_NUM_HASHES = 5
 
+# "auto" sizing bounds: floor keeps tiny batches from degenerate filters,
+# the cap bounds the broadcast at 2^26 bits = 8 MiB of words (past ~4M keys
+# the fp tail grows gracefully — false positives only route extra rows
+# through the anti-join, never change results).
+_AUTO_MIN_BITS = 1 << 16
+_AUTO_MAX_BITS = 1 << 26
+_AUTO_BITS_PER_KEY = 16  # ~0.1% fp at k=5
+
+
+def resolve_num_bits(batch: DataFrame, num_bits: int | str) -> int:
+    """Resolve ``num_bits="auto"`` to a power of two ≈ 16 bits per batch key
+    (r16, guide §2.3/§3.2): the filter scales WITH the batch instead of a
+    constant tuned for 1M keys — a 500-key decontamination list gets a 2^16
+    filter (trivial assembly/broadcast), a 4M-key merge batch gets 2^26.
+    One count job per batch frame (memoized per DataFrame object via
+    corpus_count; count() prunes the key projection to a narrow scan).
+    Exactness does not depend on the size — any value yields identical
+    query results — so the data-determined size is deterministic and safe
+    under retries."""
+    if num_bits == "auto":
+        from .similarity import corpus_count
+
+        n = max(corpus_count(batch), 1)
+        bits = _AUTO_MIN_BITS
+        while bits < n * _AUTO_BITS_PER_KEY and bits < _AUTO_MAX_BITS:
+            bits <<= 1
+        return bits
+    return int(num_bits)
+
 
 def _lanes(key_cols: list[str], num_bits: int) -> tuple[Column, Column]:
     """(h1, step) both already reduced into [0, num_bits): overflow-free."""
@@ -74,7 +103,7 @@ def _bit_val(pos: Column) -> Column:
 def bloom_build(
     batch: DataFrame,
     key_cols: list[str],
-    num_bits: int = DEFAULT_NUM_BITS,
+    num_bits: int | str = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """Aggregate the batch's keys into a 1-row DataFrame with column
@@ -83,6 +112,7 @@ def bloom_build(
     Distributed end-to-end: partial ``bit_or`` combines map-side, the final
     assembly handles at most ``num_bits/64`` tiny rows. No driver bitmap.
     """
+    num_bits = resolve_num_bits(batch, num_bits)
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
     nwords = num_bits // 64
@@ -99,12 +129,24 @@ def bloom_build(
         .groupBy("w")
         .agg(F.bit_or("b").alias("b"))
     )
-    return word_bits.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "b"))).alias("__bf_map")
-    ).select(
+    # Dense assembly via range LEFT JOIN + one sorted collect (r16, guide
+    # §1.2 per-task work): the previous map_from_entries +
+    # transform(sequence(nwords), i -> try_element_at(map, i)) form did an
+    # O(set-bits) LINEAR map scan per element (ArrayBasedMapData lookup is
+    # not hashed), i.e. O(nwords x set-bits) in ONE task — measured 2.34 s
+    # of q82's 3.0 s at the 2^23-bit default with only ~500 keys. The join
+    # form is O(nwords log nwords): nwords tiny (w, bits) rows through one
+    # exchange, one single-task sorted gather (the unavoidable minimum for
+    # a 1-row array), and it scales with filter size, not filter x keys.
+    # array_sort on (w, b) structs orders by the unique w; b is never NULL
+    # (bit_or of non-null bits), so missing words coalesce to 0 exactly as
+    # before. Bit-identical filter words.
+    idx = batch.sparkSession.range(nwords).select(F.col("id").cast("int").alias("w"))
+    dense = idx.join(word_bits, "w", "left")
+    return dense.groupBy().agg(
         F.transform(
-            F.sequence(F.lit(0), F.lit(nwords - 1)),
-            lambda i: F.coalesce(F.try_element_at("__bf_map", i), F.lit(0).cast("long")),
+            F.array_sort(F.collect_list(F.struct("w", "b"))),
+            lambda e: F.coalesce(e["b"], F.lit(0).cast("long")),
         ).alias("__bf_words")
     )
 
@@ -135,7 +177,7 @@ def pruned_left_anti(
     target: DataFrame,
     batch: DataFrame,
     key_cols: list[str],
-    num_bits: int = DEFAULT_NUM_BITS,
+    num_bits: int | str = "auto",
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
     """``target LEFT ANTI JOIN batch USING key_cols`` with Bloom pruning.
@@ -145,7 +187,11 @@ def pruned_left_anti(
     (matches + fp tail) are anti-joined, so false positives are corrected,
     and false negatives cannot occur. NULL-keyed target rows survive either
     branch, matching anti-join's null-unsafe equality.
+
+    ``num_bits`` defaults to ``"auto"`` (r16): sized from the batch's key
+    count (resolve_num_bits) so build/probe use one consistent size.
     """
+    num_bits = resolve_num_bits(batch, num_bits)
     bf = bloom_build(batch, key_cols, num_bits, num_hashes)
     tagged = target.crossJoin(F.broadcast(bf)).withColumn(
         "__bf_maybe",

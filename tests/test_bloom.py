@@ -106,3 +106,27 @@ def test_partitioned_merge_bloom_prefilter_identical_result(spark, tmp_path):
         merge_upsert_partitioned(spark, path, batch, ["event_id"], "day", prefilter=pf)
     cols = ["event_id", "day", "v"]
     assert _rows(spark.read.parquet(bloom_t), cols) == _rows(spark.read.parquet(plain_t), cols)
+
+
+def test_auto_num_bits_scales_with_batch_and_stays_exact(spark):
+    """r16: num_bits="auto" sizes the filter from the batch count (floor
+    2^16, ~16 bits/key, power of two) and the auto-sized pruned anti-join
+    stays row-identical to the plain anti-join."""
+    from scraper_db_refine_merge_spark.operators.bloom import (
+        _AUTO_MAX_BITS,
+        _AUTO_MIN_BITS,
+        resolve_num_bits,
+    )
+
+    small = spark.range(100).select(F.col("id").alias("k"))
+    big = spark.range(50_000).select(F.col("id").alias("k"))
+    assert resolve_num_bits(small, "auto") == _AUTO_MIN_BITS
+    nb = resolve_num_bits(big, "auto")
+    assert nb >= 50_000 * 16 and nb & (nb - 1) == 0 and nb <= _AUTO_MAX_BITS
+    assert resolve_num_bits(small, 1 << 20) == 1 << 20  # explicit passthrough
+
+    target = spark.range(2_000).select(F.col("id").alias("k"))
+    batch = spark.range(0, 2_000, 3).select(F.col("id").alias("k"))
+    got = pruned_left_anti(target, batch, ["k"])  # default num_bits="auto"
+    want = target.join(batch, ["k"], "left_anti")
+    assert _rows(got, ["k"]) == _rows(want, ["k"])
