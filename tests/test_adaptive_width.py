@@ -522,3 +522,27 @@ def test_contamination_legacy_store_completeness_inferred_from_manifest(spark, t
     os.remove(os.path.join(store_version_dir(root2), "_contamination_texts_complete"))
     assert dd._contamination_texts_complete(root2) is True
     dd.reindex_contamination_k(spark, root2, 7)  # allowed
+
+
+def test_capped_shingles_equal_freq_join_reference(spark):
+    """r16: the hot-set ANTI-join form of max_shingle_freq must keep
+    exactly the shingles whose corpus frequency is <= cap (row-identical
+    to the replaced inner-join-with-freq-table form)."""
+    from pyspark.sql import functions as F
+
+    from scraper_db_refine_merge_spark.operators import dedup as dd
+
+    docs = _docs(
+        spark,
+        [(i, "common words shared by every doc " + f"unique tail {i} {i+1} {i+2} {i+3} {i+4}")
+         for i in range(20)],
+    )
+    cap = 5
+    got = dd.word_shingles(docs, "doc_id", "text", 5, cap)
+    full = dd.word_shingles(docs, "doc_id", "text", 5)
+    freq = full.groupBy("shingle").agg(F.count("*").alias("__f"))
+    want = full.join(freq.filter(F.col("__f") <= cap), "shingle").select("doc", "shingle")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the hot shingle really was dropped
+    hot = freq.filter(F.col("__f") > cap).count()
+    assert hot > 0
