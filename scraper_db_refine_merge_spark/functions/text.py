@@ -47,13 +47,17 @@ def text_search_relevance(blob: Column, terms: list[str]) -> tuple[Column, Colum
 
     relevance is integral; cast keeps it a long for engine-stable output.
     """
-    counts = [term_count(blob, t) for t in terms]
+    # r16 (guide §1.2 per-task work): the boolean is `contains`, not
+    # `term_count > 0` — replace-based counting ALLOCATES the replaced
+    # string per row per term, and the Filter evaluates the predicate on
+    # EVERY row while only survivors need the counts (which stay in the
+    # Project). contains(blob, t) ⟺ term_count(blob, t) > 0, same rows.
     matches_all = None
-    for c in counts:
-        cond = c > 0
+    for t in terms:
+        cond = F.contains(blob, F.lit(t.lower()))
         matches_all = cond if matches_all is None else (matches_all & cond)
     relevance = None
-    for c in counts:
+    for c in (term_count(blob, t) for t in terms):
         relevance = c if relevance is None else relevance + c
     return matches_all, relevance.cast("long")
 
