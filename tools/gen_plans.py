@@ -98,6 +98,33 @@ def main() -> None:
         "\nexpected BroadcastNestedLoop/Cartesian sites."
     )
     print(
+        "\nRound-16 notes (optimization round; ROADMAP 16a-16h,"
+        "\nOPTIMIZATION_r16.md for measurements):"
+        "\n- q08/q125: W3 latest-wins is ONE max_by AGGREGATION"
+        "\n  (partial SortAggregate -> Exchange -> SortAggregate; the"
+        "\n  Window/WindowGroupLimit and the q125 two-phase salt are"
+        "\n  gone — 4 Exchanges -> 2). Row-identity with both window"
+        "\n  forms pinned in test_skew."
+        "\n- q12/q119: internal day grouping keys are 4-byte DATEs;"
+        "\n  date_format runs on aggregated rows only."
+        "\n- q04: per-custkey partial sum on primitive BIGINT, exact"
+        "\n  DECIMAL(38,0) kept for the cross-key re-sum."
+        "\n- q55/q160: candidate-dedup exchange repartitioned at"
+        "\n  defaultParallelism so the HOF verify stage inherits full"
+        "\n  parallelism (AQE byte-coalescing shrank it to 1-2 tasks)."
+        "\n- q21: Filter predicate is Contains (allocation-free);"
+        "\n  replace-based counts only in the Project."
+        "\n- q82/merge: bloom dense assembly is a range-join gather"
+        "\n  (2 extra tiny Exchanges replace an O(nwords x set-bits)"
+        "\n  single-task transform); num_bits sizes from the batch."
+        "\n- q105/capped minhash: the shingle cap anti-joins the HOT"
+        "\n  set (AQE-broadcastable) instead of inner-joining the full"
+        "\n  freq table."
+        "\n- q166 (added pre-interrupt this round): weighted sampling"
+        "\n  WITHOUT replacement — TakeOrderedAndProject selection,"
+        "\n  broadcast probe sides, same prefix-sum skeleton as q164."
+    )
+    print(
         "\nRound-15 notes (see ROADMAP 15a-15k):"
         "\n- every reference .strip() mirror now uses the FULL Python"
         "\n  whitespace class (strings.python_strip / PY_WS_RE2 — \\x85 was"
