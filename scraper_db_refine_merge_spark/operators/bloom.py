@@ -53,33 +53,63 @@ _AUTO_MAX_BITS = 1 << 26
 _AUTO_BITS_PER_KEY = 16  # ~0.1% fp at k=5
 
 
-def resolve_num_bits(batch: DataFrame, num_bits: int | str) -> int:
+# resolve_num_bits memo, keyed on the batch's ANALYZED-PLAN semantic hash
+# (ADVICE r16): merge_upsert builds a fresh ``deduped.select(*key_cols)``
+# object per call, so a per-DataFrame-object memo (corpus_count) always
+# missed and the batch lineage ran an extra count job per merge. Semantic
+# hashing matches identical lineage across fresh objects. A (rare) 32-bit
+# hash collision would only reuse a wrong SIZE — filter exactness never
+# depends on num_bits (false positives are corrected by the anti-join),
+# so this memo is collision-safe in a way a result-affecting memo
+# (adaptive_band_size etc.) would not be. Session-lived ints, a few bytes
+# per distinct batch lineage.
+_BITS_MEMO: dict[int, int] = {}
+
+
+def resolve_num_bits(
+    batch: DataFrame, num_bits: int | str, batch_count: int | None = None
+) -> int:
     """Resolve ``num_bits="auto"`` to a power of two ≈ 16 bits per batch key
     (r16, guide §2.3/§3.2): the filter scales WITH the batch instead of a
     constant tuned for 1M keys — a 500-key decontamination list gets a 2^16
     filter (trivial assembly/broadcast), a 4M-key merge batch gets 2^26.
-    One count job per batch frame (memoized per DataFrame object via
-    corpus_count; count() prunes the key projection to a narrow scan).
-    Exactness does not depend on the size — any value yields identical
-    query results — so the data-determined size is deterministic and safe
-    under retries."""
-    if num_bits == "auto":
-        from .similarity import corpus_count
+    One count job per distinct batch lineage (semantic-hash memo above);
+    callers that already know the batch size pass ``batch_count`` and no
+    job runs. Exactness does not depend on the size — any value yields
+    identical query results — so the data-determined size is deterministic
+    and safe under retries."""
+    if num_bits != "auto":
+        return int(num_bits)
 
-        n = max(corpus_count(batch), 1)
+    def _bits_for(n: int) -> int:
         bits = _AUTO_MIN_BITS
         while bits < n * _AUTO_BITS_PER_KEY and bits < _AUTO_MAX_BITS:
             bits <<= 1
         return bits
-    return int(num_bits)
+
+    if batch_count is not None:
+        return _bits_for(max(int(batch_count), 1))
+    try:
+        key = batch._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _BITS_MEMO:
+        return _BITS_MEMO[key]
+    bits = _bits_for(max(batch.count(), 1))
+    if key is not None:
+        _BITS_MEMO[key] = bits
+    return bits
 
 
-def _lanes(key_cols: list[str], num_bits: int) -> tuple[Column, Column]:
-    """(h1, step) both already reduced into [0, num_bits): overflow-free."""
+def _lanes(key_cols: list[str], num_bits: int | Column) -> tuple[Column, Column]:
+    """(h1, step) both already reduced into [0, num_bits): overflow-free.
+    ``num_bits`` may be a Column (the probe-side size derived from the
+    broadcast words array) — identical arithmetic either way."""
     cols = [F.col(c) for c in key_cols]
-    h1 = F.pmod(F.xxhash64(*cols), F.lit(num_bits))
+    nb = F.lit(num_bits) if isinstance(num_bits, int) else num_bits
+    h1 = F.pmod(F.xxhash64(*cols), nb)
     # step in [1, num_bits-1] so successive probes always move
-    step = F.pmod(F.xxhash64(F.lit(_SEED2), *cols), F.lit(num_bits - 1)) + F.lit(1)
+    step = F.pmod(F.xxhash64(F.lit(_SEED2), *cols), nb - F.lit(1)) + F.lit(1)
     return h1, step
 
 
@@ -154,18 +184,26 @@ def bloom_build(
 def bloom_might_contain(
     key_cols: list[str],
     words: Column,
-    num_bits: int = DEFAULT_NUM_BITS,
+    num_bits: int | None = None,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> Column:
     """Boolean probe: False ⇒ the key is definitely not in the built batch.
 
     Never NULL (NULL key components hash like the build side hashes them),
     so it is safe under ``filter`` on both the positive and negated branch.
+
+    ``num_bits=None`` (ADVICE r16): derive the size from the words array
+    itself (``size(words) * 64``) so a standalone probe can never silently
+    use a size different from the build side's — a mismatch produces FALSE
+    NEGATIVES (out-of-range words coalesce to 0). Callers that resolved the
+    size (pruned_left_anti) pass the int; the expressions are identical.
     """
-    h1, step = _lanes(key_cols, num_bits)
+    nb: int | Column = F.size(words).cast("long") * F.lit(64) if num_bits is None else num_bits
+    h1, step = _lanes(key_cols, nb)
+    nb_col = F.lit(nb) if isinstance(nb, int) else nb
     cond = F.lit(True)
     for i in range(num_hashes):
-        pos = F.pmod(h1 + F.lit(i) * step, F.lit(num_bits))
+        pos = F.pmod(h1 + F.lit(i) * step, nb_col)
         word = F.coalesce(
             F.try_element_at(words, _word_ix(pos) + F.lit(1)), F.lit(0).cast("long")
         )
@@ -179,6 +217,7 @@ def pruned_left_anti(
     key_cols: list[str],
     num_bits: int | str = "auto",
     num_hashes: int = DEFAULT_NUM_HASHES,
+    batch_count: int | None = None,
 ) -> DataFrame:
     """``target LEFT ANTI JOIN batch USING key_cols`` with Bloom pruning.
 
@@ -190,8 +229,10 @@ def pruned_left_anti(
 
     ``num_bits`` defaults to ``"auto"`` (r16): sized from the batch's key
     count (resolve_num_bits) so build/probe use one consistent size.
+    ``batch_count`` lets a caller that already knows the batch size skip
+    the sizing count job entirely (ADVICE r16).
     """
-    num_bits = resolve_num_bits(batch, num_bits)
+    num_bits = resolve_num_bits(batch, num_bits, batch_count)
     bf = bloom_build(batch, key_cols, num_bits, num_hashes)
     tagged = target.crossJoin(F.broadcast(bf)).withColumn(
         "__bf_maybe",

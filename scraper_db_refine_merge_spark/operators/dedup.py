@@ -50,6 +50,48 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_SPREAD_MEMO: "WeakKeyDictionary[DataFrame, int]" = WeakKeyDictionary()
+
+
+def spread_degenerate_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Guide §2.5 input-skew remedy, scale-gated: hash-repartition ``df`` on
+    ``key_col`` to ``defaultParallelism`` ONLY when its physical scan is
+    degenerate (fewer partitions than a quarter of the cluster's cores).
+
+    Motivation: the heavy text operators downstream (shingle explode ≈ 300
+    output rows/doc, md5 per shingle) multiply per-input-row work by orders
+    of magnitude, so a single-row-group parquet file — 1 scan task — floors
+    the whole pipeline at single-core speed while 31 cores idle. Measured at
+    sf0.1: shingle noop 0.51 → 0.26 s, q105 warm 2.7 → 1.5 s.
+
+    Scale-adaptive by construction: at 100 TB inputs arrive as many
+    splittable files, the partition count exceeds the gate, and this is a
+    no-op — so the corpus text payload is never shuffled at scale (the
+    repartition only ever fires on degenerate inputs, where the payload is
+    by definition one task's worth of bytes). Hash partitioning on the
+    unique id is deterministic under retries (guide §2.5: no round-robin,
+    no rand()). Row set unchanged — partitioning only.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) costs one
+    driver-side plan conversion; memoized per DataFrame object so repeated
+    operator calls over the same frame (q25 builds shingles twice) pay it
+    once. Streaming frames have no RDD — returned unchanged.
+    """
+    if df.isStreaming:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    nparts = _SPREAD_MEMO.get(df)
+    if nparts is None:
+        try:
+            nparts = df.rdd.getNumPartitions()
+        except Exception:
+            nparts = n  # unknown → leave the frame alone
+        _SPREAD_MEMO[df] = nparts
+    if nparts < max(2, n // 4):
+        return df.repartition(n, F.col(key_col))
+    return df
+
+
 _LW_SKEW_MEMO: "WeakKeyDictionary[DataFrame, dict]" = WeakKeyDictionary()
 
 
@@ -219,6 +261,9 @@ def word_shingles(
     Catalyst expressions. Constant cost, but the per-query bench pays it on
     every invocation.
     """
+    # Degenerate-scan spread (r17, guide §2.5): a single-row-group input
+    # would serialize the explode's ~300× row multiplication on one core.
+    df = spread_degenerate_scan(df, id_col)
     # Materialize the token array in its own projection FIRST: inlining the
     # split() into the explode generator makes Spark re-evaluate it per output
     # row (~5x slower, measured at sf0.1).
@@ -247,17 +292,31 @@ def word_shingles(
         # against just the hot set lets AQE broadcast it (no forced hint —
         # the hot-set size is data-dependent), so the capped frame stays a
         # NARROW map over the shingle generator and the only shuffle left
-        # is the freq aggregation itself, shared across the plan's
-        # consumers via broadcast-exchange reuse. Row-identical: every out
-        # shingle has a freq row, and freq ≤ cap ⟺ not in the hot set.
-        # Measured q105 2.49 → 1.26 s warm at sf0.1 (plan: 3 shingle-keyed
-        # Exchanges of the full set → 1 freq Exchange + broadcast).
+        # is the freq aggregation itself. Row-identical: every out shingle
+        # has a freq row, and freq ≤ cap ⟺ not in the hot set. Shingles are
+        # never NULL by construction (array_join over non-null token
+        # arrays; NULL text yields zero explode rows), so the anti-join's
+        # null-keep semantics can't diverge from the old null-dropping
+        # inner join (ADVICE r16).
         hot = (
             out.groupBy("shingle")
             .agg(F.count("*").alias("__f"))
             .filter(F.col("__f") > max_shingle_freq)
             .select("shingle")
         )
+        # r17 (VERDICT r16 item 1, guide §5): every consumer of the capped
+        # frame used to re-plan this freq subtree — q105's pair join plans
+        # it 4× (both join sides + both size lookups), re-running the
+        # corpus-wide frequency aggregation each time. Persisting the HOT
+        # set (tiny: stop-shingles only) runs the freq aggregation ONCE
+        # and each consumer rebuilds only a broadcast of the cached rows.
+        # Persisting the capped (doc, shingle) frame itself was measured
+        # SLOWER (r16 and again r17: corpus-sized cache materialization >
+        # the narrow scan→explode recompute it saves). Batch-only: a
+        # streaming frame cannot persist (and the groupBy build side is
+        # already batch-only in every capped caller).
+        if not out.isStreaming:
+            hot = persist_tracked(hot)
         out = out.join(hot, "shingle", "anti").select("doc", "shingle")
     return out
 
@@ -746,8 +805,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     # ~8 py4j round-trips each plus the 60-term fingerprint chain were
     # ~2.5 s of pure driver-side construction per build (the q25/q53 cost
     # class); identical Catalyst expressions, one JVM parse per string.
+    # Degenerate-scan spread (r17, guide §2.5): same rationale as
+    # word_shingles — the token explode multiplies rows ~300× and feeds a
+    # 60-lane aggregation; a single-row-group scan serializes all of it.
     toks = (
-        df.select(
+        spread_degenerate_scan(df, id_col)
+        .select(
             F.col(id_col).alias("doc"),
             F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
         )

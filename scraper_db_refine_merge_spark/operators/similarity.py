@@ -1275,7 +1275,14 @@ def cosine_near_dup_pairs(
     # times — id-only bytes, negligible against the bucket join it follows.
     # At corpus scale the verify joins become shuffle joins with their own
     # byte-proportional exchanges, and this pinned exchange stays the
-    # id-sliver it is here.
+    # id-sliver it is here. The ADVICE-r16 alternative — distinct() BEFORE
+    # the repartition to restore the partial dedup — was measured in r17
+    # and REJECTED: EnsureRequirements elides the user repartition into the
+    # dedup's own ENSURE_REQUIREMENTS exchange (same keys, same count), AQE
+    # byte-coalesces it back to 1-2 partitions, the verify stage
+    # re-serializes, and q55 regresses 0.66 → 1.39 s min-of-7 — exactly the
+    # r16 bug this repartition exists to fix. A collision-count gate stays
+    # the corpus-scale escape hatch if exchange growth ever shows up there.
     n_par = df.sparkSession.sparkContext.defaultParallelism
     if max_bucket_successors is None:
         a = b.alias("a")

@@ -130,3 +130,40 @@ def test_auto_num_bits_scales_with_batch_and_stays_exact(spark):
     got = pruned_left_anti(target, batch, ["k"])  # default num_bits="auto"
     want = target.join(batch, ["k"], "left_anti")
     assert _rows(got, ["k"]) == _rows(want, ["k"])
+
+
+def test_probe_derives_size_from_words_when_not_given(spark):
+    """ADVICE r16: a standalone probe without an explicit num_bits derives
+    the size from the broadcast words array (size*64), so it can never
+    silently probe an auto-built filter at the wrong size (which produces
+    false negatives). Zero false negatives at a non-default build size."""
+    keys = spark.range(500).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    bf = bloom_build(keys, ["k"], 1 << 16, HASHES)  # != DEFAULT_NUM_BITS
+    probed = keys.crossJoin(F.broadcast(bf)).select(
+        bloom_might_contain(["k"], F.col("__bf_words"), num_hashes=HASHES).alias("hit")
+    )
+    assert probed.filter(~F.col("hit")).count() == 0
+    # derived-size probe is expression-identical to the explicit-size probe
+    explicit = keys.crossJoin(F.broadcast(bf)).select(
+        bloom_might_contain(["k"], F.col("__bf_words"), 1 << 16, HASHES).alias("hit")
+    )
+    assert probed.exceptAll(explicit).count() == 0
+
+
+def test_resolve_num_bits_memo_and_batch_count(spark):
+    """ADVICE r16: identical batch LINEAGE resolves without a second count
+    job (semantic-hash memo — fresh select() objects per call, as
+    merge_upsert builds them), and a caller-supplied batch_count skips the
+    count entirely."""
+    from scraper_db_refine_merge_spark.operators.bloom import (
+        _AUTO_MIN_BITS,
+        resolve_num_bits,
+    )
+
+    base = spark.range(70_000).select(F.col("id").alias("k"))
+    a = resolve_num_bits(base.select("k"), "auto")
+    # fresh, semantically identical frame: must hit the memo (same size)
+    b = resolve_num_bits(base.select("k"), "auto")
+    assert a == b
+    # supplied count: no job, sized from the argument
+    assert resolve_num_bits(base.select("k"), "auto", batch_count=10) == _AUTO_MIN_BITS
