@@ -68,7 +68,11 @@ def connected_components(
     labels = _materialize(nodes.select("node", F.col("node").alias("label")))
 
     for i in range(max_iter):
-        # hop: pull the minimum label across neighbors
+        # hop: pull the minimum label across neighbors. The round's INPUT
+        # label rides along as __label0 so the convergence check below is
+        # a filter-count over the round's already-materialized output —
+        # the previous form joined new_labels back to labels on node, one
+        # extra node-keyed shuffle join per round (r17, guide §2.4).
         nbr_min = (
             sym.join(labels.select(F.col("node").alias("d"), F.col("label").alias("nl")), "d")
             .groupBy("s")
@@ -79,6 +83,7 @@ def connected_components(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("__label0"),
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
             )
         )
@@ -90,7 +95,11 @@ def connected_components(
                 "label",
                 "left",
             )
-            .select(F.col("h.node").alias("node"), F.least(F.col("label"), F.coalesce("ll", F.col("label"))).alias("label"))
+            .select(
+                F.col("h.node").alias("node"),
+                F.col("h.__label0").alias("__label0"),
+                F.least(F.col("label"), F.coalesce("ll", F.col("label"))).alias("label"),
+            )
         )
         new_labels = _materialize(jumped)
         if i == 0 and max_iter > 1:
@@ -102,15 +111,10 @@ def connected_components(
             # (self-loops only) just pays one extra round before round
             # 2's check returns. max_iter=1 keeps the check (r13 review:
             # skipping it made a one-round convergence raise).
-            labels = new_labels
+            labels = new_labels.select("node", "label")
             continue
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__label0")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

@@ -98,12 +98,17 @@ def stream_ingest(
                 )
                 metrics.write.mode("append").parquet(metrics_path)
             return
+        # r17 (guide §1.2): MergeStats cost real jobs per micro-batch
+        # (_overlap_stats counts over target AND the full refine lineage)
+        # and were discarded whenever no metrics sink was configured —
+        # only collect them when the ST5 metrics emission consumes them.
         stats = merge_upsert(
             spark,
             target_path,
             refined,
             key_cols=["event_id"],
             order_cols=[F.col("scraping_metadata.last_scraped").desc(), F.col("event_id")],
+            collect_stats=metrics_path is not None,
         )
         if metrics_path and stats:
             # ST5 — run-level metrics emission (ventura_crawler.py:289-300)
