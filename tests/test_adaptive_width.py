@@ -74,6 +74,7 @@ def test_adaptive_band_size_ladder():
 # >8-lane MinHash signatures (the material wider adaptive bands draw on)
 
 
+@pytest.mark.slow
 def test_minhash_signature_lanes_beyond_md5(spark):
     """Lane j >= 8 slices md5(shingle || '#<j//8>'): hand-compute every
     lane min in Python over the same shingle set and compare."""
@@ -102,6 +103,7 @@ def test_minhash_signature_lanes_beyond_md5(spark):
             assert got[doc][j] == lane, (doc, j)
 
 
+@pytest.mark.slow
 def test_minhash_wide_bands_verify_true_jaccard(spark, sf_dir):
     """band_size=3 (num_hashes=12, the >2^28 regime forced explicitly):
     the pipeline still emits only verified pairs — every output pair is in
@@ -125,6 +127,7 @@ def test_minhash_wide_bands_verify_true_jaccard(spark, sf_dir):
 # auto-mode end-to-end
 
 
+@pytest.mark.slow
 def test_minhash_auto_band_matches_explicit(spark, sf_dir):
     """Below 2^28 docs auto resolves to band_size=2 — byte-identical to
     the explicit default (this is the q159 oracle-domain argument)."""
@@ -140,6 +143,7 @@ def test_minhash_auto_band_matches_explicit(spark, sf_dir):
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
 
 
+@pytest.mark.slow
 def test_cosine_auto_planes_resolution_and_verify(spark, sf_dir):
     """Auto width: resolves via the memoized count (500 → p=6, stride 24),
     emits only verified pairs (⊆ brute force), and is deterministic."""
@@ -203,6 +207,7 @@ _BASE = "the quick brown fox jumps over the lazy dog near the riverbank today"
 _NEAR = "the quick brown fox jumps over the lazy dog near the riverbank tonight"
 
 
+@pytest.mark.slow
 def test_fold_auto_freezes_width_and_reindex_widens(spark, tmp_path):
     from scraper_db_refine_merge_spark.streaming.store import (
         store_marker,
@@ -244,6 +249,7 @@ def test_fold_auto_freezes_width_and_reindex_widens(spark, tmp_path):
     assert (1, 4) in got and (3, 4) in got
 
 
+@pytest.mark.slow
 def test_fold_auto_widen_triggers_from_ladder(spark, tmp_path, monkeypatch):
     from scraper_db_refine_merge_spark.streaming.store import store_marker, store_read_part
 
@@ -268,6 +274,7 @@ def test_fold_auto_widen_triggers_from_ladder(spark, tmp_path, monkeypatch):
     assert {(a, b) for (a, b, *_r) in map(tuple, out.collect())} >= {(1, 2), (1, 3)}
 
 
+@pytest.mark.slow
 def test_reindex_dedups_reingested_shingles(spark, tmp_path):
     """ADVICE r14: a doc re-ingested across folds stores its (doc, shingle)
     rows twice; reindex must count DISTINCT shingles or the rebuilt
@@ -318,6 +325,7 @@ def test_contamination_k_freezes_and_mismatch_raises(spark, tmp_path):
         dd.contamination_scan(spark, root, corpus, k=7)
 
 
+@pytest.mark.slow
 def test_contamination_reindex_rebuilds_blocklist_at_wider_k(spark, tmp_path):
     from scraper_db_refine_merge_spark.streaming.store import (
         store_marker,
@@ -496,6 +504,7 @@ def test_contamination_default_k_adopts_frozen_after_auto_widen(spark, tmp_path,
     assert store_marker(root, "_contamination_k") == "6"
 
 
+@pytest.mark.slow
 def test_contamination_legacy_store_completeness_inferred_from_manifest(spark, tmp_path):
     """Pre-marker stores (folded before r16) carry no completeness marker;
     completeness is inferred from the live manifest part counts — a texts

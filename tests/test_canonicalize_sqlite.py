@@ -30,6 +30,7 @@ RAW_SCHEMA = (
 )
 
 
+@pytest.mark.slow
 def test_canonicalize_cross_source(spark):
     # same real-world event scraped from two platforms (different urls,
     # whitespace/case variance), plus an unrelated event
@@ -120,6 +121,7 @@ def sqlite_db(tmp_path):
     return path
 
 
+@pytest.mark.slow
 def test_sqlite_bronze_to_refine(spark, sqlite_db):
     bronze = read_sqlite_local(spark, sqlite_db)
     # ETL filter: success=1 AND event_data IS NOT NULL → only h1

@@ -11,6 +11,7 @@ corpus + a hypothesis sweep over rendered calendar dates.
 
 from __future__ import annotations
 
+import pytest
 import os
 import sys
 from datetime import date
@@ -61,6 +62,7 @@ _RENDERS = [
 @given(
     st.dates(min_value=date(1990, 1, 1), max_value=date(2035, 12, 28)),
 )
+@pytest.mark.slow
 def test_hypothesis_rendered_dates_agree(spark, d):
     strings = [r(d) for r in _RENDERS]
     df = spark.createDataFrame([(s,) for s in strings], "s string")

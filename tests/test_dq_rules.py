@@ -78,6 +78,7 @@ def test_rule_count_is_32():
     assert len(RULES) == 32
 
 
+@pytest.mark.slow
 def test_clean_event_passes_most(evaluated):
     rows = evaluated.filter(F.col("title") == "Good Party 2025").collect()
     assert len(rows) == 2  # clean + dup
@@ -98,6 +99,7 @@ def test_bad_event_fails_expected_rules(evaluated):
     assert res["C010"] is True  # parseable timestamp, just stale
 
 
+@pytest.mark.slow
 def test_issue_table_and_rollup(evaluated):
     issues = issue_table(evaluated)
     assert issues.filter(F.col("rule_id") == "CP001").count() == 1

@@ -108,6 +108,7 @@ def test_pagerank_fixed_point_invariants(spark):
     assert sum(r1.values()) <= 1_000_000_000_000
 
 
+@pytest.mark.slow
 def test_fold_components_equals_full_recompute(spark, tmp_path):
     """Incremental fold invariant: folding pair batches one at a time into
     the stored assignment gives exactly the from-scratch components over
@@ -155,6 +156,7 @@ def test_fold_components_preserves_singletons(spark, tmp_path):
     assert folded == {1: 1, 2: 1, 5: 5, 6: 5, 99: 99}
 
 
+@pytest.mark.slow
 def test_capped_pair_emitters_keep_cliques_connected(spark):
     """VERDICT r12 item 4: the output-capped candidate generators bound a
     dup-clique's pairs at c·m per band/bucket (not c²/2) while the
@@ -192,6 +194,7 @@ def test_capped_pair_emitters_keep_cliques_connected(spark):
     assert cc_capped == cc_full  # same clusters, fraction of the pairs
 
 
+@pytest.mark.slow
 def test_capped_emitter_output_bound_on_mega_clique(spark):
     """The cap's asymptotic contract, directly: a 300-doc exact-dup clique
     emits ≤ c·m·n_bands capped candidate pairs (chain neighborhoods) where

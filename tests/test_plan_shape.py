@@ -85,9 +85,25 @@ def test_events_ts_predicate_pushes_after_normalization(spark, sf_dir):
     assert "LessThan(ts," in pushed, pushed
 
 
-def test_word_shingles_is_shuffle_free(spark, sf_dir):
-    sh = dd.word_shingles(load_table(spark, sf_dir, "documents"), "doc_id", "text")
-    assert _plan(sh).count("Exchange") == 0
+def test_word_shingles_is_shuffle_free(spark, sf_dir, tmp_path):
+    """r17 contract: the shingle generator stays a narrow map (zero
+    exchanges) on SPLIT inputs — the 100 TB shape, where the
+    degenerate-scan gate no-ops. On a degenerate (single-row-group) scan
+    the gate fires and the plan carries exactly ONE exchange: the
+    deterministic id-keyed spread (guide §2.5), never anything else."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+
+    # split layout (≥ cores/4 files): gate no-ops, operator is shuffle-free
+    split_dir = str(tmp_path / "docs_split")
+    docs.repartition(max(2, n // 2), "doc_id").write.parquet(split_dir)
+    split = spark.read.parquet(split_dir)
+    assert _plan(dd.word_shingles(split, "doc_id", "text")).count("Exchange") == 0
+
+    # degenerate single-task scan: exactly the one gated spread exchange
+    p = _plan(dd.word_shingles(docs, "doc_id", "text"))
+    assert p.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in p
 
 
 def test_partitioned_events_prune_partitions(spark, sf_dir, tmp_path):

@@ -10,6 +10,7 @@ top of the ported exact-value tests.
 
 from __future__ import annotations
 
+import pytest
 import html as html_mod
 import re
 from datetime import datetime, timezone
@@ -37,6 +38,10 @@ SETTINGS = settings(max_examples=200, deadline=None, derandomize=True)
 # still derandomized budget.
 SETTINGS_SLOW = settings(max_examples=50, deadline=None, derandomize=True)
 
+
+
+# whole module: hypothesis differential batteries, ~22 min of the full run
+pytestmark = pytest.mark.slow
 
 def _run(spark, values, expr_fn, in_type="string"):
     df = spark.createDataFrame([(v,) for v in values], f"v {in_type}")

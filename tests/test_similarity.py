@@ -8,6 +8,7 @@ the exact top-k stays above a floor on the test corpus.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from scraper_db_refine_merge_spark.operators.similarity import (
@@ -141,6 +142,7 @@ def test_detect_fixed_dim_and_bucket_path_parity(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dyn.collect()))
 
 
+@pytest.mark.slow
 def test_lsh_topk_ragged_query_uses_dynamic_buckets(spark):
     """ADVICE r4 (medium): with a uniform-dim corpus and a query of a
     DIFFERENT length, the literal-plane fast path must be abandoned on
@@ -201,6 +203,7 @@ def test_lsh_topk_ragged_query_uses_dynamic_buckets(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_semantic_dedup_drops_planted_duplicate(spark):
     from scraper_db_refine_merge_spark.operators.similarity import semantic_dedup
 
@@ -225,6 +228,7 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
         assert out[vid]["kept"] == 1
 
 
+@pytest.mark.slow
 def test_semantic_dedup_deterministic_under_repartition(spark):
     from scraper_db_refine_merge_spark.operators.similarity import semantic_dedup
 
@@ -243,6 +247,7 @@ def test_semantic_dedup_deterministic_under_repartition(spark):
         assert i in kept
 
 
+@pytest.mark.slow
 def test_semantic_index_fold_order_invariant(spark, tmp_path):
     from scraper_db_refine_merge_spark.operators.similarity import (
         fold_semantic_index,
@@ -267,6 +272,7 @@ def test_semantic_index_fold_order_invariant(spark, tmp_path):
     assert a == b  # same first batch -> same frozen centroids -> same state
 
 
+@pytest.mark.slow
 def test_semantic_index_late_small_id_demotes_stored_vector(spark, tmp_path):
     from scraper_db_refine_merge_spark.operators.similarity import (
         fold_semantic_index,
@@ -327,6 +333,7 @@ def test_pair_cosine_null_element_is_null_not_nan(spark):
     assert got[15] is None
 
 
+@pytest.mark.slow
 def test_semantic_dedup_zero_norm_vector_never_qualifies(spark):
     """r13 self-review: the replaced HOF plan RAISED DIVIDE_BY_ZERO on a
     zero-norm vector (session ANSI default); the kernel's numpy 0/0 gave
@@ -387,6 +394,7 @@ def test_probe_literal_renderer_falls_back_on_null_components(spark):
     assert _cells_literal_col(cent, [(1, None)], "label") is None
 
 
+@pytest.mark.slow
 def test_arrow_kernels_survive_null_and_ragged_vectors(spark):
     """r13: the remaining Arrow kernels (ivf_assign, the brute-force tile,
     the LSH bucket table) take the _vmat_or_nan guard instead of crashing
@@ -444,6 +452,7 @@ def test_arrow_kernels_survive_null_and_ragged_vectors(spark):
     assert not any(4 in p or 5 in p or 6 in p for p in got_nd)
 
 
+@pytest.mark.slow
 def test_reindex_semantic_equals_one_shot(spark, tmp_path):
     """r14: reindex_semantic retrains/re-cells/re-elects from the STORED
     vectors — post-rebuild state equals the one-shot semantic_dedup over

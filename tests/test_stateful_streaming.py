@@ -3,6 +3,7 @@ sessions retained in state across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 
@@ -18,6 +19,7 @@ def _write_batch(path: str, rows: list[dict], mtime: float) -> None:
     os.utime(path, (mtime, mtime))
 
 
+@pytest.mark.slow
 def test_stateful_sessionization_across_batches(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -72,6 +74,7 @@ def test_stateful_sessionization_across_batches(spark, tmp_path):
     assert str(row["session_end"]) == "2024-01-01 10:01:00"
 
 
+@pytest.mark.slow
 def test_stateful_sessionization_idle_timeout_flushes_open_session(spark, tmp_path):
     """A user who never returns must still get their open session emitted:
     the processing-time timeout (= the gap) fires on a later batch with no
@@ -117,6 +120,7 @@ def test_stateful_sessionization_idle_timeout_flushes_open_session(spark, tmp_pa
     assert flushed[0]["total_value"] == 4.0
 
 
+@pytest.mark.slow
 def test_stream_ingest_partitioned_merge(spark, tmp_path):
     """Partition-pruned streaming MERGE: cross-batch re-scrape updates in
     place, table lands hive-partitioned by event_date."""

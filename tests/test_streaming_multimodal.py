@@ -40,6 +40,7 @@ def _raw_event(i: int, title: str) -> dict:
     }
 
 
+@pytest.mark.slow
 def test_stream_ingest_upserts(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()

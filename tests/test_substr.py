@@ -6,6 +6,7 @@ consistency hazard (r8)."""
 
 from __future__ import annotations
 
+import pytest
 import collections
 
 from pyspark.sql import functions as F
@@ -34,6 +35,7 @@ def _expected_groups(rows, L):
     return sorted(sorted(v) for v in exp.values())
 
 
+@pytest.mark.slow
 def test_suffix_groups_equal_literal_grouping(spark):
     """L spanning powers of two and odd values, with repeats across and
     within docs, self-overlapping runs (aaaa…), and tails shorter than L —
@@ -50,6 +52,7 @@ def test_suffix_groups_equal_literal_grouping(spark):
             assert got == _expected_groups(ROWS, L), (direct_max, L)
 
 
+@pytest.mark.slow
 def test_suffix_groups_match_hashed_grams_multipartition(spark, sf_dir):
     """The r8 regression: at multi-partition scale, per-gram occurrence
     counts from the rank construction must equal the direct md5-gram
@@ -190,6 +193,7 @@ def test_redact_overlapping_spans_merge(spark):
     assert out[3] == (1, 8, "")
 
 
+@pytest.mark.slow
 def test_dense_group_ids_dense_and_partition_invariant(spark):
     """r10 ladder core: ids are 1..#distinct (dense), equality classes
     match key classes exactly, and the assignment is a pure function of
@@ -334,6 +338,7 @@ def test_direct_regime_pair_hash_independently_seeded(spark):
         assert r["g2"] != r["chained"]  # NOT the g1-dependent form
 
 
+@pytest.mark.slow
 def test_repeated_span_profile_auto_skew_switch(spark):
     """VERDICT r12 item 3: the window→groupBy skew fallback is code, not
     comment. A corpus where ONE gram holds >10% of positions must make

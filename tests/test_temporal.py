@@ -142,6 +142,7 @@ _key = st.sampled_from(["a", "b", "c"])
     direction=st.sampled_from(["backward", "forward"]),
 )
 @settings(max_examples=5, deadline=None)
+@pytest.mark.slow
 def test_asof_matches_pandas_merge_asof(spark, left, right, direction):
     lrows = [(k, t, i) for i, (k, t) in enumerate(left)]
     rrows = [(k, t, i) for i, (k, t) in enumerate(right)]
@@ -170,6 +171,7 @@ def test_asof_matches_pandas_merge_asof(spark, left, right, direction):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_asof_and_interval_join_tolerate_timestamp_ntz(spark):
     """The driver has shipped events.ts as TIMESTAMP(NANOS) (r1) and as
     TIMESTAMP_NTZ (r3); load_table normalizes, but the temporal operators

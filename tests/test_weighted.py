@@ -7,6 +7,7 @@ multiplicity, per-stratum quota exactness, and stratum independence.
 
 from __future__ import annotations
 
+import pytest
 import hashlib
 
 from pyspark.sql import functions as F
@@ -63,6 +64,7 @@ def test_weighted_sample_proportionality_and_exclusions(spark):
     assert len({r["sample_idx"] for r in out}) == 200
 
 
+@pytest.mark.slow
 def test_weighted_sample_partitioning_invariance(spark):
     """Same sample regardless of input partitioning (the determinism
     contract global_cumsum provides)."""
@@ -76,6 +78,7 @@ def test_weighted_sample_partitioning_invariance(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+@pytest.mark.slow
 def test_stratified_quota_and_independence(spark):
     """Exactly k draws per stratum; removing one stratum leaves every other
     stratum's sample unchanged (seeds include the stratum)."""
@@ -96,6 +99,7 @@ def test_stratified_quota_and_independence(spark):
     assert {tuple(r) for r in sub.collect()} == full
 
 
+@pytest.mark.slow
 def test_weighted_sample_empty_and_zero_weight_inputs_yield_zero_rows(spark):
     """r16 ADVICE: the k-row contract requires positive total weight; an
     empty/all-nonpositive corpus yields ZERO rows (documented), not k."""
@@ -129,6 +133,7 @@ def _wor_mirror(rows, k, seed):
     return [(rank, doc) for rank, (doc, _) in enumerate(order)]
 
 
+@pytest.mark.slow
 def test_wor_matches_first_k_distinct_mirror(spark):
     """Engine output equals the hand-computed successive-WOR sample,
     including ranks — and is invariant to the probe-round schedule
@@ -171,6 +176,7 @@ def test_wor_degenerate_and_empty_contracts(spark):
     assert weighted_sample_without_replacement(empty, 5, "w", ["doc_id"]).count() == 0
 
 
+@pytest.mark.slow
 def test_wor_partitioning_invariance(spark):
     from scraper_db_refine_merge_spark.operators.weighted import (
         weighted_sample_without_replacement,
