@@ -246,6 +246,7 @@ def word_shingles(
     text_col: str,
     k: int = 5,
     max_shingle_freq: int | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Distinct word k-shingles per document: ``(doc, shingle)``.
 
@@ -263,7 +264,13 @@ def word_shingles(
     """
     # Degenerate-scan spread (r17, guide §2.5): a single-row-group input
     # would serialize the explode's ~300× row multiplication on one core.
-    df = spread_degenerate_scan(df, id_col)
+    # ``spread=False`` skips even the partition-count probe — for callers
+    # whose input is derived (post-shuffle) and tiny by construction, e.g.
+    # the candidate-restricted verify rebuild in minhash_dedup_pairs: the
+    # gate would no-op there anyway, but probing a join plan costs a
+    # driver-side RDD conversion per evaluation (r17 q25 dispersion).
+    if spread:
+        df = spread_degenerate_scan(df, id_col)
     # Materialize the token array in its own projection FIRST: inlining the
     # split() into the explode generator makes Spark re-evaluate it per output
     # row (~5x slower, measured at sf0.1).
@@ -620,7 +627,11 @@ def minhash_dedup_pairs(
         dc = df.join(
             cand_doc_ids.selectExpr(f"doc AS `{id_col}`"), id_col, "semi"
         )
-        cand_sh = word_shingles(dc, id_col, text_col, k)
+        # spread=False: dc is candidate-restricted (a sliver of the corpus)
+        # and post-shuffle partitioned by the semi-join — the spread gate
+        # would no-op; skipping it saves the per-evaluation probe (an RDD
+        # conversion of the join plan, paid twice per bench invocation).
+        cand_sh = word_shingles(dc, id_col, text_col, k, spread=False)
     # Verify via per-doc shingle ARRAYS + array_intersect, not an exploded
     # (pair × shingle) equi-join (VERDICT r6 item 2 — q25's verify-join
     # constants were the one volume query above the 2× envelope). The old
